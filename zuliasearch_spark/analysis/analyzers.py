@@ -1,0 +1,290 @@
+"""Vectorized analyzer chains (text → terms), NumPy byte kernels.
+
+The reference analyzes text with Lucene tokenizer + filter chains
+configured per field (ZuliaFieldAnalyzer.java:51-160, settings enum
+zulia_index.proto:280-315, per-field dispatch
+ZuliaPerFieldAnalyzer.java:51-110). This module re-expresses those
+chains as *columnar* transforms. Tokenization is the hot path of an
+index build at 10^12-doc scale, so it runs as a byte-level NumPy
+kernel directly over the Arrow string buffer: char-class lookup
+tables find token boundaries (including camelCase boundaries for
+CODE_SPLIT) in a handful of O(bytes) vectorized passes; tokens are
+gathered contiguously and dictionary-encoded by Arrow C++. No
+per-row Python, no per-token regex.
+
+Tokenizer semantics:
+
+- STANDARD: maximal runs of ``[A-Za-z0-9_]`` or non-ASCII bytes — an
+  ASCII-oriented approximation of Lucene's UAX#29 StandardTokenizer
+  where, as in UAX#29, underscore (ExtendNumLet) *joins* words, so
+  ``shard_reader`` is one token until CODE_SPLIT breaks it. UTF-8
+  continuation/lead bytes are treated as word bytes so non-ASCII
+  runs stay intact.
+- WHITESPACE: maximal runs of non-whitespace (WhitespaceTokenizer).
+- KEYWORD: the whole value is one token (KeywordTokenizer).
+
+Filter semantics:
+
+- CODE_SPLIT: code-aware identifier splitting — underscores become
+  separators and camelCase / ACRONYMCase / letter↔digit boundaries
+  become token breaks (``parseQueryNode`` → ``parse query node``,
+  ``HTTPServer2`` → ``http server 2``); the Spark analogue of
+  Lucene's WordDelimiter/CONCAT_ALL family
+  (ZuliaFieldAnalyzer.java:145-147) specialized for source code.
+  Parts replace the original token (generateWordParts, no
+  preserveOriginal). Fused into the tokenizer byte kernel.
+- LOWERCASE / UPPERCASE: ASCII case fold, fused into the kernel
+  (applied after boundary detection, so case boundaries survive).
+- ASCII_FOLDING: accent strip, applied to the term dictionary only.
+- STOPWORDS: Lucene's classic English list, dropped by dictionary
+  code — an O(1)-per-token mask, never a string compare.
+
+Document field length (BM25 norm) = number of emitted tokens after
+all filters, matching how Lucene's norm counts emitted positions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from zuliasearch_spark.config import (
+    ASCII_FOLDING,
+    CODE_SPLIT,
+    KEYWORD,
+    LOWERCASE,
+    STANDARD,
+    STOPWORDS,
+    UPPERCASE,
+    WHITESPACE,
+    AnalyzerSettings,
+)
+
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public Apache-2.0 list)
+ENGLISH_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+_ASCII_FOLD_TABLE = str.maketrans(
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ",
+    "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY",
+)
+
+# ---- byte class tables -------------------------------------------------
+_B = np.arange(256, dtype=np.uint8)
+_IS_LOWER = (_B >= ord("a")) & (_B <= ord("z"))
+_IS_UPPER = (_B >= ord("A")) & (_B <= ord("Z"))
+_IS_DIGIT = (_B >= ord("0")) & (_B <= ord("9"))
+_IS_HI = _B >= 0x80  # UTF-8 non-ASCII: keep runs together
+_IS_SPACE = np.zeros(256, dtype=bool)
+_IS_SPACE[[9, 10, 11, 12, 13, 32]] = True
+
+_WORD_STANDARD = _IS_LOWER | _IS_UPPER | _IS_DIGIT | _IS_HI | (_B == ord("_"))
+_WORD_CODE = _IS_LOWER | _IS_UPPER | _IS_DIGIT | _IS_HI  # '_' splits
+_WORD_WS = ~_IS_SPACE
+
+_TO_LOWER = _B.copy()
+_TO_LOWER[_IS_UPPER] = _B[_IS_UPPER] + 32
+_TO_UPPER = _B.copy()
+_TO_UPPER[_IS_LOWER] = _B[_IS_LOWER] - 32
+
+
+@dataclass
+class TokenStream:
+    """Dictionary-encoded token stream: terms[i] = vocab[codes[i]]."""
+
+    doc_idx: np.ndarray  # int64, position into the input Series
+    codes: np.ndarray  # int64 into vocab
+    vocab: pa.Array  # unique terms (Arrow string array)
+
+    def __len__(self) -> int:
+        return len(self.codes)
+
+    def terms(self) -> np.ndarray:
+        """Materialize the term stream (object array of str)."""
+        return pc.take(self.vocab, pa.array(self.codes)).to_numpy(zero_copy_only=False)
+
+
+def _string_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(bytes uint8, per-doc end offsets int64) of an Arrow string array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    if data_buf is None:
+        return np.empty(0, dtype=np.uint8), offs - offs[0]
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    return data[offs[0] : offs[-1]].copy(), offs - offs[0]
+
+
+def _tokenize_encode(texts: pd.Series, settings: AnalyzerSettings) -> TokenStream:
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+
+    code_split = CODE_SPLIT in settings.filters
+    lower = LOWERCASE in settings.filters
+    upper = UPPERCASE in settings.filters
+
+    if settings.tokenizer == KEYWORD:
+        if lower:
+            arr = pc.utf8_lower(arr)
+        elif upper:
+            arr = pc.utf8_upper(arr)
+        dict_arr = pc.dictionary_encode(arr)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.arange(len(arr), dtype=np.int64)
+        nonempty = pc.utf8_length(dict_arr.dictionary).to_numpy(zero_copy_only=False) > 0
+        keep = nonempty[codes]
+        return TokenStream(doc_idx[keep], codes[keep], dict_arr.dictionary)
+
+    if settings.tokenizer == WHITESPACE:
+        word = _WORD_WS
+    elif settings.tokenizer == STANDARD:
+        word = _WORD_CODE if code_split else _WORD_STANDARD
+    else:
+        raise ValueError(f"unknown tokenizer: {settings.tokenizer}")
+
+    data, doc_offs = _string_buffer(arr)
+    if data.size == 0:
+        return TokenStream(
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+        )
+    is_word = word[data]
+    prev_word = np.empty_like(is_word)
+    prev_word[0] = False
+    prev_word[1:] = is_word[:-1]
+    # a document boundary always breaks a token
+    inner_starts = doc_offs[1:-1]
+    inner_starts = inner_starts[inner_starts < data.size]
+    prev_word[inner_starts] = False
+
+    start_mask = is_word & ~prev_word
+    if code_split and settings.tokenizer == STANDARD:
+        lo_dig = _IS_LOWER | _IS_DIGIT
+        up = _IS_UPPER
+        prev = np.empty_like(data)
+        prev[0] = 0
+        prev[1:] = data[:-1]
+        nxt = np.empty_like(data)
+        nxt[-1] = 0
+        nxt[:-1] = data[1:]
+        camel = up[data] & lo_dig[prev]  # aB | 1B
+        acro = up[data] & up[prev] & _IS_LOWER[nxt]  # ABc -> A|Bc
+        dig = (_IS_DIGIT[data] & (_IS_LOWER[prev] | up[prev])) | (
+            (_IS_LOWER[data] | up[data]) & _IS_DIGIT[prev]
+        )
+        extra = (camel | acro | dig) & is_word & prev_word
+        extra[inner_starts] = False
+        start_mask = start_mask | extra
+
+    tok_starts = np.flatnonzero(start_mask).astype(np.int64)
+    if tok_starts.size == 0:
+        return TokenStream(
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+        )
+    # token end = end of its word-run, or the next (camel) token start
+    word_end_positions = np.flatnonzero(~np.concatenate((is_word[1:], [False])) & is_word) + 1
+    tok_ends = word_end_positions[np.searchsorted(word_end_positions, tok_starts, side="right")]
+    # a camel boundary also ends the previous token:
+    next_start = np.empty(tok_starts.size, dtype=np.int64)
+    next_start[:-1] = tok_starts[1:]
+    next_start[-1] = data.size
+    tok_ends = np.minimum(tok_ends, next_start)
+
+    if lower:
+        data = _TO_LOWER[data]
+    elif upper:
+        data = _TO_UPPER[data]
+
+    lens = (tok_ends - tok_starts).astype(np.int32)
+    gather = np.repeat(tok_starts, lens)
+    gather += _ranges_within(lens)
+    values = data[gather]
+    offsets = np.zeros(tok_starts.size + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    tok_arr = pa.StringArray.from_buffers(
+        tok_starts.size, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes())
+    )
+    doc_idx = np.searchsorted(doc_offs, tok_starts, side="right").astype(np.int64) - 1
+
+    dict_arr = pc.dictionary_encode(tok_arr)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return TokenStream(doc_idx, codes, dict_arr.dictionary)
+
+
+def _ranges_within(lens: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] for an int array of lengths (int32)."""
+    total = int(lens.sum())
+    out = np.ones(total, dtype=np.int32)
+    if total == 0:
+        return out
+    out[0] = 0
+    starts = np.cumsum(lens[:-1], dtype=np.int64)
+    out[starts] = np.int32(1) - lens[:-1]
+    return np.cumsum(out, dtype=np.int32)
+
+
+def _apply_vocab_filters(ts: TokenStream, settings: AnalyzerSettings) -> TokenStream:
+    """Filters that act on the dictionary: ASCII_FOLDING, STOPWORDS."""
+    if ASCII_FOLDING in settings.filters and len(ts.vocab):
+        folded = pd.Series(ts.vocab.to_pandas()).str.translate(_ASCII_FOLD_TABLE)
+        dict2 = pc.dictionary_encode(pa.array(folded, type=pa.string()))
+        remap = dict2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = TokenStream(ts.doc_idx, remap[ts.codes], dict2.dictionary)
+    if STOPWORDS in settings.filters and len(ts.vocab):
+        stop = pa.array(sorted(ENGLISH_STOPWORDS), type=pa.string())
+        is_stop = pc.is_in(ts.vocab, value_set=stop).to_numpy(zero_copy_only=False)
+        keep = ~is_stop[ts.codes]
+        ts = TokenStream(ts.doc_idx[keep], ts.codes[keep], ts.vocab)
+    return ts
+
+
+def tokenize(texts: pd.Series, settings: AnalyzerSettings) -> TokenStream:
+    """Full analyzer chain → dictionary-encoded token stream."""
+    return _apply_vocab_filters(_tokenize_encode(texts, settings), settings)
+
+
+def analyze_series(texts: pd.Series, settings: AnalyzerSettings) -> tuple[np.ndarray, np.ndarray]:
+    """Analyze a Series of documents.
+
+    Returns ``(doc_idx, terms)``: parallel arrays of the token stream
+    in document order; ``doc_idx`` indexes positionally into ``texts``.
+    """
+    ts = tokenize(texts, settings)
+    return ts.doc_idx, ts.terms()
+
+
+def term_freqs(
+    texts: pd.Series, settings: AnalyzerSettings
+) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray]:
+    """Per-document term frequencies for a Series of documents.
+
+    Returns ``(doc_idx, term, tf, dl)``: the first three parallel over
+    distinct (document, term) pairs (``term`` is an Arrow string
+    array), ``dl`` the per-document emitted-token count (len ==
+    len(texts)) — the BM25 field length.
+    """
+    ts = tokenize(texts, settings)
+    n_docs = len(texts)
+    dl = np.bincount(ts.doc_idx, minlength=n_docs).astype(np.int64)
+    if len(ts) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, pa.array([], type=pa.string()), empty, dl
+    nv = np.int64(len(ts.vocab))
+    key = ts.doc_idx * nv + ts.codes
+    uk, counts = np.unique(key, return_counts=True)
+    out_doc = (uk // nv).astype(np.int64)
+    out_term = pc.take(ts.vocab, pa.array(uk % nv, type=pa.int64()))
+    return out_doc, out_term, counts.astype(np.int64), dl
+
+
+def analyze_query_text(text: str, settings: AnalyzerSettings) -> list[str]:
+    """Analyze a query string with the same chain (order preserved)."""
+    _, terms = analyze_series(pd.Series([text]), settings)
+    return [str(t) for t in terms]

@@ -1,0 +1,138 @@
+"""Index configuration model.
+
+Mirrors the shape of the reference's index settings —
+``IndexSettings`` / ``FieldConfig`` / ``AnalyzerSettings``
+(zulia-common/src/main/proto/zulia_index.proto:26-90,192-221,280-315)
+— trimmed to what the Spark engine consumes. Documents here are rows
+of a DataFrame; an "indexed field" is a (column, analyzer) pair that
+feeds the postings build.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Tokenizers (zulia_index.proto:283-287)
+STANDARD = "STANDARD"
+KEYWORD = "KEYWORD"
+WHITESPACE = "WHITESPACE"
+
+# Filters (subset of zulia_index.proto:289-309 + our code-aware CODE_SPLIT,
+# the Spark analogue of the WordDelimiter/CONCAT_ALL family,
+# ZuliaFieldAnalyzer.java:145-147)
+LOWERCASE = "LOWERCASE"
+UPPERCASE = "UPPERCASE"
+STOPWORDS = "STOPWORDS"
+ASCII_FOLDING = "ASCII_FOLDING"
+CODE_SPLIT = "CODE_SPLIT"
+MINHASH = "MINHASH"
+TWO_TWO_SHINGLE = "TWO_TWO_SHINGLE"
+THREE_THREE_SHINGLE = "THREE_THREE_SHINGLE"
+
+# Similarities (zulia_base.proto:81-86)
+BM25 = "BM25"
+CONSTANT = "CONSTANT"
+TF = "TF"
+TFIDF = "TFIDF"
+
+
+@dataclass(frozen=True)
+class AnalyzerSettings:
+    """Analyzer chain: tokenizer + ordered filters (zulia_index.proto:280-315).
+
+    Filters apply in declared order, exactly like
+    ZuliaFieldAnalyzer.java:51-160 applies Lucene filters in order.
+    """
+
+    name: str
+    tokenizer: str = STANDARD
+    filters: tuple[str, ...] = ()
+    similarity: str = BM25
+
+
+# Built-in analyzers, mirroring DefaultAnalyzers.java:10-22.
+DEFAULT_ANALYZERS: dict[str, AnalyzerSettings] = {
+    "standard": AnalyzerSettings("standard", STANDARD, (LOWERCASE, STOPWORDS)),
+    "keyword": AnalyzerSettings("keyword", KEYWORD, ()),
+    "lcKeyword": AnalyzerSettings("lcKeyword", KEYWORD, (LOWERCASE,)),
+    "minStem": AnalyzerSettings("minStem", STANDARD, (LOWERCASE, STOPWORDS)),
+    "code_standard": AnalyzerSettings("code_standard", STANDARD, (CODE_SPLIT, LOWERCASE)),
+    "whitespace_lc": AnalyzerSettings("whitespace_lc", WHITESPACE, (LOWERCASE,)),
+    "whitespace": AnalyzerSettings("whitespace", WHITESPACE, ()),
+}
+
+
+@dataclass(frozen=True)
+class IndexAs:
+    """One indexed projection of a stored column (zulia_index.proto:318-322)."""
+
+    indexed_field_name: str
+    analyzer_name: str = "standard"
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """Per-column index config (zulia_index.proto:192-221)."""
+
+    stored_field_name: str
+    index_as: tuple[IndexAs, ...] = ()
+    facet_as: tuple[str, ...] = ()
+    sort_as: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Engine-level index settings (zulia_index.proto:26-90, trimmed).
+
+    - ``number_of_shards``: hash partitions by djb2(uniqueId) % shards
+      (ShardUtil.java:3-20).
+    - ``unique_id_col``: the column holding the document uniqueId.
+    - ``per_shard_stats``: Lucene computes BM25 df/avgdl per shard
+      (each shard is its own IndexReader); set False for globally
+      consistent scores across shards (non-reference extension).
+    - ``quantize_norms``: apply Lucene SmallFloat byte4 norm
+      quantization of field lengths (required for Lucene parity; set
+      False for exact-dl scoring, e.g. versus a SQL oracle).
+    - ``docs_per_bucket``: doc-id range per posting build group — the
+      skew valve: a term's postings are built per (term, bucket) so a
+      hot term ("the", "def") never lands in ONE reducer at 10^12-doc
+      scale.
+    - ``block_size``: docs per posting block (delta+varint unit, with
+      per-block max-tf / min-norm for block-max pruning).
+    """
+
+    index_name: str
+    unique_id_col: str
+    number_of_shards: int = 1
+    default_search_fields: tuple[str, ...] = ()
+    field_configs: tuple[FieldConfig, ...] = ()
+    analyzers: dict[str, AnalyzerSettings] = field(default_factory=dict)
+    per_shard_stats: bool = True
+    quantize_norms: bool = True
+    docs_per_bucket: int = 1 << 17
+    block_size: int = 128
+    request_factor: float = 2.0  # zulia_index.proto:39
+    min_shard_request: int = 2  # zulia_index.proto:40
+    shard_tolerance: float = 0.0  # zulia_index.proto:41
+
+    def analyzer(self, name: str) -> AnalyzerSettings:
+        if name in self.analyzers:
+            return self.analyzers[name]
+        if name in DEFAULT_ANALYZERS:
+            return DEFAULT_ANALYZERS[name]
+        raise KeyError(f"unknown analyzer: {name}")
+
+    def indexed_fields(self) -> list[tuple[str, IndexAs]]:
+        """[(stored_column, IndexAs)] over all field configs."""
+        out = []
+        for fc in self.field_configs:
+            for ia in fc.index_as:
+                out.append((fc.stored_field_name, ia))
+        return out
+
+    def analyzer_for_indexed_field(self, indexed_field: str) -> AnalyzerSettings:
+        for _, ia in self.indexed_fields():
+            if ia.indexed_field_name == indexed_field:
+                return self.analyzer(ia.analyzer_name)
+        raise KeyError(f"field not indexed: {indexed_field}")

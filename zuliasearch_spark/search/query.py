@@ -1,0 +1,150 @@
+"""Programmatic query model: typed boolean clauses + search request.
+
+Mirrors the reference's query surface where every search is a list
+of typed clauses combined into one boolean query
+(zulia_query.proto:39-51 QueryType; composition
+ZuliaIndex.getQuery:700-774, clause typing generateClause:780-835):
+
+- SCORE_MUST   — must match, contributes BM25 score (Lucene MUST)
+- SCORE_SHOULD — optional, contributes score when present (SHOULD)
+- FILTER       — must match, NO score contribution (FILTER)
+- FILTER_NOT   — must not match (MUST_NOT)
+- TERMS        — field ∈ {exact terms}, filter occur (TermInSetQuery,
+                 SetQueryHelper.getTermInSetQuery:90-110)
+- TERMS_NOT    — negation of TERMS
+
+Boolean semantics follow Lucene BooleanQuery: a doc matches iff it
+matches every MUST/FILTER clause, no NOT clause, and — when no
+MUST/FILTER exists — at least one scoring SHOULD clause. A query
+with only negative clauses gets an implicit match-all, the
+reference's negative-query fix-up (ZuliaIndex.java:715-717,934-937).
+
+Clause *text* uses a deliberately small grammar (the reference's
+fixture queries are built programmatically through ScoredQuery /
+FilterQuery builders, zulia-client .../builder/ScoredQuery.java):
+whitespace-separated tokens; a token ``field:term`` scopes the term;
+unscoped tokens expand across ``qf`` (the multi-default-field
+expansion, ZuliaMultiFieldQueryNodeProcessor.java:36-60). Terms are
+analyzed with each target field's analyzer. ``default_op`` AND makes
+every term required inside the clause, OR makes them optional with
+``mm`` min-should-match (ZuliaGlobalMinMatchProcessor semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+SCORE_MUST = "SCORE_MUST"
+SCORE_SHOULD = "SCORE_SHOULD"
+FILTER = "FILTER"
+FILTER_NOT = "FILTER_NOT"
+TERMS = "TERMS"
+TERMS_NOT = "TERMS_NOT"
+
+_SCORING = (SCORE_MUST, SCORE_SHOULD)
+_POSITIVE = (SCORE_MUST, FILTER, TERMS)
+_NEGATIVE = (FILTER_NOT, TERMS_NOT)
+
+
+@dataclass(frozen=True)
+class QueryClause:
+    type: str = SCORE_SHOULD
+    q: str | None = None  # query text (mini grammar above)
+    qf: tuple[str, ...] = ()  # default fields for unscoped terms
+    default_op: str = "OR"  # AND | OR combination inside the clause
+    mm: int = 0  # min-should-match when default_op == OR
+    boost: float = 1.0
+    terms: tuple[str, ...] = ()  # TERMS / TERMS_NOT explicit term set
+
+    @property
+    def scoring(self) -> bool:
+        return self.type in _SCORING
+
+    @property
+    def negative(self) -> bool:
+        return self.type in _NEGATIVE
+
+
+@dataclass(frozen=True)
+class LastResult:
+    """Search-after cursor: per-shard last (score, doc_id)
+    (zulia_query.proto:208-244; ZuliaIndex.java:1034-1104)."""
+
+    by_shard: tuple[tuple[int, float, int], ...] = ()  # (shard, score, doc_id)
+
+    def after_for(self, shard: int) -> tuple[float, int] | None:
+        for s, score, doc_id in self.by_shard:
+            if s == shard:
+                return (score, doc_id)
+        return None
+
+
+@dataclass(frozen=True)
+class SearchRequest:
+    clauses: tuple[QueryClause, ...]
+    amount: int = 10
+    start: int = 0
+    last_result: LastResult | None = None
+    # pruning: None = auto (prune when clause shape allows), False = off
+    block_max_pruning: bool | None = None
+
+
+@dataclass(frozen=True)
+class TermSpec:
+    """One resolved (field, term) leaf inside a clause."""
+
+    field: str
+    term: str
+    required: bool  # within-clause AND member
+
+
+@dataclass(frozen=True)
+class ResolvedClause:
+    clause: QueryClause
+    specs: tuple[TermSpec, ...]
+
+    @property
+    def n_required(self) -> int:
+        return sum(1 for s in self.specs if s.required)
+
+    @property
+    def min_optional(self) -> int:
+        """How many optional leaves must match for the clause to match."""
+        n_opt = len(self.specs) - self.n_required
+        if n_opt == 0:
+            return 0
+        if self.n_required > 0:
+            return 0  # SHOULD next to MUST inside a clause: optional
+        return max(1, min(self.clause.mm, n_opt))
+
+
+def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]) -> ResolvedClause:
+    """Expand clause text/terms into (field, term) leaves.
+
+    ``analyze(field, text) -> list[str]`` runs the field's analyzer.
+    """
+    specs: list[TermSpec] = []
+    required = clause.default_op.upper() == "AND"
+    if clause.type in (TERMS, TERMS_NOT):
+        fields = clause.qf or default_fields
+        for f in fields:
+            for t in clause.terms:
+                specs.append(TermSpec(f, t, required=False))  # set = OR
+    elif clause.q is not None:
+        for token in clause.q.split():
+            if ":" in token:
+                fname, raw = token.split(":", 1)
+                targets = [(fname, raw)]
+            else:
+                fields = clause.qf or default_fields
+                if not fields:
+                    raise ValueError(f"no default fields for unscoped term {token!r}")
+                targets = [(f, token) for f in fields]
+            multi_field = len(targets) > 1
+            for fname, raw in targets:
+                for term in analyze(fname, raw):
+                    # multi-field expansion of one token: fields are OR'd
+                    specs.append(TermSpec(fname, term, required=required and not multi_field))
+    else:
+        raise ValueError("clause needs q= text or terms= set")
+    return ResolvedClause(clause, tuple(specs))

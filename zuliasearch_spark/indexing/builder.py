@@ -1,0 +1,299 @@
+"""Distributed inverted-index build: corpus DataFrame → index tables.
+
+The Spark-first re-expression of the reference's Store/index path
+(ShardDocumentIndexer.java:74-103 routes BSON docs through per-field
+Lucene indexers into sharded Lucene indexes; routing
+ShardUtil.java:3-20). Here the whole build is a declarative plan:
+
+    corpus
+      → shard = djb2(uniqueId) % S            (vectorized pandas UDF)
+      → doc_id = row_number per shard          (dense ids ⇒ tight delta gaps)
+      → mapInPandas tokenize (byte-kernel analyzers, Arrow in/out)
+        ⇒ tall (field, shard, doc_id, term, tf, dl)
+      → groupBy(field, shard, bucket).applyInPandas(block encoder)
+        ⇒ postings blocks (delta-gap varint docIDs, varint TFs,
+          varint dls, per-block max_tf/min_dl for block-max pruning)
+      → groupBy aggregations ⇒ term_stats / field_stats / doc_norms
+
+Scale design (the part that must survive 10^12 docs / 1000 executors):
+
+- **Hot-term skew**: postings groups are keyed (field, shard,
+  bucket) where bucket = doc_id >> log2(docs_per_bucket). A group's
+  size is bounded by docs_per_bucket × avg distinct terms/doc — it
+  does NOT grow with corpus size or term popularity, so "the"/"def"
+  never melt one reducer; a hot term's postings simply span many
+  bucket rows, which the query kernel concatenates (block streams are
+  doc-ordered across buckets by construction). This replaces an
+  explicit salt+re-merge: the doc-range IS the salt, and no second
+  shuffle is needed because bucket order == docID order.
+- **Map-side combine**: term_stats/field_stats use groupBy().agg()
+  (partial aggregation before shuffle), so hot terms are combined
+  per-partition first.
+- **Norms travel with postings**: each block stores the docs' field
+  lengths (varint). +1-2 bytes/posting versus Lucene's separate
+  per-doc norms file, but a query then touches ONLY the posting rows
+  of its query terms — no per-query shuffle/broadcast of a
+  shard-wide norms table. At 100 TB that trade wins: queries read
+  KBs, not the norms of every doc in every shard.
+- **Pushdown**: written postings are partitioned by (field) and
+  sorted by (term) within files so Parquet row-group min/max stats
+  prune non-query terms at scan time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zuliasearch_spark.analysis.analyzers import term_freqs
+from zuliasearch_spark.config import AnalyzerSettings, IndexConfig
+from zuliasearch_spark.util.hashing import shard_for_series
+from zuliasearch_spark.util.varint import varint_encode_with_offsets
+
+POSTINGS_SCHEMA = (
+    "field string, shard int, bucket long, term string, block_id int, "
+    "first_doc long, last_doc long, n int, doc_bytes binary, tf_bytes binary, "
+    "dl_bytes binary, max_tf int, min_dl int"
+)
+
+TALL_SCHEMA = "shard int, doc_id long, term string, tf int, dl int"
+
+
+@dataclass
+class IndexTables:
+    """The index as DataFrames (backed by memory or parquet)."""
+
+    config: IndexConfig
+    doc_map: DataFrame  # shard, doc_id, uniqueId, content_sha256 [+ stored cols]
+    postings: DataFrame  # POSTINGS_SCHEMA
+    term_stats: DataFrame  # field, shard, term, df, ttf
+    field_stats: DataFrame  # field, shard, doc_count, sum_dl
+    doc_norms: DataFrame  # field, shard, doc_id, dl
+    shard_counts: DataFrame  # shard, num_docs (doc_ids are dense 0..num_docs-1)
+
+    def persist(self) -> "IndexTables":
+        for df in (self.doc_map, self.postings, self.term_stats, self.field_stats, self.shard_counts):
+            df.persist()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (
+            self.doc_map,
+            self.postings,
+            self.term_stats,
+            self.field_stats,
+            self.doc_norms,
+            self.shard_counts,
+        ):
+            df.unpersist()
+
+
+def _make_tokenizer(col: str, settings: AnalyzerSettings):
+    """mapInPandas generator: (shard, doc_id, <col>) → tall rows."""
+
+    def tokenize(batches):
+        for pdf in batches:
+            doc_idx, term_arr, tf, dl = term_freqs(pdf[col], settings)
+            yield pd.DataFrame(
+                {
+                    "shard": pdf["shard"].to_numpy()[doc_idx],
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
+                    "term": term_arr.to_pandas(),
+                    "tf": tf.astype(np.int32),
+                    "dl": dl[doc_idx].astype(np.int32),
+                }
+            )
+
+    return tokenize
+
+
+def _make_block_encoder(block_size: int):
+    """applyInPandas kernel: one (field, shard, bucket) group → block rows.
+
+    All terms of the bucket are encoded in a single vectorized pass:
+    factorize terms, lexsort by (term, doc_id), split each term run
+    into blocks of ``block_size``, varint-encode the whole partition
+    once and slice per block.
+    """
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        field, shard, bucket = key
+        if len(pdf) == 0:
+            return pd.DataFrame()
+        codes, uniques = pd.factorize(pdf["term"], sort=False)
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tf = pdf["tf"].to_numpy(dtype=np.int64)
+        dl = pdf["dl"].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc, codes))
+        codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
+
+        new_term = np.empty(len(codes), dtype=bool)
+        new_term[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=new_term[1:])
+        # rank within term run
+        idx = np.arange(len(codes), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_term, idx, 0))
+        rank = idx - run_start
+        block_id = (rank // block_size).astype(np.int32)
+        new_block = new_term | ((rank % block_size) == 0)
+        bstarts = np.flatnonzero(new_block).astype(np.int64)
+        bends = np.concatenate((bstarts[1:], [len(codes)]))
+
+        # delta-gap: first value of each block absolute, rest gaps
+        deltas = np.empty_like(doc)
+        deltas[0] = doc[0]
+        np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+        deltas[bstarts] = doc[bstarts]
+
+        doc_buf, doc_offs = varint_encode_with_offsets(deltas)
+        tf_buf, tf_offs = varint_encode_with_offsets(tf)
+        dl_buf, dl_offs = varint_encode_with_offsets(dl)
+
+        mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
+        n_blocks = bstarts.size
+        first_doc = doc[bstarts]
+        last_doc = doc[bends - 1]
+        nvals = (bends - bstarts).astype(np.int32)
+        max_tf = np.maximum.reduceat(tf, bstarts).astype(np.int32)
+        min_dl = np.minimum.reduceat(dl, bstarts).astype(np.int32)
+        out = pd.DataFrame(
+            {
+                "field": field,
+                "shard": np.int32(shard),
+                "bucket": np.int64(bucket),
+                "term": np.asarray(uniques, dtype=object)[codes[bstarts]],
+                "block_id": block_id[bstarts],
+                "first_doc": first_doc,
+                "last_doc": last_doc,
+                "n": nvals,
+                "doc_bytes": [bytes(mv_doc[doc_offs[a] : doc_offs[b]]) for a, b in zip(bstarts, bends)],
+                "tf_bytes": [bytes(mv_tf[tf_offs[a] : tf_offs[b]]) for a, b in zip(bstarts, bends)],
+                "dl_bytes": [bytes(mv_dl[dl_offs[a] : dl_offs[b]]) for a, b in zip(bstarts, bends)],
+                "max_tf": max_tf,
+                "min_dl": min_dl,
+            }
+        )
+        return out
+
+    return encode
+
+
+def shard_udf(num_shards: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _shard(uid: pd.Series) -> pd.Series:
+        return pd.Series(shard_for_series(uid, num_shards))
+
+    return _shard
+
+
+def assign_ids(corpus: DataFrame, config: IndexConfig) -> DataFrame:
+    """Add (shard, doc_id): djb2 routing + dense per-shard doc ids.
+
+    doc_id = row_number within shard ordered by uniqueId: deterministic
+    and dense (tight delta gaps). The per-shard sort is the same cost
+    class as Lucene's per-shard indexing; shards are the parallelism
+    unit, so size ``number_of_shards`` ∝ corpus (e.g. ≤ a few million
+    docs per shard) and every shard sorts independently.
+    """
+    uid = config.unique_id_col
+    with_shard = corpus.withColumn("shard", shard_udf(config.number_of_shards)(F.col(uid).cast("string")))
+    w = Window.partitionBy("shard").orderBy(uid)
+    return with_shard.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+
+def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, ...] = ()) -> IndexTables:
+    """Build all index tables from a corpus DataFrame (lazy plan)."""
+    uid = config.unique_id_col
+    base = assign_ids(corpus, config)
+
+    doc_map_cols = [
+        F.col("shard"),
+        F.col("doc_id"),
+        F.col(uid).cast("string").alias("uniqueId"),
+    ]
+    content_col = next(
+        (fc.stored_field_name for fc in config.field_configs for ia in fc.index_as), None
+    )
+    if content_col is not None:
+        doc_map_cols.append(F.sha2(F.col(content_col).cast("string"), 256).alias("content_sha256"))
+    for c in stored_cols:
+        doc_map_cols.append(F.col(c))
+    doc_map = base.select(*doc_map_cols)
+
+    tall_parts = []
+    for stored_col, ia in config.indexed_fields():
+        settings = config.analyzer(ia.analyzer_name)
+        t = (
+            base.select("shard", "doc_id", stored_col)
+            .mapInPandas(_make_tokenizer(stored_col, settings), TALL_SCHEMA)
+            .withColumn("field", F.lit(ia.indexed_field_name))
+        )
+        tall_parts.append(t)
+    if not tall_parts:
+        raise ValueError("index config has no indexed fields")
+    tall = tall_parts[0]
+    for t in tall_parts[1:]:
+        tall = tall.unionByName(t)
+
+    bucket_shift = int(np.log2(config.docs_per_bucket))
+    tall_b = tall.withColumn("bucket", F.shiftright("doc_id", bucket_shift).cast("long"))
+
+    postings = tall_b.groupBy("field", "shard", "bucket").applyInPandas(
+        _make_block_encoder(config.block_size), POSTINGS_SCHEMA
+    )
+
+    term_stats = tall.groupBy("field", "shard", "term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
+    )
+    doc_norms = tall.groupBy("field", "shard", "doc_id").agg(F.max("dl").alias("dl"))
+    field_stats = doc_norms.groupBy("field", "shard").agg(
+        F.count(F.lit(1)).alias("doc_count"), F.sum("dl").alias("sum_dl")
+    )
+    shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
+    return IndexTables(config, doc_map, postings, term_stats, field_stats, doc_norms, shard_counts)
+
+
+# ---------------------------------------------------------------------------
+# parquet persistence (Iceberg-style layout: data + a manifest JSON)
+
+
+def write_index(tables: IndexTables, path: str) -> None:
+    """Write index tables as parquet, postings sorted by term for pushdown."""
+    (
+        tables.postings.repartition("field", "shard")
+        .sortWithinPartitions("term", "bucket", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(os.path.join(path, "postings"))
+    )
+    tables.doc_map.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
+    (
+        tables.term_stats.repartition("field")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(os.path.join(path, "term_stats"))
+    )
+    tables.field_stats.write.mode("overwrite").parquet(os.path.join(path, "field_stats"))
+    tables.doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
+    tables.shard_counts.write.mode("overwrite").parquet(os.path.join(path, "shard_counts"))
+
+
+def read_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTables:
+    return IndexTables(
+        config,
+        spark.read.parquet(os.path.join(path, "doc_map")),
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "term_stats")),
+        spark.read.parquet(os.path.join(path, "field_stats")),
+        spark.read.parquet(os.path.join(path, "doc_norms")),
+        spark.read.parquet(os.path.join(path, "shard_counts")),
+    )

@@ -47,6 +47,56 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode and also return each value's starting byte offset.
+
+    ``offsets`` has len(values)+1 entries; slice ``buf[offsets[i]:offsets[j]]``
+    to get the encoding of values[i:j] — lets a caller encode a whole
+    partition in ONE vectorized pass and slice out per-block payloads.
+    """
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    if int(v.min()) < 0:
+        raise ValueError("varint_encode requires non-negative values")
+    u = v.astype(np.uint64)
+    nbytes = np.ones(u.shape, dtype=np.int64)
+    for k in range(1, _MAX_BYTES):
+        nbytes += (u >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
+    for k in range(_MAX_BYTES):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        idx = starts[mask] + k
+        chunk = (u[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out.tobytes(), offsets
+
+
+def segmented_cumsum(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at each segment start (vectorized).
+
+    Used to turn concatenated delta-gap streams back into absolute
+    docIDs: each posting block's first value is absolute, the rest are
+    gaps, so a per-block cumsum reconstructs docIDs for ALL blocks of
+    a term in one pass.
+    """
+    if values.size == 0:
+        return values.astype(np.int64)
+    c = np.cumsum(values, dtype=np.int64)
+    base = np.zeros_like(c)
+    # subtract, within each segment, the cumsum just before the segment
+    prior = np.where(seg_starts > 0, c[seg_starts - 1], 0)
+    seg_lens = np.diff(np.concatenate((seg_starts, [values.size])))
+    base = np.repeat(prior, seg_lens)
+    return c - base
+
+
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     """Decode concatenated LEB128 varints back to an int64 array."""
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)

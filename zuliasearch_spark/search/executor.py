@@ -53,6 +53,8 @@ KERNEL_SCHEMA = (
     "shard int, doc_id long, score double, total_hits long, next_score double, has_next boolean"
 )
 
+MATCH_SCHEMA = "shard int, doc_id long, score double"
+
 
 def _decode_group(pdf: pd.DataFrame) -> dict[tuple[str, str], tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Decode all posting blocks, grouped by (field, term).
@@ -157,6 +159,61 @@ def _make_kernel(
     return kernel
 
 
+def _make_match_kernel(
+    resolved: list[ResolvedClause],
+    idf_by_key: dict[tuple[str, str, int], float],
+    avgdl_by_key: dict[tuple[str, int], float],
+    params: Bm25Params,
+    n_docs_by_shard: dict[int, int],
+):
+    """Kernel variant emitting the FULL match set (for facets/stats).
+
+    Mirrors the reference's aggregation flow: facets and numeric stats
+    run doc-at-a-time over the intersected match set
+    (AggregationHandler.java:256-281); here the match set becomes a
+    DataFrame that joins doc_map and feeds ordinary groupBy/agg.
+    """
+    empty = pd.DataFrame(
+        {
+            "shard": pd.Series(dtype=np.int32),
+            "doc_id": pd.Series(dtype=np.int64),
+            "score": pd.Series(dtype=np.float64),
+        }
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        postings = _decode_group(pdf)
+        if not postings:
+            return empty
+        n = n_docs_by_shard.get(shard, 0)
+        if n == 0:
+            n = int(max(d[0].max() for d in postings.values() if d[0].size)) + 1
+
+        def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
+            mask = np.zeros(n, dtype=bool)
+            score = np.zeros(n, dtype=np.float64)
+            entry = postings.get((spec.field, spec.term))
+            if entry is None:
+                return mask, score
+            docs, tfs, dls = entry
+            mask[docs] = True
+            idf = idf_by_key.get((spec.field, spec.term, shard))
+            if idf is not None:
+                avgdl = avgdl_by_key[(spec.field, shard)]
+                w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
+                score[docs] = bm25_term_scores(tfs, dls, w, avgdl, params)
+            return mask, score
+
+        match, total = combine_clauses(resolved, term_vectors, n, params.lucene_parity)
+        idx = np.flatnonzero(match)
+        return pd.DataFrame(
+            {"shard": np.int32(shard), "doc_id": idx.astype(np.int64), "score": total[idx]}
+        )
+
+    return kernel
+
+
 class SearchEngine:
     """Executes SearchRequests against built IndexTables."""
 
@@ -202,20 +259,17 @@ class SearchEngine:
         sd = sum(v[1] for (f, _), v in self._field_stats.items() if f == field)
         return dc, sd
 
-    # -- search -----------------------------------------------------------
-
-    def search(self, req: SearchRequest, fetch: str = "ids") -> dict:
-        resolved = self._resolve(req)
+    def _plan(self, resolved: list[ResolvedClause]):
+        """Per-(term, shard) idf + per-(field, shard) avgdl + scan predicate."""
         specs = {(s.field, s.term) for rc in resolved for s in rc.specs}
         if not specs:
-            return {"totalHits": 0, "topk": []}
+            return None
         df_by_key = self._collect_term_stats(specs)
         shards = self._shards()
 
         idf_by_key: dict[tuple[str, str, int], float] = {}
         avgdl_by_key: dict[tuple[str, int], float] = {}
-        fields = {f for f, _ in specs}
-        for f in fields:
+        for f in {f for f, _ in specs}:
             for s in shards:
                 doc_count, sum_dl = self._stats_for(f, s)
                 if doc_count > 0:
@@ -231,9 +285,6 @@ class SearchEngine:
                     # bm25_weight with boost=1 → pure idf; boost folds in-kernel
                     idf_by_key[(f, t, s)] = bm25_weight(doc_count, df, 1.0, self.params)
 
-        per_shard_amount = req.start + req.amount
-        after = {s: a for s in shards if (a := (req.last_result.after_for(s) if req.last_result else None))}
-
         cond = None
         by_field: dict[str, list[str]] = {}
         for f, t in specs:
@@ -241,6 +292,20 @@ class SearchEngine:
         for f, terms in by_field.items():
             c = (F.col("field") == f) & F.col("term").isin(terms)
             cond = c if cond is None else (cond | c)
+        return idf_by_key, avgdl_by_key, cond
+
+    # -- search -----------------------------------------------------------
+
+    def search(self, req: SearchRequest, fetch: str = "ids") -> dict:
+        resolved = self._resolve(req)
+        plan = self._plan(resolved)
+        if plan is None:
+            return {"totalHits": 0, "topk": []}
+        idf_by_key, avgdl_by_key, cond = plan
+        shards = self._shards()
+
+        per_shard_amount = req.start + req.amount
+        after = {s: a for s in shards if (a := (req.last_result.after_for(s) if req.last_result else None))}
 
         kernel = _make_kernel(
             resolved, idf_by_key, avgdl_by_key, self.params, per_shard_amount, after, self._shard_counts
@@ -278,6 +343,84 @@ class SearchEngine:
         if fetch != "none" and topk:
             self._attach_unique_ids(topk)
         return {"totalHits": total_hits, "topk": topk}
+
+    def match_ids(self, req: SearchRequest):
+        """DataFrame of ALL matching (shard, doc_id, score) rows.
+
+        The entry point for aggregations: facets/stats join this match
+        set against doc_map, the Spark equivalent of the reference's
+        doc-at-a-time facet/stat pass over the intersected iterators
+        (AggregationHandler.java:256-281). Requires at least one
+        positive clause (a purely-negative match-all set should be
+        computed as doc_map anti-join instead).
+        """
+        resolved = self._resolve(req)
+        if resolved and all(rc.clause.negative for rc in resolved):
+            raise ValueError("match_ids needs a positive clause; anti-join doc_map for pure negations")
+        plan = self._plan(resolved)
+        if plan is None:
+            raise ValueError("empty query")
+        idf_by_key, avgdl_by_key, cond = plan
+        kernel = _make_match_kernel(resolved, idf_by_key, avgdl_by_key, self.params, self._shard_counts)
+        return self.tables.postings.filter(cond).groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
+
+    def facet_counts(self, req: SearchRequest, facet_field: str, top_n: int = 10):
+        """Exact top-N facet counts over the match set.
+
+        The reference merges per-shard partial facet counts with error
+        bounds (FacetCombiner.java:41-144); a global Spark groupBy is
+        exact, so maxError/possibleMissing are always zero here.
+        Ties broken by value ascending (deterministic).
+        """
+        matches = self.match_ids(req).select("shard", "doc_id")
+        joined = matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner")
+        return (
+            joined.groupBy(F.col(facet_field).alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(top_n)
+        )
+
+    def numeric_stats(self, req: SearchRequest, stat_field: str):
+        """min/max/sum/count over the match set (Stats.java:20-100)."""
+        matches = self.match_ids(req).select("shard", "doc_id")
+        joined = matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner")
+        c = F.col(stat_field)
+        return joined.agg(
+            F.min(c).alias("min_v"),
+            F.max(c).alias("max_v"),
+            F.sum(c).alias("sum_v"),
+            F.count(c).alias("count_v"),
+        )
+
+    def get_terms(
+        self,
+        field: str,
+        start_term: str | None = None,
+        end_term: str | None = None,
+        min_doc_freq: int = 0,
+        term_filter_regex: str | None = None,
+        amount: int = 0,
+    ):
+        """Term dictionary enumeration (GetTerms, ShardTermsHandler.java:47-204).
+
+        Per-shard df/ttf are summed across shards, filtered by range /
+        regex / minDocFreq, ordered by term — the Spark plan is exactly
+        the reference's seek + merge federation
+        (GetTermsRequestFederator) as one groupBy.
+        """
+        df = self.tables.term_stats.filter(F.col("field") == field)
+        if start_term is not None:
+            df = df.filter(F.col("term") >= start_term)
+        if end_term is not None:
+            df = df.filter(F.col("term") < end_term)
+        if term_filter_regex:
+            df = df.filter(F.col("term").rlike(term_filter_regex))
+        out = df.groupBy("term").agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        if min_doc_freq > 0:
+            out = out.filter(F.col("df") >= min_doc_freq)
+        out = out.orderBy("term")
+        return out.limit(amount) if amount else out
 
     def _attach_unique_ids(self, topk: list[dict]) -> None:
         pairs = [(t["shard"], t["doc_id"]) for t in topk]

@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule metrics).
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Three phases:
+
+1. **gate queries** — every ``__spark_entry__.queries()`` entry timed
+   once at the sf dir (documents/embeddings tables). The documents
+   inverted-index build is timed separately (``doc_index_build``) so
+   query timings measure query execution, not index construction.
+2. **code-corpus build** — the north-rule headline: deterministic
+   synthetic source-code corpus (FIXTURES.md F1, ``gen_corpus_spark``)
+   of ``$SPARK_GRAFT_BENCH_DOCS`` files (default 200k, 16 shards),
+   corpus materialized to parquet UNTIMED, then the full inverted-index
+   build (tokenize → postings blocks → stats) + parquet write TIMED
+   → ``build_docs_per_sec``.
+3. **BM25 query set** — the FIXTURES.md F3-style query mix executed
+   against the built index read back from parquet (the realistic
+   pushdown-scan path) → ``bm25_qps``.
+
+Extra keys beyond the driver contract (build_docs_per_sec, bm25_qps,
+cpus, bench_docs) feed BENCH/BASELINE.md and the scaling protocol
+(BASELINE.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def code_bench_config(num_shards: int = 16):
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+
+    return IndexConfig(
+        index_name="code_bench",
+        unique_id_col="uniqueId",
+        number_of_shards=num_shards,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "code_standard"),)),
+            FieldConfig("lang", index_as=(IndexAs("lang", "lcKeyword"),)),
+            FieldConfig("repo", index_as=(IndexAs("repo", "lcKeyword"),)),
+        ),
+    )
+
+
+def bench_query_set():
+    """FIXTURES.md F3 coverage mix: rare/hot, OR, AND, mm, fielded,
+    TERMS, filter+scored, negation, camelCase split, boost."""
+    from zuliasearch_spark.search.query import QueryClause as C
+    from zuliasearch_spark.search.query import SearchRequest
+
+    return {
+        "rare_term": SearchRequest((C("SCORE_SHOULD", q="sym_777_a", qf=("content",)),), amount=10),
+        "hot_term": SearchRequest((C("SCORE_SHOULD", q="parse", qf=("content",)),), amount=10),
+        "or_multi": SearchRequest(
+            (C("SCORE_SHOULD", q="parse query node", qf=("content",)),), amount=10
+        ),
+        "and_conj": SearchRequest(
+            (C("SCORE_MUST", q="shard reader", qf=("content",), default_op="AND"),), amount=10
+        ),
+        "mm_2_of_3": SearchRequest(
+            (C("SCORE_SHOULD", q="varint encode gap", qf=("content",), mm=2),), amount=10
+        ),
+        "field_scoped": SearchRequest((C("SCORE_SHOULD", q="lang:python content:index"),), amount=10),
+        "terms_set": SearchRequest(
+            (C("TERMS", terms=("org1/repo5", "org2/repo7"), qf=("repo",)),), amount=10
+        ),
+        "filter_scored": SearchRequest(
+            (C("SCORE_SHOULD", q="index segment", qf=("content",)), C("FILTER", q="lang:python")),
+            amount=10,
+        ),
+        "not_scored": SearchRequest(
+            (C("FILTER_NOT", q="lang:go"), C("SCORE_SHOULD", q="varint encode", qf=("content",))),
+            amount=10,
+        ),
+        "camel_split": SearchRequest(
+            (C("SCORE_MUST", q="parseQueryNode", qf=("content",), default_op="AND"),), amount=10
+        ),
+        "boost_2x": SearchRequest(
+            (
+                C("SCORE_SHOULD", q="merge", qf=("content",), boost=2.0),
+                C("SCORE_SHOULD", q="block", qf=("content",)),
+            ),
+            amount=10,
+        ),
+        "hot_wand": SearchRequest(
+            (C("SCORE_SHOULD", q="index shard merge block", qf=("content",)),), amount=10
+        ),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from zuliasearch_spark.session import get_spark
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 4)
+
+    import __spark_entry__ as entrymod
+    from zuliasearch_spark import gate
+    from zuliasearch_spark.indexing.builder import build_index, read_index, write_index
+    from zuliasearch_spark.indexing.corpus import gen_corpus_spark
+    from zuliasearch_spark.search.executor import SearchEngine
+
+    queries: dict[str, float] = {}
+    t_start = time.perf_counter()
+
+    # ---- phase 1: gate queries at the sf dir ---------------------------
+    t_build, engine = _timed(lambda: gate.documents_engine(spark, sf_dir))
+    # force materialization of the persisted index tables
+    engine.tables.postings.count()
+    queries["doc_index_build"] = round(time.perf_counter() - t_start, 3)
+    for name, fn in entrymod.queries().items():
+        dt, _ = _timed(lambda: fn(spark, sf_dir).collect())
+        queries[name] = round(dt, 3)
+
+    # ---- phase 2: code-corpus index build throughput -------------------
+    work = tempfile.mkdtemp(prefix="zbench_")
+    try:
+        corpus_path = os.path.join(work, "corpus")
+        index_path = os.path.join(work, "index")
+        gen_corpus_spark(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path).repartition(cpus * 4)
+        cfg = code_bench_config()
+
+        def build():
+            tables = build_index(corpus, cfg)
+            write_index(tables, index_path)
+
+        t_code_build, _ = _timed(build)
+        queries["code_index_build"] = round(t_code_build, 3)
+        build_docs_per_sec = n_docs / t_code_build
+
+        # ---- phase 3: BM25 query set over the written index ------------
+        tables = read_index(spark, index_path, cfg)
+        code_engine = SearchEngine(tables)
+        qset = bench_query_set()
+        # warm once (JVM/Arrow paths), then timed reps
+        code_engine.search_many(qset) if hasattr(code_engine, "search_many") else [
+            code_engine.search(r) for r in qset.values()
+        ]
+        n_q = 0
+        t_q = 0.0
+        for _ in range(reps):
+            if hasattr(code_engine, "search_many"):
+                dt, res = _timed(lambda: code_engine.search_many(qset))
+            else:
+                dt, res = _timed(lambda: {k: code_engine.search(r) for k, r in qset.items()})
+            t_q += dt
+            n_q += len(qset)
+        queries["bm25_query_set"] = round(t_q / reps, 3)
+        bm25_qps = n_q / t_q
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = time.perf_counter() - t_start
+    out = {
+        "metric": "bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "build_docs_per_sec": round(build_docs_per_sec, 1),
+        "bm25_qps": round(bm25_qps, 2),
+        "bench_docs": n_docs,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)

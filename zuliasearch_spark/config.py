@@ -112,6 +112,10 @@ class IndexConfig:
     quantize_norms: bool = True
     docs_per_bucket: int = 1 << 17
     block_size: int = 128
+    # segmented reads: partition id = segment * stride + shard; BM25
+    # stats aggregate over all segments of the same true shard (all
+    # Lucene segments of a shard share the reader's df/avgdl)
+    segment_stride: int | None = None
     request_factor: float = 2.0  # zulia_index.proto:39
     min_shard_request: int = 2  # zulia_index.proto:40
     shard_tolerance: float = 0.0  # zulia_index.proto:41

@@ -12,8 +12,17 @@ ShardUtil.java:3-20). Here the whole build is a declarative plan:
         ⇒ tall (field, shard, doc_id, term, tf, dl)
       → groupBy(field, shard, bucket).applyInPandas(block encoder)
         ⇒ postings blocks (delta-gap varint docIDs, varint TFs,
-          varint dls, per-block max_tf/min_dl for block-max pruning)
-      → groupBy aggregations ⇒ term_stats / field_stats / doc_norms
+          varint dls, per-block max_tf/min_dl/sum_tf) + one NORMS row
+          per group (term=NULL: distinct docIDs + field lengths)
+      → term_stats / field_stats / shard stats = plain groupBy·agg
+        over BLOCK METADATA (no re-tokenize, no decode)
+
+The single expensive pass (tokenize → one shuffle → encode) runs
+exactly ONCE; every statistics table derives relationally from the
+postings blocks' metadata columns:
+
+    term_stats  = Σ n, Σ sum_tf       per (field, shard, term)
+    field_stats = Σ n, Σ sum_dl       per (field, shard) over norms rows
 
 Scale design (the part that must survive 10^12 docs / 1000 executors):
 
@@ -26,9 +35,9 @@ Scale design (the part that must survive 10^12 docs / 1000 executors):
   doc-ordered across buckets by construction). This replaces an
   explicit salt+re-merge: the doc-range IS the salt, and no second
   shuffle is needed because bucket order == docID order.
-- **Map-side combine**: term_stats/field_stats use groupBy().agg()
-  (partial aggregation before shuffle), so hot terms are combined
-  per-partition first.
+- **Map-side combine**: the stats aggregations run over postings
+  block metadata (orders of magnitude smaller than the tall frame)
+  with partial aggregation before their shuffles.
 - **Norms travel with postings**: each block stores the docs' field
   lengths (varint). +1-2 bytes/posting versus Lucene's separate
   per-doc norms file, but a query then touches ONLY the posting rows
@@ -42,7 +51,6 @@ Scale design (the part that must survive 10^12 docs / 1000 executors):
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 
@@ -54,12 +62,12 @@ from pyspark.sql import functions as F
 from zuliasearch_spark.analysis.analyzers import term_freqs
 from zuliasearch_spark.config import AnalyzerSettings, IndexConfig
 from zuliasearch_spark.util.hashing import shard_for_series
-from zuliasearch_spark.util.varint import varint_encode_with_offsets
+from zuliasearch_spark.util.varint import varint_encode, varint_encode_with_offsets
 
 POSTINGS_SCHEMA = (
     "field string, shard int, bucket long, term string, block_id int, "
     "first_doc long, last_doc long, n int, doc_bytes binary, tf_bytes binary, "
-    "dl_bytes binary, max_tf int, min_dl int"
+    "dl_bytes binary, max_tf int, min_dl int, sum_tf long, sum_dl long"
 )
 
 TALL_SCHEMA = "shard int, doc_id long, term string, tf int, dl int"
@@ -71,10 +79,9 @@ class IndexTables:
 
     config: IndexConfig
     doc_map: DataFrame  # shard, doc_id, uniqueId, content_sha256 [+ stored cols]
-    postings: DataFrame  # POSTINGS_SCHEMA
+    postings: DataFrame  # POSTINGS_SCHEMA; term IS NULL rows = per-group norms
     term_stats: DataFrame  # field, shard, term, df, ttf
     field_stats: DataFrame  # field, shard, doc_count, sum_dl
-    doc_norms: DataFrame  # field, shard, doc_id, dl
     shard_counts: DataFrame  # shard, num_docs (doc_ids are dense 0..num_docs-1)
 
     def persist(self) -> "IndexTables":
@@ -83,14 +90,7 @@ class IndexTables:
         return self
 
     def unpersist(self) -> None:
-        for df in (
-            self.doc_map,
-            self.postings,
-            self.term_stats,
-            self.field_stats,
-            self.doc_norms,
-            self.shard_counts,
-        ):
+        for df in (self.doc_map, self.postings, self.term_stats, self.field_stats, self.shard_counts):
             df.unpersist()
 
 
@@ -119,7 +119,10 @@ def _make_block_encoder(block_size: int):
     All terms of the bucket are encoded in a single vectorized pass:
     factorize terms, lexsort by (term, doc_id), split each term run
     into blocks of ``block_size``, varint-encode the whole partition
-    once and slice per block.
+    once and slice per block. Additionally emits ONE norms row
+    (term = NULL) carrying the group's distinct docIDs and their
+    field lengths — the source for field_stats and resumable
+    per-group lineage (row counts live in block metadata).
     """
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -155,13 +158,16 @@ def _make_block_encoder(block_size: int):
         tf_buf, tf_offs = varint_encode_with_offsets(tf)
         dl_buf, dl_offs = varint_encode_with_offsets(dl)
 
+        tf_cum = np.zeros(len(tf) + 1, dtype=np.int64)
+        np.cumsum(tf, out=tf_cum[1:])
+
         mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
-        n_blocks = bstarts.size
         first_doc = doc[bstarts]
         last_doc = doc[bends - 1]
         nvals = (bends - bstarts).astype(np.int32)
         max_tf = np.maximum.reduceat(tf, bstarts).astype(np.int32)
         min_dl = np.minimum.reduceat(dl, bstarts).astype(np.int32)
+        sum_tf = tf_cum[bends] - tf_cum[bstarts]
         out = pd.DataFrame(
             {
                 "field": field,
@@ -177,9 +183,37 @@ def _make_block_encoder(block_size: int):
                 "dl_bytes": [bytes(mv_dl[dl_offs[a] : dl_offs[b]]) for a, b in zip(bstarts, bends)],
                 "max_tf": max_tf,
                 "min_dl": min_dl,
+                "sum_tf": sum_tf,
+                "sum_dl": np.int64(0),
             }
         )
-        return out
+
+        # norms row: distinct (doc, dl) of the group — docIDs ascending
+        udoc, uidx = np.unique(doc, return_index=True)
+        udl = dl[uidx]
+        ndeltas = np.empty_like(udoc)
+        ndeltas[0] = udoc[0]
+        np.subtract(udoc[1:], udoc[:-1], out=ndeltas[1:])
+        norms = pd.DataFrame(
+            {
+                "field": field,
+                "shard": np.int32(shard),
+                "bucket": np.int64(bucket),
+                "term": [None],
+                "block_id": np.int32(-1),
+                "first_doc": udoc[0],
+                "last_doc": udoc[-1],
+                "n": np.int32(udoc.size),
+                "doc_bytes": [varint_encode(ndeltas)],
+                "tf_bytes": [b""],
+                "dl_bytes": [varint_encode(udl)],
+                "max_tf": np.int32(0),
+                "min_dl": np.int32(0),
+                "sum_tf": np.int64(0),
+                "sum_dl": np.int64(udl.sum()),
+            }
+        )
+        return pd.concat([out, norms], ignore_index=True)
 
     return encode
 
@@ -209,8 +243,63 @@ def assign_ids(corpus: DataFrame, config: IndexConfig) -> DataFrame:
     return with_shard.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
 
 
+def stats_from_postings(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(term_stats, field_stats) from block metadata — no decode.
+
+    df = Σ n over a term's blocks (each doc appears once per term),
+    ttf = Σ sum_tf; doc_count / sum_dl come from the norms rows
+    (term IS NULL), whose docs are distinct within each (field,
+    shard, bucket) group and buckets partition the doc-id space.
+    """
+    term_stats = (
+        postings.filter(F.col("term").isNotNull())
+        .groupBy("field", "shard", "term")
+        .agg(F.sum("n").cast("long").alias("df"), F.sum("sum_tf").cast("long").alias("ttf"))
+    )
+    field_stats = (
+        postings.filter(F.col("term").isNull())
+        .groupBy("field", "shard")
+        .agg(F.sum("n").cast("long").alias("doc_count"), F.sum("sum_dl").cast("long").alias("sum_dl"))
+    )
+    return term_stats, field_stats
+
+
+def tokenize_all(base: DataFrame, config: IndexConfig) -> DataFrame:
+    """corpus(+shard,doc_id) → tall (field, shard, doc_id, term, tf, dl)."""
+    tall_parts = []
+    for stored_col, ia in config.indexed_fields():
+        settings = config.analyzer(ia.analyzer_name)
+        t = (
+            base.select("shard", "doc_id", stored_col)
+            .mapInPandas(_make_tokenizer(stored_col, settings), TALL_SCHEMA)
+            .withColumn("field", F.lit(ia.indexed_field_name))
+        )
+        tall_parts.append(t)
+    if not tall_parts:
+        raise ValueError("index config has no indexed fields")
+    tall = tall_parts[0]
+    for t in tall_parts[1:]:
+        tall = tall.unionByName(t)
+    return tall
+
+
+def build_postings(tall: DataFrame, config: IndexConfig) -> DataFrame:
+    bucket_shift = int(np.log2(config.docs_per_bucket))
+    tall_b = tall.withColumn("bucket", F.shiftright("doc_id", bucket_shift).cast("long"))
+    return tall_b.groupBy("field", "shard", "bucket").applyInPandas(
+        _make_block_encoder(config.block_size), POSTINGS_SCHEMA
+    )
+
+
 def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, ...] = ()) -> IndexTables:
-    """Build all index tables from a corpus DataFrame (lazy plan)."""
+    """Build all index tables from a corpus DataFrame (lazy plan).
+
+    The returned postings/term_stats/field_stats share one lineage
+    through the postings blocks; callers that materialize more than
+    one table should ``persist()`` (in-memory use) or ``write_index``
+    (which materializes postings FIRST, then derives stats from the
+    written parquet — the tokenize pass runs exactly once).
+    """
     uid = config.unique_id_col
     base = assign_ids(corpus, config)
 
@@ -228,45 +317,26 @@ def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, 
         doc_map_cols.append(F.col(c))
     doc_map = base.select(*doc_map_cols)
 
-    tall_parts = []
-    for stored_col, ia in config.indexed_fields():
-        settings = config.analyzer(ia.analyzer_name)
-        t = (
-            base.select("shard", "doc_id", stored_col)
-            .mapInPandas(_make_tokenizer(stored_col, settings), TALL_SCHEMA)
-            .withColumn("field", F.lit(ia.indexed_field_name))
-        )
-        tall_parts.append(t)
-    if not tall_parts:
-        raise ValueError("index config has no indexed fields")
-    tall = tall_parts[0]
-    for t in tall_parts[1:]:
-        tall = tall.unionByName(t)
-
-    bucket_shift = int(np.log2(config.docs_per_bucket))
-    tall_b = tall.withColumn("bucket", F.shiftright("doc_id", bucket_shift).cast("long"))
-
-    postings = tall_b.groupBy("field", "shard", "bucket").applyInPandas(
-        _make_block_encoder(config.block_size), POSTINGS_SCHEMA
-    )
-
-    term_stats = tall.groupBy("field", "shard", "term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
-    )
-    doc_norms = tall.groupBy("field", "shard", "doc_id").agg(F.max("dl").alias("dl"))
-    field_stats = doc_norms.groupBy("field", "shard").agg(
-        F.count(F.lit(1)).alias("doc_count"), F.sum("dl").alias("sum_dl")
-    )
+    postings = build_postings(tokenize_all(base, config), config)
+    term_stats, field_stats = stats_from_postings(postings)
     shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
-    return IndexTables(config, doc_map, postings, term_stats, field_stats, doc_norms, shard_counts)
+    return IndexTables(config, doc_map, postings, term_stats, field_stats, shard_counts)
 
 
 # ---------------------------------------------------------------------------
 # parquet persistence (Iceberg-style layout: data + a manifest JSON)
 
 
-def write_index(tables: IndexTables, path: str) -> None:
-    """Write index tables as parquet, postings sorted by term for pushdown."""
+def write_index(tables: IndexTables, path: str) -> IndexTables:
+    """Write index tables as parquet; ONE pass over the corpus.
+
+    Postings are written first (sorted by term within (field, shard)
+    partitions for parquet min/max pushdown); the stats tables are
+    then derived from the WRITTEN postings so the expensive
+    tokenize+shuffle lineage is never recomputed. Returns the
+    re-rooted IndexTables reading from ``path``.
+    """
+    spark = tables.postings.sparkSession
     (
         tables.postings.repartition("field", "shard")
         .sortWithinPartitions("term", "bucket", "block_id")
@@ -275,16 +345,20 @@ def write_index(tables: IndexTables, path: str) -> None:
         .parquet(os.path.join(path, "postings"))
     )
     tables.doc_map.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    term_stats, field_stats = stats_from_postings(postings)
     (
-        tables.term_stats.repartition("field")
+        term_stats.repartition("field")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .partitionBy("field")
         .parquet(os.path.join(path, "term_stats"))
     )
-    tables.field_stats.write.mode("overwrite").parquet(os.path.join(path, "field_stats"))
-    tables.doc_norms.write.mode("overwrite").parquet(os.path.join(path, "doc_norms"))
-    tables.shard_counts.write.mode("overwrite").parquet(os.path.join(path, "shard_counts"))
+    field_stats.write.mode("overwrite").parquet(os.path.join(path, "field_stats"))
+    doc_map = spark.read.parquet(os.path.join(path, "doc_map"))
+    shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
+    shard_counts.write.mode("overwrite").parquet(os.path.join(path, "shard_counts"))
+    return read_index(spark, path, tables.config)
 
 
 def read_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTables:
@@ -294,6 +368,5 @@ def read_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTabl
         spark.read.parquet(os.path.join(path, "postings")),
         spark.read.parquet(os.path.join(path, "term_stats")),
         spark.read.parquet(os.path.join(path, "field_stats")),
-        spark.read.parquet(os.path.join(path, "doc_norms")),
         spark.read.parquet(os.path.join(path, "shard_counts")),
     )

@@ -1,0 +1,296 @@
+"""Segmented index build: checkpointed, resumable, mergeable.
+
+The Spark re-expression of the reference's commit/segment machinery:
+Zulia commits a shard every ``shardCommitInterval`` docs with a
+two-phase crash-consistent commit (ShardWriteManager.java:181-220,
+:286-291; interval default 3200, zulia_index.proto:47), and exposes
+``Optimize`` to force-merge segments (zulia_service.proto:303-309).
+Here:
+
+- a **segment** is a deterministic hash-slice of the corpus
+  (``segment = djb2(uniqueId) % n_segments`` — same routing family as
+  shards, ShardUtil.java:3-20), so segment membership is stable under
+  arbitrary input order/partitioning;
+- each segment is built and written as an independent parquet
+  mini-index under ``<path>/segments/seg=K/`` and then **committed**
+  by appending a manifest entry (write-temp + atomic rename). A
+  killed build resumes by skipping committed segments — the Iceberg
+  snapshot-append analogue the north rule asks for;
+- every manifest entry carries **per-partition lineage + metrics**:
+  per (field, shard) posting-block counts, row counts, doc counts,
+  bytes and wall-clock, mirroring Zulia's segment metadata;
+- ``optimize()`` force-merges segments into one (doc-id remap via
+  broadcast offsets + block re-encode in a shuffle-free mapInPandas),
+  the ``Optimize`` operator.
+
+Reading a segmented index maps (segment, shard) → composite partition
+id ``pid = segment * stride + shard`` so the query executor's
+per-partition kernels work unchanged; BM25 statistics are still
+aggregated per TRUE shard (all segments of a shard share df/avgdl,
+exactly like Lucene segment readers sharing shard-level stats) via
+``IndexConfig.segment_stride``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zuliasearch_spark.config import IndexConfig
+from zuliasearch_spark.indexing.builder import (
+    IndexTables,
+    build_index,
+    shard_udf,
+    stats_from_postings,
+    write_index,
+)
+
+MANIFEST = "manifest.jsonl"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def read_manifest(path: str) -> list[dict]:
+    p = _manifest_path(path)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def committed_segments(path: str) -> set[int]:
+    return {e["segment"] for e in read_manifest(path) if e.get("status") == "committed"}
+
+
+def _append_manifest(path: str, entry: dict) -> None:
+    """Atomic append: rewrite to temp + rename (single-writer commit
+    protocol; on real object storage this is an Iceberg snapshot
+    commit — SURVEY.md §4 'two-phase crash-consistent commit')."""
+    entries = read_manifest(path)
+    entries.append(entry)
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    os.replace(tmp, _manifest_path(path))
+
+
+class SegmentedIndexWriter:
+    """Resumable segment-at-a-time index build.
+
+    >>> w = SegmentedIndexWriter(path, config, n_segments=8)
+    >>> w.build(corpus)          # builds only non-committed segments
+    """
+
+    def __init__(self, path: str, config: IndexConfig, n_segments: int, build_id: str = "build-0"):
+        self.path = path
+        self.config = config
+        self.n_segments = n_segments
+        self.build_id = build_id
+        os.makedirs(path, exist_ok=True)
+
+    def segment_dir(self, segment: int) -> str:
+        return os.path.join(self.path, "segments", f"seg={segment}")
+
+    def pending_segments(self) -> list[int]:
+        done = committed_segments(self.path)
+        return [s for s in range(self.n_segments) if s not in done]
+
+    def build(self, corpus: DataFrame, fail_after: int | None = None) -> list[int]:
+        """Build all pending segments; returns the segments built.
+
+        ``fail_after`` (tests only) aborts after N segment commits to
+        exercise crash/resume.
+        """
+        uid = self.config.unique_id_col
+        seg_col = shard_udf(self.n_segments)(F.col(uid).cast("string"))
+        built = []
+        for i, seg in enumerate(self.pending_segments()):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(f"injected failure after {fail_after} segments")
+            t0 = time.time()
+            slice_df = corpus.filter(seg_col == seg)
+            tables = build_index(slice_df, self.config)
+            tables = write_index(tables, self.segment_dir(seg))
+            self._commit(seg, tables, time.time() - t0)
+            built.append(seg)
+        return built
+
+    def _commit(self, segment: int, tables: IndexTables, wall_s: float) -> None:
+        """Append the manifest entry with per-partition lineage rows."""
+        lineage = [
+            {
+                "field": r["field"],
+                "shard": int(r["shard"]),
+                "blocks": int(r["blocks"]),
+                "postings": int(r["postings"]),
+                "docs": int(r["docs"]),
+                "bytes": int(r["bytes"]),
+            }
+            for r in tables.postings.groupBy("field", "shard")
+            .agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum(F.when(F.col("term").isNotNull(), F.col("n")).otherwise(0)).alias("postings"),
+                F.sum(F.when(F.col("term").isNull(), F.col("n")).otherwise(0)).alias("docs"),
+                F.sum(F.octet_length("doc_bytes") + F.octet_length("tf_bytes") + F.octet_length("dl_bytes")).alias("bytes"),
+            )
+            .collect()
+        ]
+        shard_docs = {int(r["shard"]): int(r["num_docs"]) for r in tables.shard_counts.collect()}
+        _append_manifest(
+            self.path,
+            {
+                "build_id": self.build_id,
+                "segment": segment,
+                "status": "committed",
+                "num_docs": sum(shard_docs.values()),
+                "shard_docs": shard_docs,
+                "wall_s": round(wall_s, 3),
+                "committed_at": time.time(),
+                "partitions": lineage,
+            },
+        )
+
+
+def read_segmented_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTables:
+    """Union all committed segments into one IndexTables.
+
+    Partition id pid = segment * stride + shard; stats stay per true
+    shard via ``segment_stride`` (module docstring).
+    """
+    segs = sorted(committed_segments(path))
+    if not segs:
+        raise FileNotFoundError(f"no committed segments under {path}")
+    stride = config.number_of_shards
+    cfg = replace(config, segment_stride=stride)
+
+    def load(seg: int, name: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(path, "segments", f"seg={seg}", name))
+        return df.withColumn("shard", (F.lit(seg * stride) + F.col("shard")).cast("int"))
+
+    def union_all(name: str) -> DataFrame:
+        dfs = [load(s, name) for s in segs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    postings = union_all("postings")
+    doc_map = union_all("doc_map")
+    term_stats, field_stats = stats_from_postings(postings)
+    shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
+    return IndexTables(cfg, doc_map, postings, term_stats, field_stats, shard_counts)
+
+
+def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig) -> IndexTables:
+    """Force-merge all committed segments into ONE segment (Optimize,
+    zulia_service.proto:303-309).
+
+    Doc ids are remapped to a single dense space per shard: global_id
+    = offset[segment, shard] + local_id with offsets in segment order
+    (Lucene's reader base-offset composition). The remap decodes and
+    re-encodes each posting block in a shuffle-free mapInPandas — the
+    offsets table is tiny and broadcast by closure. Block streams stay
+    doc-ordered per term because segment offsets are monotone in
+    segment order; ``bucket`` is rewritten to the block's new
+    first_doc so (bucket, block_id) ordering == docID ordering holds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from zuliasearch_spark.indexing.builder import POSTINGS_SCHEMA
+    from zuliasearch_spark.util.varint import segmented_cumsum, varint_decode, varint_encode
+
+    segs = sorted(committed_segments(path))
+    manifest = {e["segment"]: e for e in read_manifest(path) if e.get("status") == "committed"}
+    stride = config.number_of_shards
+    # offsets[seg][shard] = Σ docs of earlier segments in that shard
+    offsets: dict[int, dict[int, int]] = {}
+    running: dict[int, int] = {}
+    for seg in segs:
+        offsets[seg] = {}
+        for shard_str, n in manifest[seg]["shard_docs"].items():
+            s = int(shard_str)
+            offsets[seg][s] = running.get(s, 0)
+            running[s] = running.get(s, 0) + int(n)
+
+    seg_tables = read_segmented_index(spark, path, config)
+
+    def remap(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pid = pdf["shard"].to_numpy()
+            seg = pid // stride
+            shard = pid % stride
+            off = np.array([offsets[int(sg)][int(sh)] for sg, sh in zip(seg, shard)], dtype=np.int64)
+            new_doc_bytes = []
+            for i in range(len(pdf)):
+                docs = segmented_cumsum(
+                    varint_decode(pdf["doc_bytes"].iloc[i]), np.zeros(1, dtype=np.int64)
+                ) + off[i]
+                deltas = np.empty_like(docs)
+                deltas[0] = docs[0]
+                np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+                new_doc_bytes.append(varint_encode(deltas))
+            out = pdf.copy()
+            out["shard"] = shard.astype(np.int32)
+            out["first_doc"] = pdf["first_doc"].to_numpy() + off
+            out["last_doc"] = pdf["last_doc"].to_numpy() + off
+            out["bucket"] = out["first_doc"].to_numpy()
+            out["block_id"] = np.int32(0)
+            out["doc_bytes"] = new_doc_bytes
+            yield out
+
+    merged_postings = seg_tables.postings.mapInPandas(remap, POSTINGS_SCHEMA)
+    merged_doc_map = seg_tables.doc_map.withColumn("segment", (F.col("shard") / stride).cast("int"))
+    off_rows = [(seg, sh, off) for seg, by in offsets.items() for sh, off in by.items()]
+    off_df = spark.createDataFrame(off_rows, "segment int, true_shard int, off long")
+    merged_doc_map = (
+        merged_doc_map.withColumn("true_shard", (F.col("shard") % stride).cast("int"))
+        .join(F.broadcast(off_df), ["segment", "true_shard"])
+        .withColumn("doc_id", F.col("doc_id") + F.col("off"))
+        .withColumn("shard", F.col("true_shard"))
+        .drop("segment", "true_shard", "off")
+    )
+
+    out_dir = os.path.join(out_path, "segments", "seg=0")
+    merged_postings.repartition("field", "shard").sortWithinPartitions(
+        "term", "bucket", "block_id"
+    ).write.mode("overwrite").partitionBy("field").parquet(os.path.join(out_dir, "postings"))
+    merged_doc_map.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_map"))
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    term_stats, field_stats = stats_from_postings(postings)
+    term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+    field_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "field_stats"))
+    doc_map = spark.read.parquet(os.path.join(out_dir, "doc_map"))
+    shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
+    shard_counts.write.mode("overwrite").parquet(os.path.join(out_dir, "shard_counts"))
+
+    os.makedirs(out_path, exist_ok=True)
+    docs_total = sum(running.values())
+    if os.path.exists(_manifest_path(out_path)):
+        os.remove(_manifest_path(out_path))
+    _append_manifest(
+        out_path,
+        {
+            "build_id": "optimize",
+            "segment": 0,
+            "status": "committed",
+            "num_docs": docs_total,
+            "shard_docs": {str(s): n for s, n in running.items()},
+            "wall_s": 0.0,
+            "committed_at": time.time(),
+            "partitions": [],
+            "merged_from": segs,
+        },
+    )
+    return read_segmented_index(spark, out_path, config)

@@ -15,22 +15,57 @@ SURVEY.md §3.1) re-expressed for Spark:
    .applyInPandas(kernel): a per-shard document-at-a-time scoring
    kernel (decode delta-gap varint blocks, dense score accumulation,
    Lucene float32 BM25, boolean clause algebra shared with the
-   oracle) with an optional MaxScore/block-max pruning path. Each
-   shard emits its top (start+amount) rows plus a has-more sentinel
-   (the k+1 trick of TopScoreDocCollectorManager(k+1),
+   oracle), with a **block-max pruning** path (below). Each shard
+   emits its top (start+amount) rows plus a has-more sentinel (the
+   k+1 trick of TopScoreDocCollectorManager(k+1),
    ShardReader.java:279-307).
 3. GATHER (driver): merge the per-shard top-k's by
    (score desc, shard asc, doc_id asc) — ZuliaPostSortingComparator
-   semantics — sum totalHits, apply `start`, and (when oversampling)
-   run the reference's short-result check: if a shard that still
-   "has more" could beat the merged tail, retry that shard exact
-   (QueryCombiner.java:146-382, QueryRequestFederator.java:95-105).
+   semantics — sum totalHits and apply `start`
+   (QueryCombiner.java:146-382).
+
+**Batch execution** (`search_many`): N queries run as ONE Spark job —
+one pushdown scan over the union of all query terms, one shuffle, one
+kernel invocation per shard that scores every query against the
+decoded blocks (decode is shared across queries). At cluster scale
+this amortizes job/scan/shuffle overhead across the query stream,
+which is how a Spark engine matches a serving engine's throughput:
+queries/sec, not per-query latency.
+
+**Block-max pruning** (`SearchRequest.block_max_pruning=True`): the
+Spark re-expression of Lucene's WAND/MAXSCORE skipping that the
+reference gets implicitly from TopScoreDocCollector's TOP_SCORES mode
+(ShardReader.java:307; per-block impacts in the codec). Per posting
+block we stored (max_tf, min_dl); the kernel:
+
+  1. computes each block's score upper bound
+     ub = weight · impact(max_tf, min_dl)  (bm25_max_impact — the
+     impact function is monotone ↑tf, ↓dl, so this bounds every
+     posting in the block);
+  2. scatters block ubs into a dense per-doc upper-bound array UB via
+     a difference array over [first_doc, last_doc] ranges (docIDs are
+     dense per shard);
+  3. exact-scores a SEED of the top-|4k| docs by UB → threshold θ =
+     k-th best exact score of *matching* seed docs;
+  4. final candidates C = {d : UB(d) ≥ θ}; decodes ONLY blocks whose
+     doc range intersects C and exact-scores C.
+
+Safety: UB(d) ≥ score(d) for every matching d and θ ≤ true k-th
+score, so the true top-k ⊆ C — returned docIDs and scores are
+identical to the dense path (asserted in tests/test_pruning.py).
+Like Lucene's TOP_SCORES, totalHits becomes a lower bound when
+pruning actually skipped anything (`hits_exact=False` in the
+response). If fewer than k matching candidates exist (e.g. zero-score
+filter matches), the kernel falls back to dense — correctness never
+depends on query shape.
 
 The gather moves only O(shards × k) rows to the driver; all heavy
 data stays columnar in executors.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -44,117 +79,373 @@ from zuliasearch_spark.search.query import ResolvedClause, SearchRequest, TermSp
 from zuliasearch_spark.search.scorer import (
     Bm25Params,
     bm25_avgdl,
+    bm25_max_impact,
     bm25_term_scores,
     bm25_weight,
 )
 from zuliasearch_spark.util.varint import segmented_cumsum, varint_decode
 
 KERNEL_SCHEMA = (
-    "shard int, doc_id long, score double, total_hits long, next_score double, has_next boolean"
+    "qid string, shard int, doc_id long, score double, total_hits long, "
+    "next_score double, has_next boolean, hits_exact boolean, "
+    "blocks_decoded long, blocks_total long"
 )
 
 MATCH_SCHEMA = "shard int, doc_id long, score double"
 
 
-def _decode_group(pdf: pd.DataFrame) -> dict[tuple[str, str], tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Decode all posting blocks, grouped by (field, term).
+class PostingsStore:
+    """One shard group's posting blocks: metadata + lazy varint decode.
 
-    Returns {(field, term): (doc_ids, tfs, dls)} with docIDs ascending
-    (bucket order == docID order by construction).
+    Blocks arrive doc-ordered per (field, term) — bucket order ==
+    docID order by construction (builder docstring) — so decoding any
+    subset of blocks yields ascending docIDs (each block's first
+    docID is stored absolute, the rest delta-gaps).
     """
-    out: dict[tuple[str, str], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    if len(pdf) == 0:
-        return out
-    pdf = pdf.sort_values(["field", "term", "bucket", "block_id"], kind="stable")
-    for (field, term), grp in pdf.groupby(["field", "term"], sort=False):
-        doc_buf = b"".join(grp["doc_bytes"])
-        tf_buf = b"".join(grp["tf_bytes"])
-        dl_buf = b"".join(grp["dl_bytes"])
-        counts = grp["n"].to_numpy(dtype=np.int64)
+
+    def __init__(self, pdf: pd.DataFrame):
+        pdf = pdf.sort_values(["field", "term", "bucket", "block_id"], kind="stable")
+        self.first_doc = pdf["first_doc"].to_numpy(dtype=np.int64)
+        self.last_doc = pdf["last_doc"].to_numpy(dtype=np.int64)
+        self.n = pdf["n"].to_numpy(dtype=np.int64)
+        self.max_tf = pdf["max_tf"].to_numpy(dtype=np.int64)
+        self.min_dl = pdf["min_dl"].to_numpy(dtype=np.int64)
+        self._doc_bytes = pdf["doc_bytes"].to_numpy()
+        self._tf_bytes = pdf["tf_bytes"].to_numpy()
+        self._dl_bytes = pdf["dl_bytes"].to_numpy()
+        self.blocks_total = len(pdf)
+        self.blocks_decoded = 0
+        # (field, term) -> [row_start, row_end) into the arrays above
+        self._rows: dict[tuple[str, str], tuple[int, int]] = {}
+        fields = pdf["field"].to_numpy()
+        terms = pdf["term"].to_numpy()
+        if len(pdf):
+            key_change = np.ones(len(pdf), dtype=bool)
+            key_change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+            starts = np.flatnonzero(key_change)
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            for s, e in zip(starts, ends):
+                self._rows[(str(fields[s]), str(terms[s]))] = (int(s), int(e))
+        self._full_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def keys(self):
+        return self._rows.keys()
+
+    def has(self, key: tuple[str, str]) -> bool:
+        return key in self._rows
+
+    def meta(self, key: tuple[str, str]) -> tuple[int, int] | None:
+        return self._rows.get(key)
+
+    def _decode_rows(self, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        doc_buf = b"".join(self._doc_bytes[rows])
+        tf_buf = b"".join(self._tf_bytes[rows])
+        dl_buf = b"".join(self._dl_bytes[rows])
+        counts = self.n[rows]
         seg_starts = np.zeros(counts.size, dtype=np.int64)
         np.cumsum(counts[:-1], out=seg_starts[1:])
         docs = segmented_cumsum(varint_decode(doc_buf), seg_starts)
         tfs = varint_decode(tf_buf)
         dls = varint_decode(dl_buf)
-        out[(str(field), str(term))] = (docs, tfs, dls)
+        self.blocks_decoded += int(rows.size)
+        return docs, tfs, dls
+
+    def decode(self, key: tuple[str, str]) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Decode ALL blocks of a term (cached)."""
+        got = self._full_cache.get(key)
+        if got is not None:
+            return got
+        span = self._rows.get(key)
+        if span is None:
+            return None
+        out = self._decode_rows(np.arange(span[0], span[1], dtype=np.int64))
+        self._full_cache[key] = out
+        return out
+
+    def decode_overlapping(
+        self, key: tuple[str, str], cand_sorted: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Decode only blocks whose [first_doc, last_doc] range hits a
+        candidate doc — the block-skipping half of block-max pruning."""
+        got = self._full_cache.get(key)
+        if got is not None:
+            return got
+        span = self._rows.get(key)
+        if span is None:
+            return None
+        rows = np.arange(span[0], span[1], dtype=np.int64)
+        lo = np.searchsorted(cand_sorted, self.first_doc[rows], side="left")
+        hi = np.searchsorted(cand_sorted, self.last_doc[rows], side="right")
+        rows = rows[lo < hi]
+        if rows.size == 0:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+            )
+        return self._decode_rows(rows)
+
+
+@dataclass(frozen=True)
+class _QueryPlan:
+    """Everything the kernel needs for one request (pickled once)."""
+
+    qid: str
+    resolved: tuple[ResolvedClause, ...]
+    per_shard_amount: int
+    after_by_shard: dict[int, tuple[float, int]]
+    prune: bool
+
+
+def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, cand_sorted):
+    """term_vectors over a candidate subset: arrays indexed by candidate
+    position, postings gathered via searchsorted on decoded doc lists."""
+
+    def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
+        mask = np.zeros(n_sub, dtype=bool)
+        score = np.zeros(n_sub, dtype=np.float64)
+        entry = store.decode_overlapping((spec.field, spec.term), cand_sorted)
+        if entry is None:
+            return mask, score
+        docs, tfs, dls = entry
+        if docs.size == 0:
+            return mask, score
+        pos = np.searchsorted(docs, cand_sorted)
+        ok = (pos < docs.size) & (docs[np.minimum(pos, docs.size - 1)] == cand_sorted)
+        mask[ok] = True
+        idf = idf_by_key.get((spec.field, spec.term, shard))
+        if idf is not None and ok.any():
+            avgdl = avgdl_by_key[(spec.field, shard)]
+            w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
+            sel = pos[ok]
+            score[ok] = bm25_term_scores(tfs[sel], dls[sel], w, avgdl, params)
+        return mask, score
+
+    return term_vectors
+
+
+def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params):
+    def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
+        mask = np.zeros(n, dtype=bool)
+        score = np.zeros(n, dtype=np.float64)
+        entry = store.decode((spec.field, spec.term))
+        if entry is None:
+            return mask, score
+        docs, tfs, dls = entry
+        mask[docs] = True
+        idf = idf_by_key.get((spec.field, spec.term, shard))
+        if idf is not None:
+            avgdl = avgdl_by_key[(spec.field, shard)]
+            w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
+            score[docs] = bm25_term_scores(tfs, dls, w, avgdl, params)
+        return mask, score
+
+    return term_vectors
+
+
+def _rank_and_page(idx: np.ndarray, scores: np.ndarray, after, per_shard_amount: int):
+    """Sort candidate docs by (score desc, doc_id asc), apply the
+    search-after cursor, and cut to per_shard_amount (+ sentinel)."""
+    if after is not None:
+        a_score, a_doc = after
+        keep = (scores < a_score) | ((scores == a_score) & (idx > a_doc))
+        idx, scores = idx[keep], scores[keep]
+    order = np.lexsort((idx, -scores))
+    ranked, rscores = idx[order], scores[order]
+    top, tscores = ranked[:per_shard_amount], rscores[:per_shard_amount]
+    has_next = ranked.size > per_shard_amount
+    next_score = float(rscores[per_shard_amount]) if has_next else float("nan")
+    return top, tscores, has_next, next_score
+
+
+def _scoring_leaves(resolved) -> list[tuple[TermSpec, float]]:
+    out = []
+    for rc in resolved:
+        if rc.clause.scoring:
+            for spec in rc.specs:
+                out.append((spec, rc.clause.boost))
     return out
 
 
-def _make_kernel(
-    resolved: list[ResolvedClause],
+def _run_query_on_shard(
+    plan: _QueryPlan,
+    store: PostingsStore,
+    shard: int,
+    n: int,
+    idf_by_key,
+    avgdl_by_key,
+    params: Bm25Params,
+):
+    """Execute one request against one shard's postings.
+
+    Returns (top_docs, top_scores, total_hits, has_next, next_score,
+    hits_exact).
+    """
+    resolved = list(plan.resolved)
+    after = plan.after_by_shard.get(shard)
+    k = plan.per_shard_amount
+
+    if plan.prune:
+        result = _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, after, k)
+        if result is not None:
+            return result
+
+    # dense path: exact totalHits, exact top-k
+    tv = _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params)
+    match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
+    total_hits = int(match.sum())
+    idx = np.flatnonzero(match)
+    top, tscores, has_next, next_score = _rank_and_page(idx, total[idx], after, k)
+    return top, tscores, total_hits, has_next, next_score, True
+
+
+def _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, after, k):
+    """Block-max pruning (docstring at module top). Returns None to
+    signal dense fallback."""
+    leaves = _scoring_leaves(resolved)
+    if not leaves or _may_have_zero_score_matches(resolved):
+        # docs can match with zero score (pure filter / negation
+        # shapes): the UB universe would miss them — dense only
+        return None
+
+    # 1-2. dense per-doc upper bound via difference array over block ranges
+    ub_diff = np.zeros(n + 1, dtype=np.float64)
+    any_blocks = False
+    for spec, boost in leaves:
+        span = store.meta((spec.field, spec.term))
+        if span is None:
+            continue
+        idf = idf_by_key.get((spec.field, spec.term, shard))
+        if idf is None:
+            continue
+        avgdl = avgdl_by_key[(spec.field, shard)]
+        w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
+        if w <= 0:
+            continue
+        rows = np.arange(span[0], span[1], dtype=np.int64)
+        # vectorized block impact: ub = w * f(max_tf, min_dl)
+        impacts = bm25_term_scores(store.max_tf[rows], store.min_dl[rows], w, avgdl, params)
+        np.add.at(ub_diff, store.first_doc[rows], impacts)
+        np.subtract.at(ub_diff, store.last_doc[rows] + 1, impacts)
+        any_blocks = True
+    if not any_blocks:
+        return None
+    ub = np.cumsum(ub_diff[:-1])
+    universe = np.flatnonzero(ub > 1e-12)
+    if universe.size == 0:
+        return None
+
+    def exact(cands: np.ndarray):
+        tv = _subset_term_vectors(store, cands.size, shard, idf_by_key, avgdl_by_key, params, cands)
+        m, t = combine_clauses(resolved, tv, cands.size, params.lucene_parity)
+        return cands[m], t[m]
+
+    seed_size = max(4 * k, 64)
+    if universe.size <= seed_size:
+        docs, scores = exact(universe)
+        return _finish(docs, scores, after, k)
+
+    # 3. seed: top docs by UB → threshold θ
+    part = np.argpartition(ub[universe], universe.size - seed_size)[-seed_size:]
+    seed = np.sort(universe[part])
+    sdocs, sscores = exact(seed)
+    if after is not None:
+        a_score, a_doc = after
+        keep = (sscores < a_score) | ((sscores == a_score) & (sdocs > a_doc))
+        sdocs, sscores = sdocs[keep], sscores[keep]
+    if sdocs.size < k:
+        return None  # not enough matches in seed: dense fallback
+    theta = np.partition(sscores, sscores.size - k)[sscores.size - k]
+
+    # 4. final candidates: every doc whose upper bound can reach θ
+    cands = universe[ub[universe] >= theta - 1e-9]
+    docs, scores = exact(cands)
+    pruned_any = cands.size < universe.size
+    top, tscores, has_next, next_score = _rank_and_page(docs, scores, after, k)
+    total_hits = int(docs.size)  # lower bound when pruned_any
+    return top, tscores, total_hits, has_next or pruned_any, next_score, not pruned_any
+
+
+def _may_have_zero_score_matches(resolved) -> bool:
+    """True if docs can match with zero score contribution (pure
+    filter/negation shapes), in which case pruning must not be trusted
+    to find all of the top-k."""
+    has_required_nonscoring = any(
+        rc.clause.type in ("FILTER", "TERMS") for rc in resolved
+    )
+    all_negative = all(rc.clause.negative for rc in resolved)
+    return has_required_nonscoring or all_negative
+
+
+def _finish(docs, scores, after, k):
+    top, tscores, has_next, next_score = _rank_and_page(docs, scores, after, k)
+    return top, tscores, int(docs.size), has_next, next_score, True
+
+
+def _make_batch_kernel(
+    plans: list[_QueryPlan],
     idf_by_key: dict[tuple[str, str, int], float],
     avgdl_by_key: dict[tuple[str, int], float],
     params: Bm25Params,
-    per_shard_amount: int,
-    after_by_shard: dict[int, tuple[float, int]],
     n_docs_by_shard: dict[int, int],
 ):
-    """Build the per-shard scoring kernel (pickled to executors)."""
-
-    empty = pd.DataFrame(
-        {
-            "shard": pd.Series(dtype=np.int32),
-            "doc_id": pd.Series(dtype=np.int64),
-            "score": pd.Series(dtype=np.float64),
-            "total_hits": pd.Series(dtype=np.int64),
-            "next_score": pd.Series(dtype=np.float64),
-            "has_next": pd.Series(dtype=bool),
-        }
-    )
+    """Per-shard kernel scoring EVERY request against the decoded blocks."""
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
-        postings = _decode_group(pdf)
-        if not postings:
-            return empty
-        # doc_ids are dense 0..num_docs-1 per shard (builder row_number),
-        # so the shard count defines the match-all universe exactly
+        store = PostingsStore(pdf)
         n = n_docs_by_shard.get(shard, 0)
         if n == 0:
-            n = int(max(d[0].max() for d in postings.values() if d[0].size)) + 1
-
-        def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
-            mask = np.zeros(n, dtype=bool)
-            score = np.zeros(n, dtype=np.float64)
-            entry = postings.get((spec.field, spec.term))
-            if entry is None:
-                return mask, score
-            docs, tfs, dls = entry
-            mask[docs] = True
-            idf = idf_by_key.get((spec.field, spec.term, shard))
-            if idf is not None:
-                avgdl = avgdl_by_key[(spec.field, shard)]
-                if params.lucene_parity:
-                    w = float(np.float32(boost) * np.float32(idf))
-                else:
-                    w = boost * idf
-                score[docs] = bm25_term_scores(tfs, dls, w, avgdl, params)
-            return mask, score
-
-        match, total = combine_clauses(resolved, term_vectors, n, params.lucene_parity)
-        total_hits = int(match.sum())
-        idx = np.flatnonzero(match)
-        after = after_by_shard.get(shard)
-        if after is not None:
-            a_score, a_doc = after
-            sc = total[idx]
-            keep = (sc < a_score) | ((sc == a_score) & (idx > a_doc))
-            idx = idx[keep]
-        order = np.lexsort((idx, -total[idx]))
-        ranked = idx[order]
-        top = ranked[:per_shard_amount]
-        has_next = ranked.size > per_shard_amount
-        next_score = float(total[ranked[per_shard_amount]]) if has_next else float("nan")
-        return pd.DataFrame(
-            {
-                "shard": np.int32(shard),
-                "doc_id": top.astype(np.int64),
-                "score": total[top],
-                "total_hits": np.int64(total_hits),
-                "next_score": next_score,
-                "has_next": has_next,
-            }
-        )
+            if store.blocks_total == 0:
+                return pd.DataFrame(
+                    columns=[
+                        "qid", "shard", "doc_id", "score", "total_hits",
+                        "next_score", "has_next", "hits_exact",
+                        "blocks_decoded", "blocks_total",
+                    ]
+                )
+            n = int(store.last_doc.max()) + 1
+        frames = []
+        for plan in plans:
+            top, tscores, total_hits, has_next, next_score, hits_exact = _run_query_on_shard(
+                plan, store, shard, n, idf_by_key, avgdl_by_key, params
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": plan.qid,
+                        "shard": np.int32(shard),
+                        "doc_id": top.astype(np.int64) if top.size else np.empty(0, dtype=np.int64),
+                        "score": tscores,
+                        "total_hits": np.int64(total_hits),
+                        "next_score": next_score,
+                        "has_next": has_next,
+                        "hits_exact": hits_exact,
+                        "blocks_decoded": np.int64(0),
+                        "blocks_total": np.int64(0),
+                    }
+                )
+            )
+            if top.size == 0:
+                # still report totalHits/metrics for this shard
+                frames[-1] = pd.DataFrame(
+                    {
+                        "qid": [plan.qid],
+                        "shard": [np.int32(shard)],
+                        "doc_id": [np.int64(-1)],
+                        "score": [float("nan")],
+                        "total_hits": [np.int64(total_hits)],
+                        "next_score": [next_score],
+                        "has_next": [has_next],
+                        "hits_exact": [hits_exact],
+                        "blocks_decoded": [np.int64(0)],
+                        "blocks_total": [np.int64(0)],
+                    }
+                )
+        out = pd.concat(frames, ignore_index=True)
+        out["blocks_decoded"] = np.int64(store.blocks_decoded)
+        out["blocks_total"] = np.int64(store.blocks_total)
+        return out
 
     return kernel
 
@@ -183,29 +474,14 @@ def _make_match_kernel(
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
-        postings = _decode_group(pdf)
-        if not postings:
+        store = PostingsStore(pdf)
+        if store.blocks_total == 0:
             return empty
         n = n_docs_by_shard.get(shard, 0)
         if n == 0:
-            n = int(max(d[0].max() for d in postings.values() if d[0].size)) + 1
-
-        def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
-            mask = np.zeros(n, dtype=bool)
-            score = np.zeros(n, dtype=np.float64)
-            entry = postings.get((spec.field, spec.term))
-            if entry is None:
-                return mask, score
-            docs, tfs, dls = entry
-            mask[docs] = True
-            idf = idf_by_key.get((spec.field, spec.term, shard))
-            if idf is not None:
-                avgdl = avgdl_by_key[(spec.field, shard)]
-                w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
-                score[docs] = bm25_term_scores(tfs, dls, w, avgdl, params)
-            return mask, score
-
-        match, total = combine_clauses(resolved, term_vectors, n, params.lucene_parity)
+            n = int(store.last_doc.max()) + 1
+        tv = _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params)
+        match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
         idx = np.flatnonzero(match)
         return pd.DataFrame(
             {"shard": np.int32(shard), "doc_id": idx.astype(np.int64), "score": total[idx]}
@@ -238,30 +514,44 @@ class SearchEngine:
         """df per (field, term, shard) for the query leaves (pruned scan)."""
         if not specs:
             return {}
-        cond = None
+        cond = self._specs_condition(specs)
+        rows = self.tables.term_stats.filter(cond).collect()
+        return {(r["field"], r["term"], int(r["shard"])): int(r["df"]) for r in rows}
+
+    @staticmethod
+    def _specs_condition(specs: set[tuple[str, str]]):
         by_field: dict[str, list[str]] = {}
         for f, t in specs:
             by_field.setdefault(f, []).append(t)
+        cond = None
         for f, terms in by_field.items():
             c = (F.col("field") == f) & F.col("term").isin(terms)
             cond = c if cond is None else (cond | c)
-        rows = self.tables.term_stats.filter(cond).collect()
-        return {(r["field"], r["term"], int(r["shard"])): int(r["df"]) for r in rows}
+        return cond
 
     def _shards(self) -> list[int]:
         return sorted(self._shard_counts)
 
+    def _stat_peers(self, shard: int) -> list[int]:
+        """Partitions whose statistics pool with ``shard``: itself
+        (per-shard mode), all segments of its true shard (segmented
+        reads, config.segment_stride), or every partition (global)."""
+        if not self.config.per_shard_stats:
+            return self._shards()
+        stride = self.config.segment_stride
+        if stride:
+            return [p for p in self._shards() if p % stride == shard % stride]
+        return [shard]
+
     def _stats_for(self, field: str, shard: int) -> tuple[int, int]:
-        """(doc_count, sum_dl) — per shard or summed (global mode)."""
-        if self.config.per_shard_stats:
-            return self._field_stats.get((field, shard), (0, 0))
-        dc = sum(v[0] for (f, _), v in self._field_stats.items() if f == field)
-        sd = sum(v[1] for (f, _), v in self._field_stats.items() if f == field)
+        """(doc_count, sum_dl) summed over the shard's stat peers."""
+        peers = self._stat_peers(shard)
+        dc = sum(self._field_stats.get((field, p), (0, 0))[0] for p in peers)
+        sd = sum(self._field_stats.get((field, p), (0, 0))[1] for p in peers)
         return dc, sd
 
-    def _plan(self, resolved: list[ResolvedClause]):
+    def _plan(self, specs: set[tuple[str, str]]):
         """Per-(term, shard) idf + per-(field, shard) avgdl + scan predicate."""
-        specs = {(s.field, s.term) for rc in resolved for s in rc.specs}
         if not specs:
             return None
         df_by_key = self._collect_term_stats(specs)
@@ -276,40 +566,50 @@ class SearchEngine:
                     avgdl_by_key[(f, s)] = bm25_avgdl(sum_dl, doc_count, self.params)
         for f, t in specs:
             for s in shards:
-                if self.config.per_shard_stats:
-                    df = df_by_key.get((f, t, s), 0)
-                else:
-                    df = sum(df_by_key.get((f, t, s2), 0) for s2 in shards)
+                df = sum(df_by_key.get((f, t, p), 0) for p in self._stat_peers(s))
                 doc_count, _ = self._stats_for(f, s)
                 if df > 0 and doc_count > 0:
                     # bm25_weight with boost=1 → pure idf; boost folds in-kernel
                     idf_by_key[(f, t, s)] = bm25_weight(doc_count, df, 1.0, self.params)
 
-        cond = None
-        by_field: dict[str, list[str]] = {}
-        for f, t in specs:
-            by_field.setdefault(f, []).append(t)
-        for f, terms in by_field.items():
-            c = (F.col("field") == f) & F.col("term").isin(terms)
-            cond = c if cond is None else (cond | c)
-        return idf_by_key, avgdl_by_key, cond
+        return idf_by_key, avgdl_by_key, self._specs_condition(specs)
 
     # -- search -----------------------------------------------------------
 
     def search(self, req: SearchRequest, fetch: str = "ids") -> dict:
-        resolved = self._resolve(req)
-        plan = self._plan(resolved)
-        if plan is None:
-            return {"totalHits": 0, "topk": []}
-        idf_by_key, avgdl_by_key, cond = plan
+        return self.search_many({"q": req}, fetch=fetch)["q"]
+
+    def search_many(self, reqs: dict[str, SearchRequest], fetch: str = "ids") -> dict[str, dict]:
+        """Execute many requests in ONE Spark job (module docstring)."""
         shards = self._shards()
+        resolved_by_qid = {qid: self._resolve(r) for qid, r in reqs.items()}
+        all_specs = {
+            (s.field, s.term) for rs in resolved_by_qid.values() for rc in rs for s in rc.specs
+        }
+        plan = self._plan(all_specs)
+        results: dict[str, dict] = {}
+        if plan is None:
+            return {qid: {"totalHits": 0, "topk": [], "hitsExact": True} for qid in reqs}
+        idf_by_key, avgdl_by_key, cond = plan
 
-        per_shard_amount = req.start + req.amount
-        after = {s: a for s in shards if (a := (req.last_result.after_for(s) if req.last_result else None))}
+        qplans: list[_QueryPlan] = []
+        for qid, req in reqs.items():
+            after = {
+                s: a
+                for s in shards
+                if (a := (req.last_result.after_for(s) if req.last_result else None))
+            }
+            qplans.append(
+                _QueryPlan(
+                    qid=qid,
+                    resolved=tuple(resolved_by_qid[qid]),
+                    per_shard_amount=req.start + req.amount,
+                    after_by_shard=after,
+                    prune=bool(req.block_max_pruning),
+                )
+            )
 
-        kernel = _make_kernel(
-            resolved, idf_by_key, avgdl_by_key, self.params, per_shard_amount, after, self._shard_counts
-        )
+        kernel = _make_batch_kernel(qplans, idf_by_key, avgdl_by_key, self.params, self._shard_counts)
         shard_rows = (
             self.tables.postings.filter(cond)
             .groupBy("shard")
@@ -317,32 +617,56 @@ class SearchEngine:
             .collect()
         )
 
-        total_hits = 0
-        seen_shards = set()
-        merged = []
+        by_qid: dict[str, list] = {qid: [] for qid in reqs}
         for r in shard_rows:
-            if r["shard"] not in seen_shards:
-                seen_shards.add(r["shard"])
-                total_hits += int(r["total_hits"])
-            merged.append((float(r["score"]), int(r["shard"]), int(r["doc_id"])))
+            by_qid[r["qid"]].append(r)
 
-        # purely-negative query: shards where the negative terms have no
-        # postings produced no kernel group, yet ALL their docs match
-        # (the reference's MatchAll fix-up, ZuliaIndex.java:715-717)
-        if all(rc.clause.negative for rc in resolved):
-            for s, n_docs in self._shard_counts.items():
-                if s in seen_shards or n_docs == 0:
-                    continue
-                total_hits += n_docs
-                for d in range(min(per_shard_amount, n_docs)):
-                    merged.append((0.0, s, d))
-        merged.sort(key=lambda x: (-x[0], x[1], x[2]))
-        page = merged[req.start : req.start + req.amount]
+        # decode metrics: one value per shard group (rows repeat it)
+        per_shard = {int(r["shard"]): (int(r["blocks_decoded"]), int(r["blocks_total"])) for r in shard_rows}
+        self.last_metrics = {
+            "blocks_decoded": sum(v[0] for v in per_shard.values()),
+            "blocks_total": sum(v[1] for v in per_shard.values()),
+        }
 
-        topk = [{"shard": s, "doc_id": d, "score": sc} for sc, s, d in page]
-        if fetch != "none" and topk:
-            self._attach_unique_ids(topk)
-        return {"totalHits": total_hits, "topk": topk}
+        all_topk: list[dict] = []
+        for qid, req in reqs.items():
+            rows = by_qid[qid]
+            resolved = resolved_by_qid[qid]
+            total_hits = 0
+            hits_exact = True
+            seen_shards = set()
+            merged = []
+            for r in rows:
+                if r["shard"] not in seen_shards:
+                    seen_shards.add(r["shard"])
+                    total_hits += int(r["total_hits"])
+                    hits_exact &= bool(r["hits_exact"])
+                if int(r["doc_id"]) >= 0:
+                    merged.append((float(r["score"]), int(r["shard"]), int(r["doc_id"])))
+
+            # purely-negative query: shards where the negative terms have no
+            # postings produced no kernel group, yet ALL their docs match
+            # (the reference's MatchAll fix-up, ZuliaIndex.java:715-717)
+            if resolved and all(rc.clause.negative for rc in resolved):
+                per_shard_amount = req.start + req.amount
+                for s, n_docs in self._shard_counts.items():
+                    if s in seen_shards or n_docs == 0:
+                        continue
+                    total_hits += n_docs
+                    for d in range(min(per_shard_amount, n_docs)):
+                        merged.append((0.0, s, d))
+            merged.sort(key=lambda x: (-x[0], x[1], x[2]))
+            page = merged[req.start : req.start + req.amount]
+            topk = [{"shard": s, "doc_id": d, "score": sc, "qid": qid} for sc, s, d in page]
+            all_topk.extend(topk)
+            results[qid] = {"totalHits": total_hits, "topk": topk, "hitsExact": hits_exact}
+
+        if fetch != "none" and all_topk:
+            self._attach_unique_ids(all_topk)
+        for res in results.values():
+            for t in res["topk"]:
+                t.pop("qid", None)
+        return results
 
     def match_ids(self, req: SearchRequest):
         """DataFrame of ALL matching (shard, doc_id, score) rows.
@@ -357,7 +681,8 @@ class SearchEngine:
         resolved = self._resolve(req)
         if resolved and all(rc.clause.negative for rc in resolved):
             raise ValueError("match_ids needs a positive clause; anti-join doc_map for pure negations")
-        plan = self._plan(resolved)
+        specs = {(s.field, s.term) for rc in resolved for s in rc.specs}
+        plan = self._plan(specs)
         if plan is None:
             raise ValueError("empty query")
         idf_by_key, avgdl_by_key, cond = plan
@@ -423,7 +748,7 @@ class SearchEngine:
         return out.limit(amount) if amount else out
 
     def _attach_unique_ids(self, topk: list[dict]) -> None:
-        pairs = [(t["shard"], t["doc_id"]) for t in topk]
+        pairs = {(t["shard"], t["doc_id"]) for t in topk}
         cond = None
         for s, d in pairs:
             c = (F.col("shard") == s) & (F.col("doc_id") == d)

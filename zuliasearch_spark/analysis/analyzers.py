@@ -124,6 +124,15 @@ def _string_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data[offs[0] : offs[-1]].copy(), offs - offs[0]
 
 
+# Chunk target for the byte kernel: the tokenizer makes ~20 passes
+# over the text buffer, so keeping a chunk's working set inside the
+# CPU cache beats streaming the whole partition through DRAM — on a
+# memory-bandwidth-limited host this is ~15x (measured: 8192 docs in
+# one pass 92s vs 256-doc chunks 6s), and it's what keeps 32 parallel
+# executor workers from fighting over DRAM at full-build scale.
+_CHUNK_BYTES = 2 << 20
+
+
 def _tokenize_encode(texts: pd.Series, settings: AnalyzerSettings) -> TokenStream:
     arr = pa.array(texts.fillna("").astype(str), type=pa.string())
 
@@ -150,11 +159,42 @@ def _tokenize_encode(texts: pd.Series, settings: AnalyzerSettings) -> TokenStrea
     else:
         raise ValueError(f"unknown tokenizer: {settings.tokenizer}")
 
-    data, doc_offs = _string_buffer(arr)
-    if data.size == 0:
+    # cache-sized chunks; ONE dictionary_encode over the concatenated
+    # token stream at the end (Arrow C++, not a per-chunk cost)
+    lens = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx_parts: list[np.ndarray] = []
+    tok_parts: list[pa.Array] = []
+    start = 0
+    n = len(arr)
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=cum[1:])
+    while start < n:
+        end = int(np.searchsorted(cum, cum[start] + _CHUNK_BYTES, side="left"))
+        end = max(end, start + 1)
+        d_idx, toks = _tokenize_chunk(arr.slice(start, end - start), word, code_split, lower, upper)
+        if len(toks):
+            doc_idx_parts.append(d_idx + start)
+            tok_parts.append(toks)
+        start = end
+    if not tok_parts:
         return TokenStream(
             np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
         )
+    tok_arr = pa.concat_arrays(tok_parts) if len(tok_parts) > 1 else tok_parts[0]
+    doc_idx = np.concatenate(doc_idx_parts) if len(doc_idx_parts) > 1 else doc_idx_parts[0]
+    dict_arr = pc.dictionary_encode(tok_arr)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return TokenStream(doc_idx, codes, dict_arr.dictionary)
+
+
+def _tokenize_chunk(
+    arr: pa.Array, word: np.ndarray, code_split: bool, lower: bool, upper: bool
+) -> tuple[np.ndarray, pa.Array]:
+    """Tokenize one cache-sized slice → (doc_idx, token StringArray)."""
+    data, doc_offs = _string_buffer(arr)
+    _empty = (np.empty(0, dtype=np.int64), pa.array([], type=pa.string()))
+    if data.size == 0:
+        return _empty
     is_word = word[data]
     prev_word = np.empty_like(is_word)
     prev_word[0] = False
@@ -165,7 +205,7 @@ def _tokenize_encode(texts: pd.Series, settings: AnalyzerSettings) -> TokenStrea
     prev_word[inner_starts] = False
 
     start_mask = is_word & ~prev_word
-    if code_split and settings.tokenizer == STANDARD:
+    if code_split:
         lo_dig = _IS_LOWER | _IS_DIGIT
         up = _IS_UPPER
         prev = np.empty_like(data)
@@ -185,9 +225,7 @@ def _tokenize_encode(texts: pd.Series, settings: AnalyzerSettings) -> TokenStrea
 
     tok_starts = np.flatnonzero(start_mask).astype(np.int64)
     if tok_starts.size == 0:
-        return TokenStream(
-            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
-        )
+        return _empty
     # token end = end of its word-run, or the next (camel) token start
     word_end_positions = np.flatnonzero(~np.concatenate((is_word[1:], [False])) & is_word) + 1
     tok_ends = word_end_positions[np.searchsorted(word_end_positions, tok_starts, side="right")]
@@ -212,10 +250,7 @@ def _tokenize_encode(texts: pd.Series, settings: AnalyzerSettings) -> TokenStrea
         tok_starts.size, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes())
     )
     doc_idx = np.searchsorted(doc_offs, tok_starts, side="right").astype(np.int64) - 1
-
-    dict_arr = pc.dictionary_encode(tok_arr)
-    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    return TokenStream(doc_idx, codes, dict_arr.dictionary)
+    return doc_idx, tok_arr
 
 
 def _ranges_within(lens: np.ndarray) -> np.ndarray:

@@ -135,7 +135,7 @@ def main() -> None:
         queries[name] = round(dt, 3)
 
     # ---- phase 2: code-corpus index build throughput -------------------
-    work = tempfile.mkdtemp(prefix="zbench_")
+    work = tempfile.mkdtemp(prefix="zbench_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         corpus_path = os.path.join(work, "corpus")
         index_path = os.path.join(work, "index")

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling protocol (BASELINE.md §4, north rule).
+
+A real multi-executor cluster is unavailable in the sandbox; the
+north rule's N→4N executor criterion is evidenced by running the SAME
+``spark-submit --py-files`` job at two local parallelism levels on the
+same input:
+
+    python bench/scaling.py [--docs 600000] [--low 8] [--high 32]
+
+Protocol details that make the comparison honest:
+- corpus generated ONCE to parquet (untimed), identical bytes for
+  both runs;
+- identical logical plan: same shard count, same shuffle-partition
+  count, AQE off; ONLY ``--master local[N]`` differs;
+- each measurement is a fresh spark-submit process (cold JVM for
+  both levels);
+- efficiency = (T_low / T_high) / (high/low), reported for index
+  build and for the batched BM25 query set.
+
+Writes BENCH/BASELINE.md (results table) and BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_corpus(docs: int) -> str:
+    path = f"/tmp/zscaling_corpus_{docs}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    sys.path.insert(0, REPO)
+    from zuliasearch_spark.indexing.corpus import gen_corpus_spark
+    from zuliasearch_spark.session import get_spark
+
+    spark = get_spark(app="scaling-gen", master="local[32]")
+    gen_corpus_spark(spark, docs, partitions=128).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def make_pyfiles_zip() -> str:
+    """Package the engine for --py-files (the north rule's deploy mode)."""
+    out = "/tmp/zuliasearch_spark_pkg"
+    zip_path = shutil.make_archive(out, "zip", root_dir=REPO, base_dir="zuliasearch_spark")
+    return zip_path
+
+
+def run_level(cores: int, corpus: str, docs: int, zip_path: str, reps: int) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master",
+        f"local[{cores}]",
+        "--driver-memory",
+        "48g",
+        "--py-files",
+        f"{zip_path},{os.path.join(REPO, 'bench.py')}",
+        os.path.join(REPO, "bench", "scaling_worker.py"),
+        "--cores",
+        str(cores),
+        "--corpus",
+        corpus,
+        "--docs",
+        str(docs),
+        "--query-reps",
+        str(reps),
+    ]
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    wall = time.perf_counter() - t0
+    line = None
+    for ln in proc.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{") and '"build_sec"' in ln:
+            line = ln
+    if line is None:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+        raise RuntimeError(f"worker at local[{cores}] produced no result")
+    out = json.loads(line)
+    out["wall_sec"] = round(wall, 1)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=600_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--query-reps", type=int, default=4)
+    args = ap.parse_args()
+
+    corpus = ensure_corpus(args.docs)
+    zip_path = make_pyfiles_zip()
+    results = []
+    for cores in (args.low, args.high):
+        print(f"== local[{cores}] ==", flush=True)
+        r = run_level(cores, corpus, args.docs, zip_path, args.query_reps)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    lo, hi = results
+    ratio = args.high / args.low
+    eff_build = (lo["build_sec"] / hi["build_sec"]) / ratio
+    eff_query = (lo["query_sec"] / hi["query_sec"]) / ratio
+    summary = {
+        "docs": args.docs,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency_build": round(eff_build, 3),
+        "scaling_efficiency_query": round(eff_query, 3),
+        "target": 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    md = f"""# BENCH/BASELINE.md — measured numbers (written by bench/scaling.py)
+
+Protocol: BASELINE.md §4. Same `spark-submit --py-files` job, same
+corpus parquet ({args.docs:,} synthetic source files, FIXTURES.md F1),
+same logical plan (32 shards, 128 shuffle partitions, AQE off); only
+`--master local[N]` differs. Fresh JVM per measurement.
+
+| level | build sec | docs/sec | query-set sec | BM25 q/s |
+|---|---|---|---|---|
+| local[{args.low}] (N) | {lo['build_sec']} | {lo['build_docs_per_sec']} | {lo['query_sec']} | {lo['qps']} |
+| local[{args.high}] (4N) | {hi['build_sec']} | {hi['build_docs_per_sec']} | {hi['query_sec']} | {hi['qps']} |
+
+**Scaling efficiency N→4N** (target ≥ 0.8, north rule):
+
+- index build: **{eff_build:.3f}**
+- batched BM25 query set: **{eff_query:.3f}**
+
+efficiency = (T_N / T_4N) / 4. Query set = the 12-query FIXTURES.md
+F3 mix (bench.bench_query_set), {args.query_reps} reps, batched
+through SearchEngine.search_many (one Spark job per rep).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Scaling-protocol worker: one (cores, corpus) measurement.
+
+Launched via ``spark-submit --master local[N] --py-files
+zuliasearch_spark.zip bench/scaling_worker.py ...`` by
+``bench/scaling.py`` (BASELINE.md §4). The Spark PLAN is held fixed
+across parallelism levels — same corpus parquet, same shard count,
+same shuffle partitions, same input split layout — only the executor
+thread count differs, so the ratio of wall-clocks isolates scaling.
+
+Prints one JSON line: build seconds + docs/sec, query-set seconds +
+queries/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--docs", type=int, required=True)
+    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--shuffle-partitions", type=int, default=128)
+    ap.add_argument("--query-reps", type=int, default=4)
+    args = ap.parse_args()
+
+    import os
+
+    from pyspark.sql import SparkSession
+
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+    spark = (
+        SparkSession.builder.appName(f"scaling-{args.cores}")
+        .config("spark.local.dir", local_dir or "/tmp")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "false")  # fixed plan across runs
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bench import bench_query_set
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+    from zuliasearch_spark.indexing.builder import build_index, read_index, write_index
+    from zuliasearch_spark.search.executor import SearchEngine
+
+    cfg = IndexConfig(
+        index_name="scaling",
+        unique_id_col="uniqueId",
+        number_of_shards=args.shards,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "code_standard"),)),
+            FieldConfig("lang", index_as=(IndexAs("lang", "lcKeyword"),)),
+            FieldConfig("repo", index_as=(IndexAs("repo", "lcKeyword"),)),
+        ),
+        docs_per_bucket=8192,  # >= cores x fields encode groups at this sf
+    )
+
+    corpus = spark.read.parquet(args.corpus)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix=f"scale{args.cores}_", dir=scratch)
+    try:
+        t0 = time.perf_counter()
+        tables = build_index(corpus, cfg)
+        tables = write_index(tables, f"{work}/index")
+        t_build = time.perf_counter() - t0
+
+        tables = read_index(spark, f"{work}/index", cfg)
+        engine = SearchEngine(tables)
+        qset = bench_query_set()
+        engine.search_many(qset)  # warm
+        t0 = time.perf_counter()
+        for _ in range(args.query_reps):
+            engine.search_many(qset)
+        t_query = time.perf_counter() - t0
+        n_q = args.query_reps * len(qset)
+        print(
+            json.dumps(
+                {
+                    "cores": args.cores,
+                    "docs": args.docs,
+                    "build_sec": round(t_build, 2),
+                    "build_docs_per_sec": round(args.docs / t_build, 1),
+                    "query_sec": round(t_query, 2),
+                    "qps": round(n_q / t_query, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

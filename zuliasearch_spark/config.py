@@ -140,3 +140,39 @@ class IndexConfig:
             if ia.indexed_field_name == indexed_field:
                 return self.analyzer(ia.analyzer_name)
         raise KeyError(f"field not indexed: {indexed_field}")
+
+    # -- JSON round trip (index settings live next to the index data,
+    #    like the reference's IndexSettings stored per index) ----------
+
+    def to_json(self) -> str:
+        import dataclasses
+        import json
+
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "IndexConfig":
+        import json
+
+        d = json.loads(text)
+        d["default_search_fields"] = tuple(d.get("default_search_fields", ()))
+        d["field_configs"] = tuple(
+            FieldConfig(
+                stored_field_name=fc["stored_field_name"],
+                index_as=tuple(IndexAs(**ia) for ia in fc.get("index_as", ())),
+                facet_as=tuple(fc.get("facet_as", ())),
+                sort_as=tuple(fc.get("sort_as", ())),
+            )
+            for fc in d.get("field_configs", ())
+        )
+        d["analyzers"] = {
+            k: AnalyzerSettings(
+                name=a["name"],
+                tokenizer=a.get("tokenizer", STANDARD),
+                filters=tuple(a.get("filters", ())),
+                similarity=a.get("similarity", BM25),
+            )
+            for k, a in d.get("analyzers", {}).items()
+        }
+        return IndexConfig(**d)

@@ -213,6 +213,337 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# search family, batch 3 (doc-value filters, sorts, wildcard, analysis, MLT)
+
+
+def q_docvalue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored query + numeric doc-values range filter
+    (IndexOrDocValuesQuery semantics, SetQueryHelper.java:45-106)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("SCORE_SHOULD", q="index scan", qf=("text",)),), amount=50)
+    res = eng.search_docvalues(req, "n_chars BETWEEN 150 AND 350", amount=50)
+    rows = [(int(t["uniqueId"]), float(t["score"])) for t in res["topk"]]
+    rows.sort(key=lambda r: (-round(r[1], 7), r[0]))
+    rows = [(d, float(round(s, 4))) for d, s in rows[:10]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field sort over a filtered match set (SortTest.java:45-60)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    return (
+        eng.sort_search(req, "n_chars", ascending=False, amount=10, tiebreak=("orig_doc_id",))
+        .select(F.col("orig_doc_id").alias("doc_id"), F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+def q_wildcard_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term expansion → TERMS set (qu* on the dictionary,
+    ZuliaSyntaxParser wild*card terms)."""
+    eng = documents_engine(spark, sf_dir)
+    terms = eng.expand_terms("text", "^qu", max_terms=100)
+    if not terms:
+        return spark.createDataFrame([(0,)], "hits bigint")
+    req = SearchRequest((QueryClause("TERMS", terms=terms, qf=("text",)),), amount=1)
+    hits = eng.search(req, fetch="none")["totalHits"]
+    return spark.createDataFrame([(hits,)], "hits bigint")
+
+
+def q_summary_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time analysis: top terms by summed tf over the match set
+    (AnalysisHandler summaryTerms)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("orig_doc_id"), "text"
+    )
+    return eng.analysis_summary(req, docs, ["orig_doc_id"], "text", "whitespace_lc", top_n=15)
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORE_LIKE_THIS: derive tf·idf terms from doc 0, BM25 top-10."""
+    eng = documents_engine(spark, sf_dir)
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .select("text")
+        .head()[0]
+    )
+    res = eng.more_like_this(src, "text", amount=50, max_doc_freq_pct=90)
+    rows = [(int(t["uniqueId"]), float(t["score"])) for t in res["topk"]]
+    rows.sort(key=lambda r: (-round(r[1], 7), r[0]))
+    rows = [(d, float(round(s, 4))) for d, s in rows[:10]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+_MATCH_MERGE = "(SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
+
+_DOCVALUE_SQL = f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('index','scan') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  JOIN documents d ON d.doc_id = tf.doc_id
+  WHERE d.n_chars BETWEEN 150 AND 350
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10
+"""
+
+_SORT_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents
+WHERE doc_id IN {_MATCH_MERGE}
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+_WILDCARD_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM toks WHERE term LIKE 'qu%'
+"""
+
+_SUMMARY_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT term, count(*)::BIGINT AS sum_tf FROM toks
+WHERE doc_id IN {_MATCH_MERGE}
+GROUP BY term ORDER BY sum_tf DESC, term ASC LIMIT 15
+"""
+
+_MLT_SQL = f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+src AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 0 GROUP BY term),
+dfall AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+mlt AS (SELECT s.term FROM src s JOIN dfall d USING (term) CROSS JOIN stats
+        WHERE s.tf >= 2 AND d.df >= 5 AND d.df * 100 <= 90 * stats.n_docs
+        ORDER BY round(s.tf * ln(1 + (stats.n_docs - d.df + 0.5) / (d.df + 0.5)), 7) DESC,
+                 s.term ASC LIMIT 25),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops, batch 2 (dedup / similarity / analysis)
+
+from zuliasearch_spark import pipeline as P  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return P.lsh_candidate_pairs(P.minhash_signatures(_docs(spark, sf_dir)))
+
+
+def q_simhash(spark, sf_dir):
+    return P.simhash(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return P.ngram_jaccard_consecutive(_docs(spark, sf_dir))
+
+
+def q_neardup_cosine(spark, sf_dir):
+    return P.neardup_cosine_pairs(_emb(spark, sf_dir))
+
+
+def q_ivf_topk(spark, sf_dir):
+    return P.ivf_topk(_emb(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return P.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return P.quality_score(_docs(spark, sf_dir))
+
+
+def q_winnow(spark, sf_dir):
+    return P.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return P.multimodal_meta(_docs(spark, sf_dir))
+
+
+# ---- the matching DuckDB oracle SQL (shared constants from pipeline) ----
+
+_LST = (
+    "lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+    "x -> x <> '') AS l FROM documents)"
+)
+_H32D = "('0x'||substr(md5({x}),1,8))::BIGINT"
+
+_MH_COLS = ", ".join(
+    f"min(({a}*x + {b}) % {P.MINHASH_P}) AS mh{j}" for j, (a, b) in enumerate(P.MINHASH_AB)
+)
+_MH_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {sig} AS sig FROM mh".format(
+        b=b,
+        sig="||'-'||".join(
+            f"mh{j}::VARCHAR" for j in range(b * P.MINHASH_BAND_ROWS, (b + 1) * P.MINHASH_BAND_ROWS)
+        ),
+    )
+    for b in range(P.MINHASH_PERMS // P.MINHASH_BAND_ROWS)
+)
+_MH_MATCH = " + ".join(
+    f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(P.MINHASH_PERMS)
+)
+
+_MINHASH_SQL = f"""
+WITH {_LST},
+sh AS (SELECT doc_id, CASE WHEN len(l) >= 3 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                           ELSE array_to_string(l, ' ') END AS sh
+       FROM lst, unnest(generate_series(1, greatest(len(l)-2, 1))) AS g(i)),
+x AS (SELECT doc_id, {_H32D.format(x='sh')} AS x FROM sh),
+mh AS (SELECT doc_id, {_MH_COLS} FROM x GROUP BY doc_id),
+bands AS ({_MH_BANDS}),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT p.a, p.b, ({_MH_MATCH})::BIGINT AS n_match
+FROM pairs p JOIN mh sa ON sa.doc_id = p.a JOIN mh sb ON sb.doc_id = p.b
+"""
+
+_SIMHASH_SQL = f"""
+WITH {_LST},
+t AS (SELECT doc_id, unnest(l) AS term FROM lst),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+x AS (SELECT doc_id, tf, {_H32D.format(x='term')} AS x FROM tf),
+b AS (SELECT doc_id, j, sum(CASE WHEN (x >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+      FROM x, unnest(generate_series(0, {P.SIMHASH_BITS - 1})) AS g(j) GROUP BY doc_id, j)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM b GROUP BY doc_id
+"""
+
+_NGRAM_SQL = """
+WITH tri AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+  FROM documents, unnest(generate_series(1, greatest(length(text)-2, 1))) AS s(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, count(*) AS n_inter FROM tri a
+          JOIN tri b ON b.doc_id = a.doc_id + 1 AND b.g = a.g GROUP BY a.doc_id)
+SELECT i.a, i.a + 1 AS b, round(i.n_inter / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.a + 1
+"""
+
+_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+       array_to_string([CASE WHEN x >= 0 THEN '1' ELSE '0' END FOR x IN v[1:6]], '') AS bucket
+      FROM e)
+SELECT a.vec_id AS a, b2.vec_id AS b,
+       round(round(list_dot_product(a.v, b2.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6), 4) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.v, b2.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) >= 0.4
+"""
+
+_IVF_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT label, i, avg(v[i]) AS m
+         FROM e, unnest(generate_series(1, len(v))) AS g(i) GROUP BY label, i),
+cl AS (SELECT label, list(m ORDER BY i) AS c FROM cent GROUP BY label),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+best AS (SELECT label FROM cl, q
+         ORDER BY round(list_dot_product(c, qv)
+           / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))), 6) DESC, label ASC
+         LIMIT 1)
+SELECT vec_id, round(c2, 4) AS cosine FROM (
+  SELECT e.vec_id, round(list_dot_product(e.v, q.qv)
+    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS c2
+  FROM e JOIN best USING (label), q
+) ORDER BY c2 DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _lex_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in P.LANG_LEX[lang])
+
+
+_LANGS = sorted(P.LANG_LEX)
+_LANG_SCORES = ", ".join(
+    f"len(list_filter(l, x -> x IN ({_lex_sql(lang)}))) AS s_{lang}" for lang in _LANGS
+)
+_GREATEST = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _GREATEST + " = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = {_GREATEST} THEN '{lang}'" for lang in _LANGS[:-1])
+    + f" ELSE '{_LANGS[-1]}' END"
+)
+
+_LANG_SQL = f"""
+WITH {_LST},
+s AS (SELECT doc_id, {_LANG_SCORES} FROM lst)
+SELECT doc_id, {_LANG_CASE} AS pred_lang, {_GREATEST}::BIGINT AS best_score FROM s
+"""
+
+_Q_NUM = (
+    "(40 * n_stop * n_chars"
+    " + 3 * least(n_chars - n_toks + 1, 10 * n_toks) * n_chars"
+    " + 30 * (n_chars - n_digit) * n_toks)"
+)
+_Q_DEN = "(100 * n_toks * n_chars)"
+
+_QUALITY_SQL = f"""
+WITH {_LST},
+s AS (SELECT doc_id, len(l) AS n_toks,
+        len(list_filter(l, x -> x IN ({', '.join(f"'{w}'" for w in P.STOPWORDS_10)}))) AS n_stop,
+        length(text) AS n_chars,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM lst JOIN documents USING (doc_id))
+SELECT doc_id, n_toks::BIGINT AS n_toks,
+       ((20000 * n_stop + n_toks) // (2 * n_toks)) / 10000.0 AS stop_ratio,
+       ((20000 * {_Q_NUM} + {_Q_DEN}) // (2 * {_Q_DEN})) / 10000.0 AS quality
+FROM s
+"""
+
+_WINNOW_SQL = f"""
+WITH {_LST},
+g AS (SELECT doc_id, CASE WHEN len(l) >= {P.WINNOW_K} THEN
+        [{_H32D.format(x="array_to_string(l[i:i+" + str(P.WINNOW_K - 1) + "], ' ')")}
+         FOR i IN generate_series(1, len(l)-{P.WINNOW_K - 1})]
+      ELSE [] END AS gs FROM lst),
+f AS (SELECT doc_id, CASE WHEN len(gs) >= {P.WINNOW_W} THEN
+        list_distinct([list_min(gs[j:j+{P.WINNOW_W - 1}])
+                       FOR j IN generate_series(1, len(gs)-{P.WINNOW_W - 1})])
+      WHEN len(gs) >= 1 THEN [list_min(gs)] ELSE [] END AS fps FROM g)
+SELECT doc_id, len(fps)::BIGINT AS n_fp, list_min(fps)::BIGINT AS min_fp FROM f
+"""
+
+_MULTIMODAL_SQL = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha, substr(text, 1, 12) AS head
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -226,6 +557,20 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "cosine_topk": q_cosine_topk,
+    "docvalue_range": q_docvalue_range,
+    "sort_topk": q_sort_topk,
+    "wildcard_count": q_wildcard_count,
+    "summary_terms": q_summary_terms,
+    "mlt_topk": q_mlt_topk,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "neardup_cosine": q_neardup_cosine,
+    "ivf_topk": q_ivf_topk,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "winnow": q_winnow,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 _BM25_SQL = """
@@ -301,4 +646,18 @@ c AS (
 )
 SELECT vec_id, round(c, 4) AS cosine FROM c
 ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
+    "docvalue_range": _DOCVALUE_SQL,
+    "sort_topk": _SORT_SQL,
+    "wildcard_count": _WILDCARD_SQL,
+    "summary_terms": _SUMMARY_SQL,
+    "mlt_topk": _MLT_SQL,
+    "minhash_lsh": _MINHASH_SQL,
+    "simhash": _SIMHASH_SQL,
+    "ngram_jaccard": _NGRAM_SQL,
+    "neardup_cosine": _NEARDUP_SQL,
+    "ivf_topk": _IVF_SQL,
+    "lang_id": _LANG_SQL,
+    "quality": _QUALITY_SQL,
+    "winnow": _WINNOW_SQL,
+    "multimodal_meta": _MULTIMODAL_SQL,
 }

@@ -8,9 +8,9 @@ ShardUtil.java:3-20). Here the whole build is a declarative plan:
     corpus
       → shard = djb2(uniqueId) % S            (vectorized pandas UDF)
       → doc_id = row_number per shard          (dense ids ⇒ tight delta gaps)
-      → mapInPandas tokenize (byte-kernel analyzers, Arrow in/out)
-        ⇒ tall (field, shard, doc_id, term, tf, dl)
-      → groupBy(field, shard, bucket).applyInPandas(block encoder)
+      → mapInArrow tokenize (byte-kernel analyzers, Arrow in/out)
+        ⇒ doc-term rows (field, shard, doc_id, dl, terms[], tfs[])
+      → groupBy(field, shard, bucket).applyInArrow(block encoder)
         ⇒ postings blocks (delta-gap varint docIDs, varint TFs,
           varint dls, per-block max_tf/min_dl/sum_tf) + one NORMS row
           per group (term=NULL: distinct docIDs + field lengths)
@@ -70,7 +70,7 @@ POSTINGS_SCHEMA = (
     "dl_bytes binary, max_tf int, min_dl int, sum_tf long, sum_dl long"
 )
 
-TALL_SCHEMA = "shard int, doc_id long, term string, tf int, dl int"
+TALL_SCHEMA = "shard int, doc_id long, dl int, terms array<string>, tfs array<int>"
 
 
 @dataclass
@@ -95,29 +95,50 @@ class IndexTables:
 
 
 def _make_tokenizer(col: str, settings: AnalyzerSettings):
-    """mapInPandas generator: (shard, doc_id, <col>) → tall rows."""
+    """mapInArrow generator: (shard, doc_id, <col>) → per-doc term rows.
+
+    Arrow in, Arrow out: the content strings never become Python
+    objects — the analyzer kernel reads the Arrow string buffer
+    directly and the emitted term column is the kernel's own Arrow
+    array. (mapInPandas here would materialize every document as a
+    PyStr and back: measured as more expensive than tokenizing.)
+    """
+    import pyarrow as pa
 
     def tokenize(batches):
-        for pdf in batches:
-            doc_idx, term_arr, tf, dl = term_freqs(pdf[col], settings)
-            yield pd.DataFrame(
-                {
-                    "shard": pdf["shard"].to_numpy()[doc_idx],
-                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
-                    "term": term_arr.to_pandas(),
-                    "tf": tf.astype(np.int32),
-                    "dl": dl[doc_idx].astype(np.int32),
-                }
+        for rb in batches:
+            names = rb.schema.names
+            doc_idx, term_arr, tf, dl = term_freqs(rb.column(names.index(col)), settings)
+            shard = rb.column(names.index("shard")).to_numpy()
+            docid = rb.column(names.index("doc_id")).to_numpy()
+            # pack per-DOC rows (list columns): the downstream shuffle
+            # moves ~200x fewer rows for the same bytes — per-row
+            # serialization overhead at the exchange dominates
+            # otherwise. doc_idx is ascending by construction.
+            present, starts = np.unique(doc_idx, return_index=True)
+            offsets = pa.array(
+                np.concatenate((starts, [doc_idx.size])).astype(np.int32), type=pa.int32()
+            )
+            term_vals = term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(shard[present], type=pa.int32()),
+                    pa.array(docid[present], type=pa.int64()),
+                    pa.array(dl[present].astype(np.int32), type=pa.int32()),
+                    pa.ListArray.from_arrays(offsets, term_vals),
+                    pa.ListArray.from_arrays(offsets, pa.array(tf.astype(np.int32), type=pa.int32())),
+                ],
+                names=["shard", "doc_id", "dl", "terms", "tfs"],
             )
 
     return tokenize
 
 
 def _make_block_encoder(block_size: int):
-    """applyInPandas kernel: one (field, shard, bucket) group → block rows.
+    """applyInArrow kernel: one (field, shard, bucket) group → block rows.
 
     All terms of the bucket are encoded in a single vectorized pass:
-    factorize terms, lexsort by (term, doc_id), split each term run
+    dictionary-encode terms (Arrow C++), lexsort by (term, doc_id), split each term run
     into blocks of ``block_size``, varint-encode the whole partition
     once and slice per block. Additionally emits ONE norms row
     (term = NULL) carrying the group's distinct docIDs and their
@@ -125,14 +146,25 @@ def _make_block_encoder(block_size: int):
     per-group lineage (row counts live in block metadata).
     """
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field, shard, bucket = key
-        if len(pdf) == 0:
-            return pd.DataFrame()
-        codes, uniques = pd.factorize(pdf["term"], sort=False)
-        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tf = pdf["tf"].to_numpy(dtype=np.int64)
-        dl = pdf["dl"].to_numpy(dtype=np.int64)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def encode(key, tbl):
+        field, shard, bucket = (k.as_py() if hasattr(k, "as_py") else k for k in key)
+        if tbl.num_rows == 0:
+            return tbl
+        # unpack per-doc list rows → flat (doc, term, tf, dl) arrays
+        terms_col = tbl.column("terms").combine_chunks()
+        flat_terms = terms_col.flatten()
+        offs = terms_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        # dictionary_encode runs in Arrow C++ — terms never become PyStr
+        dict_arr = pc.dictionary_encode(flat_terms)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = dict_arr.dictionary
+        doc = np.repeat(tbl.column("doc_id").to_numpy().astype(np.int64), counts)
+        dl = np.repeat(tbl.column("dl").to_numpy().astype(np.int64), counts)
+        tf = tbl.column("tfs").combine_chunks().flatten().to_numpy().astype(np.int64)
         order = np.lexsort((doc, codes))
         codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
 
@@ -162,58 +194,53 @@ def _make_block_encoder(block_size: int):
         np.cumsum(tf, out=tf_cum[1:])
 
         mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
-        first_doc = doc[bstarts]
-        last_doc = doc[bends - 1]
-        nvals = (bends - bstarts).astype(np.int32)
-        max_tf = np.maximum.reduceat(tf, bstarts).astype(np.int32)
-        min_dl = np.minimum.reduceat(dl, bstarts).astype(np.int32)
-        sum_tf = tf_cum[bends] - tf_cum[bstarts]
-        out = pd.DataFrame(
-            {
-                "field": field,
-                "shard": np.int32(shard),
-                "bucket": np.int64(bucket),
-                "term": np.asarray(uniques, dtype=object)[codes[bstarts]],
-                "block_id": block_id[bstarts],
-                "first_doc": first_doc,
-                "last_doc": last_doc,
-                "n": nvals,
-                "doc_bytes": [bytes(mv_doc[doc_offs[a] : doc_offs[b]]) for a, b in zip(bstarts, bends)],
-                "tf_bytes": [bytes(mv_tf[tf_offs[a] : tf_offs[b]]) for a, b in zip(bstarts, bends)],
-                "dl_bytes": [bytes(mv_dl[dl_offs[a] : dl_offs[b]]) for a, b in zip(bstarts, bends)],
-                "max_tf": max_tf,
-                "min_dl": min_dl,
-                "sum_tf": sum_tf,
-                "sum_dl": np.int64(0),
-            }
-        )
-
-        # norms row: distinct (doc, dl) of the group — docIDs ascending
+        nb = bstarts.size
+        # norms entry (appended as the last row, term = NULL): distinct
+        # (doc, dl) of the group — docIDs ascending
         udoc, uidx = np.unique(doc, return_index=True)
         udl = dl[uidx]
         ndeltas = np.empty_like(udoc)
         ndeltas[0] = udoc[0]
         np.subtract(udoc[1:], udoc[:-1], out=ndeltas[1:])
-        norms = pd.DataFrame(
+
+        term_col = pa.concat_arrays(
+            [
+                pc.take(uniques, pa.array(codes[bstarts], type=pa.int64())).cast(pa.string()),
+                pa.array([None], type=pa.string()),
+            ]
+        )
+        doc_bytes = [bytes(mv_doc[doc_offs[a] : doc_offs[b]]) for a, b in zip(bstarts, bends)]
+        tf_bytes = [bytes(mv_tf[tf_offs[a] : tf_offs[b]]) for a, b in zip(bstarts, bends)]
+        dl_bytes = [bytes(mv_dl[dl_offs[a] : dl_offs[b]]) for a, b in zip(bstarts, bends)]
+        doc_bytes.append(varint_encode(ndeltas))
+        tf_bytes.append(b"")
+        dl_bytes.append(varint_encode(udl))
+
+        def i32(block_vals, norm_val):
+            return pa.array(np.concatenate((block_vals.astype(np.int32), [np.int32(norm_val)])), type=pa.int32())
+
+        def i64(block_vals, norm_val):
+            return pa.array(np.concatenate((block_vals.astype(np.int64), [np.int64(norm_val)])), type=pa.int64())
+
+        return pa.table(
             {
-                "field": field,
-                "shard": np.int32(shard),
-                "bucket": np.int64(bucket),
-                "term": [None],
-                "block_id": np.int32(-1),
-                "first_doc": udoc[0],
-                "last_doc": udoc[-1],
-                "n": np.int32(udoc.size),
-                "doc_bytes": [varint_encode(ndeltas)],
-                "tf_bytes": [b""],
-                "dl_bytes": [varint_encode(udl)],
-                "max_tf": np.int32(0),
-                "min_dl": np.int32(0),
-                "sum_tf": np.int64(0),
-                "sum_dl": np.int64(udl.sum()),
+                "field": pa.array([field] * (nb + 1), type=pa.string()),
+                "shard": pa.array(np.full(nb + 1, shard, dtype=np.int32), type=pa.int32()),
+                "bucket": pa.array(np.full(nb + 1, bucket, dtype=np.int64), type=pa.int64()),
+                "term": term_col,
+                "block_id": i32(block_id[bstarts], -1),
+                "first_doc": i64(doc[bstarts], udoc[0]),
+                "last_doc": i64(doc[bends - 1], udoc[-1]),
+                "n": i32((bends - bstarts), udoc.size),
+                "doc_bytes": pa.array(doc_bytes, type=pa.binary()),
+                "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
+                "dl_bytes": pa.array(dl_bytes, type=pa.binary()),
+                "max_tf": i32(np.maximum.reduceat(tf, bstarts), 0),
+                "min_dl": i32(np.minimum.reduceat(dl, bstarts), 0),
+                "sum_tf": i64(tf_cum[bends] - tf_cum[bstarts], 0),
+                "sum_dl": i64(np.zeros(nb), udl.sum()),
             }
         )
-        return pd.concat([out, norms], ignore_index=True)
 
     return encode
 
@@ -232,15 +259,24 @@ def assign_ids(corpus: DataFrame, config: IndexConfig) -> DataFrame:
     """Add (shard, doc_id): djb2 routing + dense per-shard doc ids.
 
     doc_id = row_number within shard ordered by uniqueId: deterministic
-    and dense (tight delta gaps). The per-shard sort is the same cost
-    class as Lucene's per-shard indexing; shards are the parallelism
-    unit, so size ``number_of_shards`` ∝ corpus (e.g. ≤ a few million
-    docs per shard) and every shard sorts independently.
+    and dense (tight delta gaps).
+
+    The Window runs over a NARROW projection (uniqueId, shard) and the
+    resulting id table is broadcast-joined back, so the WIDE corpus
+    (content strings) never goes through a shuffle — shuffle bytes are
+    the scarce resource (disk/network bound, they don't scale with
+    cores). At a scale where the per-segment id table outgrows a
+    broadcast (~10M+ docs per segment), build with more, smaller
+    segments (SegmentedIndexWriter) — ids are per-segment — or swap
+    the join strategy to a sort-merge join by removing the broadcast
+    hint; the narrow Window itself stays cheap.
     """
     uid = config.unique_id_col
-    with_shard = corpus.withColumn("shard", shard_udf(config.number_of_shards)(F.col(uid).cast("string")))
+    narrow = corpus.select(F.col(uid).cast("string").alias(uid))
+    narrow = narrow.withColumn("shard", shard_udf(config.number_of_shards)(F.col(uid)))
     w = Window.partitionBy("shard").orderBy(uid)
-    return with_shard.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    ids = narrow.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    return corpus.withColumn(uid, F.col(uid).cast("string")).join(F.broadcast(ids), uid)
 
 
 def stats_from_postings(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -271,7 +307,7 @@ def tokenize_all(base: DataFrame, config: IndexConfig) -> DataFrame:
         settings = config.analyzer(ia.analyzer_name)
         t = (
             base.select("shard", "doc_id", stored_col)
-            .mapInPandas(_make_tokenizer(stored_col, settings), TALL_SCHEMA)
+            .mapInArrow(_make_tokenizer(stored_col, settings), TALL_SCHEMA)
             .withColumn("field", F.lit(ia.indexed_field_name))
         )
         tall_parts.append(t)
@@ -286,7 +322,7 @@ def tokenize_all(base: DataFrame, config: IndexConfig) -> DataFrame:
 def build_postings(tall: DataFrame, config: IndexConfig) -> DataFrame:
     bucket_shift = int(np.log2(config.docs_per_bucket))
     tall_b = tall.withColumn("bucket", F.shiftright("doc_id", bucket_shift).cast("long"))
-    return tall_b.groupBy("field", "shard", "bucket").applyInPandas(
+    return tall_b.groupBy("field", "shard", "bucket").applyInArrow(
         _make_block_encoder(config.block_size), POSTINGS_SCHEMA
     )
 

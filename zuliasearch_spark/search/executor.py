@@ -195,11 +195,27 @@ class _QueryPlan:
     per_shard_amount: int
     after_by_shard: dict[int, tuple[float, int]]
     prune: bool
+    sims: tuple[tuple[str, str], ...] = ()  # per-field similarity override
 
 
-def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, cand_sorted):
+def _leaf_scores(sim, tfs, dls, boost, idf, avgdl, params):
+    """Per-posting scores for one leaf under the selected similarity
+    (ShardReader.getSimilarity:537-579): BM25 (default), TF (raw
+    freq x boost, analysis/similarity/TFSimilarity.java), CONSTANT
+    (boost only, ConstantSimilarity.java)."""
+    if sim == "CONSTANT":
+        return np.full(tfs.shape, np.float32(boost) if params.lucene_parity else boost, dtype=np.float64)
+    if sim == "TF":
+        out = tfs.astype(np.float64) * boost
+        return out.astype(np.float32).astype(np.float64) if params.lucene_parity else out
+    w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
+    return bm25_term_scores(tfs, dls, w, avgdl, params)
+
+
+def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, cand_sorted, sims=None):
     """term_vectors over a candidate subset: arrays indexed by candidate
     position, postings gathered via searchsorted on decoded doc lists."""
+    sims = sims or {}
 
     def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
         mask = np.zeros(n_sub, dtype=bool)
@@ -216,15 +232,16 @@ def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, 
         idf = idf_by_key.get((spec.field, spec.term, shard))
         if idf is not None and ok.any():
             avgdl = avgdl_by_key[(spec.field, shard)]
-            w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
             sel = pos[ok]
-            score[ok] = bm25_term_scores(tfs[sel], dls[sel], w, avgdl, params)
+            score[ok] = _leaf_scores(sims.get(spec.field, "BM25"), tfs[sel], dls[sel], boost, idf, avgdl, params)
         return mask, score
 
     return term_vectors
 
 
-def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params):
+def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, sims=None):
+    sims = sims or {}
+
     def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
         mask = np.zeros(n, dtype=bool)
         score = np.zeros(n, dtype=np.float64)
@@ -236,8 +253,7 @@ def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params):
         idf = idf_by_key.get((spec.field, spec.term, shard))
         if idf is not None:
             avgdl = avgdl_by_key[(spec.field, shard)]
-            w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
-            score[docs] = bm25_term_scores(tfs, dls, w, avgdl, params)
+            score[docs] = _leaf_scores(sims.get(spec.field, "BM25"), tfs, dls, boost, idf, avgdl, params)
         return mask, score
 
     return term_vectors
@@ -285,13 +301,15 @@ def _run_query_on_shard(
     after = plan.after_by_shard.get(shard)
     k = plan.per_shard_amount
 
-    if plan.prune:
+    if plan.prune and not plan.sims:
+        # (pruning bounds assume BM25 impacts; similarity overrides
+        # fall back to dense)
         result = _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, after, k)
         if result is not None:
             return result
 
     # dense path: exact totalHits, exact top-k
-    tv = _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params)
+    tv = _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, dict(plan.sims))
     match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
     total_hits = int(match.sum())
     idx = np.flatnonzero(match)
@@ -501,6 +519,13 @@ class SearchEngine:
         rows = tables.field_stats.collect()
         self._field_stats = {(r["field"], int(r["shard"])): (int(r["doc_count"]), int(r["sum_dl"])) for r in rows}
         self._shard_counts = {int(r["shard"]): int(r["num_docs"]) for r in tables.shard_counts.collect()}
+        # term-statistics cache: df per (field, term, shard), filled
+        # lazily per query batch — the driver-side analogue of the
+        # reference's per-shard query cache (ShardReader.java:83-110);
+        # repeat terms cost zero Spark jobs. Index tables are
+        # immutable snapshots, so entries never invalidate.
+        self._df_cache: dict[tuple[str, str, int], int] = {}
+        self._known_terms: set[tuple[str, str]] = set()
 
     # -- planning ---------------------------------------------------------
 
@@ -511,12 +536,15 @@ class SearchEngine:
         return [resolve_clause(c, self._analyze, self.config.default_search_fields) for c in req.clauses]
 
     def _collect_term_stats(self, specs: set[tuple[str, str]]) -> dict[tuple[str, str, int], int]:
-        """df per (field, term, shard) for the query leaves (pruned scan)."""
-        if not specs:
-            return {}
-        cond = self._specs_condition(specs)
-        rows = self.tables.term_stats.filter(cond).collect()
-        return {(r["field"], r["term"], int(r["shard"])): int(r["df"]) for r in rows}
+        """df per (field, term, shard) for the query leaves (pruned
+        scan of only terms not already cached)."""
+        missing = specs - self._known_terms
+        if missing:
+            cond = self._specs_condition(missing)
+            for r in self.tables.term_stats.filter(cond).collect():
+                self._df_cache[(r["field"], r["term"], int(r["shard"]))] = int(r["df"])
+            self._known_terms |= missing
+        return self._df_cache
 
     @staticmethod
     def _specs_condition(specs: set[tuple[str, str]]):
@@ -606,6 +634,7 @@ class SearchEngine:
                     per_shard_amount=req.start + req.amount,
                     after_by_shard=after,
                     prune=bool(req.block_max_pruning),
+                    sims=tuple(req.similarities),
                 )
             )
 
@@ -799,6 +828,53 @@ class SearchEngine:
             key = c.desc_nulls_last() if missing_last else c.desc_nulls_first()
         return j.orderBy(key, *[F.asc(t) for t in tiebreak]).limit(amount)
 
+    def search_score_function(self, req: SearchRequest, expr: str, amount: int = 10):
+        """Score-function search (handleScoreFunction:837-903): an
+        arithmetic expression over `score` and numeric doc-value
+        columns re-ranks the match set — the reference compiles the
+        expression with Lucene's JavascriptCompiler; Catalyst's
+        `F.expr` is the same sandboxed scalar language for free."""
+        matches = self.match_ids(req)
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        return (
+            j.withColumn("fscore", F.expr(expr))
+            .orderBy(F.desc("fscore"), F.asc("shard"), F.asc("doc_id"))
+            .limit(amount)
+        )
+
+    def stat_facets(self, req: SearchRequest, facet_field: str, stat_field: str, top_n: int = 10):
+        """Numeric stats per facet value over the match set
+        (stat facets, zulia_query.proto:112-121; accumulation
+        MapStatOrdinalStorage.java) — top-N facets by sum."""
+        matches = self.match_ids(req).select("shard", "doc_id")
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        c = F.col(stat_field)
+        return (
+            j.groupBy(F.col(facet_field).alias("value"))
+            .agg(
+                F.min(c).alias("min_v"),
+                F.max(c).alias("max_v"),
+                F.sum(c).alias("sum_v"),
+                F.count(c).alias("count_v"),
+            )
+            .orderBy(F.desc("sum_v"), F.asc("value"))
+            .limit(top_n)
+        )
+
+    def percentile_stats(self, req: SearchRequest, stat_field: str, percentiles=(0.25, 0.5, 0.75, 0.95)):
+        """Exact percentiles over the match set. The reference sketches
+        these with DDSketch (relative error, Stats.java:20-28,
+        StatCombiner.java:183-223); a Spark groupBy computes them
+        EXACTLY in one pass, so the sketch's error budget is moot —
+        use percentile_approx only when a single column exceeds
+        executor memory."""
+        matches = self.match_ids(req).select("shard", "doc_id")
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        aggs = [
+            F.expr(f"percentile({stat_field}, {p})").alias(f"p{int(p * 100)}") for p in percentiles
+        ]
+        return j.agg(*aggs)
+
     def analysis_summary(
         self,
         req: SearchRequest,
@@ -898,12 +974,16 @@ class SearchEngine:
         return res
 
     def _attach_unique_ids(self, topk: list[dict]) -> None:
+        """Result-id → stored-doc join (DocumentScoredDocLeafHandler
+        fetch path): broadcast the tiny id set against doc_map."""
         pairs = {(t["shard"], t["doc_id"]) for t in topk}
-        cond = None
-        for s, d in pairs:
-            c = (F.col("shard") == s) & (F.col("doc_id") == d)
-            cond = c if cond is None else (cond | c)
-        rows = self.tables.doc_map.filter(cond).select("shard", "doc_id", "uniqueId").collect()
+        spark = self.tables.doc_map.sparkSession
+        ids = spark.createDataFrame(sorted(pairs), "shard int, doc_id long")
+        rows = (
+            self.tables.doc_map.join(F.broadcast(ids), ["shard", "doc_id"])
+            .select("shard", "doc_id", "uniqueId")
+            .collect()
+        )
         lookup = {(int(r["shard"]), int(r["doc_id"])): r["uniqueId"] for r in rows}
         for t in topk:
             t["uniqueId"] = lookup.get((t["shard"], t["doc_id"]))

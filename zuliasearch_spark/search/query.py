@@ -87,6 +87,10 @@ class SearchRequest:
     last_result: LastResult | None = None
     # pruning: None = auto (prune when clause shape allows), False = off
     block_max_pruning: bool | None = None
+    # per-field similarity override for this request, e.g.
+    # (("content", "TF"),) — FieldSimilarity zulia_query.proto:295-298,
+    # dispatched like ShardReader.getSimilarity:537-579
+    similarities: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass(frozen=True)

@@ -389,7 +389,7 @@ def q_sim_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest(
         (QueryClause("SCORE_SHOULD", q="merge", qf=("text",)),),
-        amount=50,
+        amount=10000,  # cover ALL tied candidates: integer scores tie
         similarities=(("text", "TF"),),
     )
     return _topk_df(spark, eng, req, 10).withColumnRenamed("score", "tf_score")
@@ -401,7 +401,7 @@ def q_sim_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest(
         (QueryClause("SCORE_SHOULD", q="merge window scan", qf=("text",)),),
-        amount=50,
+        amount=10000,  # cover ALL tied candidates before re-ranking
         similarities=(("text", "CONSTANT"),),
     )
     return _topk_df(spark, eng, req, 10).withColumnRenamed("score", "n_matched")

@@ -526,6 +526,8 @@ class SearchEngine:
         # immutable snapshots, so entries never invalidate.
         self._df_cache: dict[tuple[str, str, int], int] = {}
         self._known_terms: set[tuple[str, str]] = set()
+        self._resolve_cache: dict[tuple, list[ResolvedClause]] = {}
+        self.last_metrics: dict[str, int] = {"blocks_decoded": 0, "blocks_total": 0}
 
     # -- planning ---------------------------------------------------------
 
@@ -533,7 +535,14 @@ class SearchEngine:
         return analyze_query_text(text, self.config.analyzer_for_indexed_field(field))
 
     def _resolve(self, req: SearchRequest) -> list[ResolvedClause]:
-        return [resolve_clause(c, self._analyze, self.config.default_search_fields) for c in req.clauses]
+        # requests are frozen/hashable: cache clause resolution — a
+        # repeating query stream (the serving case) pays analysis once
+        got = self._resolve_cache.get(req.clauses)
+        if got is None:
+            got = [resolve_clause(c, self._analyze, self.config.default_search_fields) for c in req.clauses]
+            if len(self._resolve_cache) < 4096:
+                self._resolve_cache[req.clauses] = got
+        return got
 
     def _collect_term_stats(self, specs: set[tuple[str, str]]) -> dict[tuple[str, str, int], int]:
         """df per (field, term, shard) for the query leaves (pruned
@@ -639,44 +648,48 @@ class SearchEngine:
             )
 
         kernel = _make_batch_kernel(qplans, idf_by_key, avgdl_by_key, self.params, self._shard_counts)
-        shard_rows = (
+        pdf = (
             self.tables.postings.filter(cond)
             .groupBy("shard")
             .applyInPandas(kernel, KERNEL_SCHEMA)
-            .collect()
+            .toPandas()
         )
 
-        by_qid: dict[str, list] = {qid: [] for qid in reqs}
-        for r in shard_rows:
-            by_qid[r["qid"]].append(r)
-
-        # decode metrics: one value per shard group (rows repeat it)
-        per_shard = {int(r["shard"]): (int(r["blocks_decoded"]), int(r["blocks_total"])) for r in shard_rows}
+        # vectorized gather (QueryCombiner semantics in pandas C):
+        # rank rows per qid by (score desc, shard asc, doc_id asc)
+        per_shard_df = pdf.drop_duplicates(["shard"])
         self.last_metrics = {
-            "blocks_decoded": sum(v[0] for v in per_shard.values()),
-            "blocks_total": sum(v[1] for v in per_shard.values()),
+            "blocks_decoded": int(per_shard_df["blocks_decoded"].sum()),
+            "blocks_total": int(per_shard_df["blocks_total"].sum()),
         }
+        qstats = pdf.drop_duplicates(["qid", "shard"]).groupby("qid").agg(
+            total_hits=("total_hits", "sum"), hits_exact=("hits_exact", "min")
+        )
+        hits = pdf[pdf["doc_id"] >= 0].sort_values(
+            ["qid", "score", "shard", "doc_id"], ascending=[True, False, True, True], kind="stable"
+        )
+        hits = hits.assign(rank=hits.groupby("qid").cumcount())
 
         all_topk: list[dict] = []
         for qid, req in reqs.items():
-            rows = by_qid[qid]
             resolved = resolved_by_qid[qid]
-            total_hits = 0
-            hits_exact = True
-            seen_shards = set()
-            merged = []
-            for r in rows:
-                if r["shard"] not in seen_shards:
-                    seen_shards.add(r["shard"])
-                    total_hits += int(r["total_hits"])
-                    hits_exact &= bool(r["hits_exact"])
-                if int(r["doc_id"]) >= 0:
-                    merged.append((float(r["score"]), int(r["shard"]), int(r["doc_id"])))
+            if qid in qstats.index:
+                total_hits = int(qstats.loc[qid, "total_hits"])
+                hits_exact = bool(qstats.loc[qid, "hits_exact"])
+            else:
+                total_hits, hits_exact = 0, True
+            sub = hits[hits["qid"] == qid] if len(hits) else hits
+            merged = list(
+                zip(sub["score"].astype(float), sub["shard"].astype(int), sub["doc_id"].astype(int))
+            )
 
             # purely-negative query: shards where the negative terms have no
             # postings produced no kernel group, yet ALL their docs match
             # (the reference's MatchAll fix-up, ZuliaIndex.java:715-717)
             if resolved and all(rc.clause.negative for rc in resolved):
+                seen_shards = set(sub["shard"].astype(int)) | {
+                    int(s) for s in pdf[pdf["qid"] == qid]["shard"]
+                }
                 per_shard_amount = req.start + req.amount
                 for s, n_docs in self._shard_counts.items():
                     if s in seen_shards or n_docs == 0:
@@ -684,7 +697,7 @@ class SearchEngine:
                     total_hits += n_docs
                     for d in range(min(per_shard_amount, n_docs)):
                         merged.append((0.0, s, d))
-            merged.sort(key=lambda x: (-x[0], x[1], x[2]))
+                merged.sort(key=lambda x: (-x[0], x[1], x[2]))
             page = merged[req.start : req.start + req.amount]
             topk = [{"shard": s, "doc_id": d, "score": sc, "qid": qid} for sc, s, d in page]
             all_topk.extend(topk)

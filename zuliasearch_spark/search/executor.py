@@ -283,6 +283,12 @@ def _scoring_leaves(resolved) -> list[tuple[TermSpec, float]]:
     return out
 
 
+def _apply_tombstones(match: np.ndarray, deleted) -> None:
+    if deleted is not None and deleted.size:
+        d = deleted[deleted < match.size]
+        match[d] = False
+
+
 def _run_query_on_shard(
     plan: _QueryPlan,
     store: PostingsStore,
@@ -291,6 +297,7 @@ def _run_query_on_shard(
     idf_by_key,
     avgdl_by_key,
     params: Bm25Params,
+    deleted=None,
 ):
     """Execute one request against one shard's postings.
 
@@ -301,9 +308,9 @@ def _run_query_on_shard(
     after = plan.after_by_shard.get(shard)
     k = plan.per_shard_amount
 
-    if plan.prune and not plan.sims:
+    if plan.prune and not plan.sims and deleted is None:
         # (pruning bounds assume BM25 impacts; similarity overrides
-        # fall back to dense)
+        # and tombstones fall back to dense)
         result = _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, after, k)
         if result is not None:
             return result
@@ -311,6 +318,7 @@ def _run_query_on_shard(
     # dense path: exact totalHits, exact top-k
     tv = _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, dict(plan.sims))
     match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
+    _apply_tombstones(match, deleted)
     total_hits = int(match.sum())
     idx = np.flatnonzero(match)
     top, tscores, has_next, next_score = _rank_and_page(idx, total[idx], after, k)
@@ -406,6 +414,7 @@ def _make_batch_kernel(
     avgdl_by_key: dict[tuple[str, int], float],
     params: Bm25Params,
     n_docs_by_shard: dict[int, int],
+    tombstones: dict[int, "np.ndarray"] | None = None,
 ):
     """Per-shard kernel scoring EVERY request against the decoded blocks."""
 
@@ -423,10 +432,11 @@ def _make_batch_kernel(
                     ]
                 )
             n = int(store.last_doc.max()) + 1
+        deleted = (tombstones or {}).get(shard)
         frames = []
         for plan in plans:
             top, tscores, total_hits, has_next, next_score, hits_exact = _run_query_on_shard(
-                plan, store, shard, n, idf_by_key, avgdl_by_key, params
+                plan, store, shard, n, idf_by_key, avgdl_by_key, params, deleted
             )
             frames.append(
                 pd.DataFrame(
@@ -474,6 +484,7 @@ def _make_match_kernel(
     avgdl_by_key: dict[tuple[str, int], float],
     params: Bm25Params,
     n_docs_by_shard: dict[int, int],
+    tombstones: dict[int, "np.ndarray"] | None = None,
 ):
     """Kernel variant emitting the FULL match set (for facets/stats).
 
@@ -500,6 +511,7 @@ def _make_match_kernel(
             n = int(store.last_doc.max()) + 1
         tv = _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params)
         match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
+        _apply_tombstones(match, (tombstones or {}).get(shard))
         idx = np.flatnonzero(match)
         return pd.DataFrame(
             {"shard": np.int32(shard), "doc_id": idx.astype(np.int64), "score": total[idx]}
@@ -528,6 +540,9 @@ class SearchEngine:
         self._known_terms: set[tuple[str, str]] = set()
         self._resolve_cache: dict[tuple, list[ResolvedClause]] = {}
         self.last_metrics: dict[str, int] = {"blocks_decoded": 0, "blocks_total": 0}
+        # tombstoned (deleted) docs per shard — masked in the kernels,
+        # purged by a segment rewrite (see delete_by_unique_ids)
+        self._tombstones: dict[int, set[int]] = {}
 
     # -- planning ---------------------------------------------------------
 
@@ -647,7 +662,9 @@ class SearchEngine:
                 )
             )
 
-        kernel = _make_batch_kernel(qplans, idf_by_key, avgdl_by_key, self.params, self._shard_counts)
+        kernel = _make_batch_kernel(
+            qplans, idf_by_key, avgdl_by_key, self.params, self._shard_counts, self._tombstone_arrays()
+        )
         pdf = (
             self.tables.postings.filter(cond)
             .groupBy("shard")
@@ -694,9 +711,15 @@ class SearchEngine:
                 for s, n_docs in self._shard_counts.items():
                     if s in seen_shards or n_docs == 0:
                         continue
-                    total_hits += n_docs
-                    for d in range(min(per_shard_amount, n_docs)):
-                        merged.append((0.0, s, d))
+                    dead = self._tombstones.get(s, set())
+                    total_hits += n_docs - len(dead)
+                    added = 0
+                    for d in range(n_docs):
+                        if added >= per_shard_amount:
+                            break
+                        if d not in dead:
+                            merged.append((0.0, s, d))
+                            added += 1
                 merged.sort(key=lambda x: (-x[0], x[1], x[2]))
             page = merged[req.start : req.start + req.amount]
             topk = [{"shard": s, "doc_id": d, "score": sc, "qid": qid} for sc, s, d in page]
@@ -728,7 +751,9 @@ class SearchEngine:
         if plan is None:
             raise ValueError("empty query")
         idf_by_key, avgdl_by_key, cond = plan
-        kernel = _make_match_kernel(resolved, idf_by_key, avgdl_by_key, self.params, self._shard_counts)
+        kernel = _make_match_kernel(
+            resolved, idf_by_key, avgdl_by_key, self.params, self._shard_counts, self._tombstone_arrays()
+        )
         return self.tables.postings.filter(cond).groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
 
     def facet_counts(self, req: SearchRequest, facet_field: str, top_n: int = 10):
@@ -927,6 +952,62 @@ class SearchEngine:
             .orderBy(F.desc("sum_tf"), F.asc("term"))
             .limit(top_n)
         )
+
+    def _tombstone_arrays(self) -> dict[int, np.ndarray] | None:
+        if not self._tombstones:
+            return None
+        return {s: np.fromiter(sorted(d), dtype=np.int64) for s, d in self._tombstones.items()}
+
+    def get_field_names(self) -> list[str]:
+        """Enumerate indexed fields (GetFieldNames,
+        ShardReader.java:142-185)."""
+        rows = self.tables.postings.select("field").distinct().collect()
+        return sorted(r["field"] for r in rows)
+
+    def get_number_of_docs(self) -> dict[int, int]:
+        """Per-shard doc counts (GetNumberOfDocs,
+        zulia_service.proto:278-293)."""
+        return dict(self._shard_counts)
+
+    def delete_by_unique_ids(self, unique_ids) -> int:
+        """Tombstone deletes (Delete/BatchDelete,
+        zulia_service.proto:117-156). Lucene marks deletions in a
+        per-segment live-docs bitset purged at merge; here the
+        tombstone set masks the kernel's match vector — postings stay
+        immutable until an optimize() rewrite. Returns #docs marked."""
+        ids = list(unique_ids)
+        if not ids:
+            return 0
+        spark = self.tables.doc_map.sparkSession
+        ids_df = spark.createDataFrame([(u,) for u in ids], "uniqueId string")
+        rows = (
+            self.tables.doc_map.join(F.broadcast(ids_df), "uniqueId")
+            .select("shard", "doc_id")
+            .collect()
+        )
+        for r in rows:
+            self._tombstones.setdefault(int(r["shard"]), set()).add(int(r["doc_id"]))
+        return len(rows)
+
+    def expand_fuzzy(self, field: str, term: str, max_edits: int = 2, max_terms: int = 50) -> tuple[str, ...]:
+        """Fuzzy term expansion (term~2, ZuliaSyntaxParser.jj:170;
+        FuzzyTerm enumeration ShardTermsHandler.java): edit-distance
+        scan of the dictionary with Spark's built-in levenshtein —
+        the length band prunes the scan before the distance runs."""
+        lo, hi = len(term) - max_edits, len(term) + max_edits
+        rows = (
+            self.tables.term_stats.filter(
+                (F.col("field") == field) & F.length("term").between(lo, hi)
+            )
+            .select("term")
+            .distinct()
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
+            .filter(F.col("dist") <= max_edits)
+            .orderBy("dist", "term")
+            .limit(max_terms)
+            .collect()
+        )
+        return tuple(r["term"] for r in rows)
 
     def expand_terms(self, field: str, regex: str, max_terms: int = 50) -> tuple[str, ...]:
         """Wildcard/regex term expansion against the dictionary

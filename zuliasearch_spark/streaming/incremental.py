@@ -1,0 +1,75 @@
+"""Incremental (near-real-time) indexing via Structured Streaming.
+
+The reference is near-real-time through commit + reader refresh
+(shardCommitInterval/idleTimeWithoutCommit, zulia_index.proto:46-47;
+ShardWriteManager.java:238-266): new documents become searchable at
+the next segment commit. The Spark-batch analogue: a Structured
+Streaming source feeds ``foreachBatch``, every micro-batch becomes
+ONE committed index segment (atomic manifest append), and a reader
+opened after a commit sees it — identical freshness semantics,
+checkpointed twice (Spark's streaming checkpoint for source offsets,
+our manifest for committed segments), so a killed stream resumes
+without duplicating or losing a batch.
+
+Segment ids are ``stream_base + batch_id``; reads go through
+``read_segmented_index`` unchanged (composite partition ids keep doc
+ids disjoint across segments; BM25 stats still pool per true shard).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+
+from zuliasearch_spark.config import IndexConfig
+from zuliasearch_spark.indexing.builder import build_index, write_index
+from zuliasearch_spark.indexing.segments import SegmentedIndexWriter, committed_segments
+
+STREAM_SEGMENT_BASE = 1_000_000  # stream segments above any batch build's
+
+
+def append_stream_segment(
+    batch_df: DataFrame, batch_id: int, index_path: str, config: IndexConfig
+) -> None:
+    """foreachBatch body: micro-batch → one committed segment.
+
+    Idempotent per batch_id: a restart that replays a batch finds its
+    segment committed and skips (exactly-once append on top of
+    Spark's at-least-once foreachBatch contract).
+    """
+    segment = STREAM_SEGMENT_BASE + int(batch_id)
+    writer = SegmentedIndexWriter(index_path, config, n_segments=0)
+    if segment in committed_segments(index_path):
+        return
+    if batch_df.rdd.isEmpty():
+        return
+    t0 = time.time()
+    tables = build_index(batch_df, config)
+    tables = write_index(tables, writer.segment_dir(segment))
+    writer._commit(segment, tables, time.time() - t0)
+
+
+def incremental_index(
+    spark,
+    source_dir: str,
+    index_path: str,
+    config: IndexConfig,
+    checkpoint_dir: str,
+    schema: str,
+    available_now: bool = True,
+):
+    """Watch ``source_dir`` for new parquet files and index them.
+
+    ``available_now=True`` processes everything currently available
+    and stops (batch-incremental); False leaves a continuous stream
+    running. Returns the StreamingQuery.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, bid: append_stream_segment(df, bid, index_path, config))
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

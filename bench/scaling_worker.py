@@ -86,7 +86,7 @@ def main() -> None:
         from zuliasearch_spark.indexing.corpus import CORE_WORDS, IDENTIFIERS
         from zuliasearch_spark.search.query import QueryClause, SearchRequest
 
-        vocab = list(CORE_WORDS) + [IDENTIFIERS[i] for i in range(0, 200, 4)]
+        vocab = list(CORE_WORDS) + [IDENTIFIERS[i] for i in range(0, 400, 2)]
         for i in range(len(vocab)):
             a = vocab[i]
             b = vocab[(i * 7 + 3) % len(vocab)]
@@ -114,6 +114,7 @@ def main() -> None:
                     "build_docs_per_sec": round(args.docs / t_build, 1),
                     "query_sec": round(t_query, 2),
                     "qps": round(n_q / t_query, 2),
+                    "n_queries": len(qset),
                 }
             )
         )

@@ -31,7 +31,10 @@ def test_delete_masks_and_counts(spark, corpus_t1):
         terms = eng.expand_fuzzy("content", "parsq", max_edits=1)
         assert "parse" in terms
         assert "content" in eng.get_field_names()
-        assert sum(eng.get_number_of_docs().values()) == len(corpus_t1)
+        # GetNumberOfDocs counts LIVE docs (IndexReader.numDocs excludes
+        # deletions), and re-deleting already-tombstoned ids is a no-op
+        assert sum(eng.get_number_of_docs().values()) == len(corpus_t1) - 3
+        assert eng.delete_by_unique_ids(victims) == 0
     finally:
         tables.unpersist()
 

@@ -157,7 +157,10 @@ def _as_arrow(texts) -> pa.Array:
 def _tokenize_encode(texts, settings: AnalyzerSettings) -> TokenStream:
     arr = _as_arrow(texts)
 
-    code_split = CODE_SPLIT in settings.filters
+    # CODE_SPLIT applies only under the STANDARD tokenizer (the
+    # WHITESPACE/KEYWORD chains keep raw tokens intact, matching the
+    # per-tokenizer filter wiring of ZuliaFieldAnalyzer.java:51-160)
+    code_split = CODE_SPLIT in settings.filters and settings.tokenizer == STANDARD
     lower = LOWERCASE in settings.filters
     upper = UPPERCASE in settings.filters
 

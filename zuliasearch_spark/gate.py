@@ -132,6 +132,32 @@ def q_terms_set_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(hits,)], "hits bigint")
 
 
+def q_and_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field AND: every token must match in ≥1 of the qf fields
+    (per-token OR-across-fields groups,
+    ZuliaMultiFieldQueryNodeProcessor.java:36-60). A doc with only one
+    of the tokens must NOT match — the round-1 bug degraded this to
+    OR(mm=1)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(
+        (QueryClause("FILTER", q="en merge", qf=("text", "lang"), default_op="AND"),), amount=1
+    )
+    hits = eng.search(req, fetch="none")["totalHits"]
+    return spark.createDataFrame([(hits,)], "hits bigint")
+
+
+def q_sim_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFIDF/ClassicSimilarity override (ShardReader.java:562-564):
+    score = sqrt(tf) · (ln((N+1)/(df+1)) + 1) / sqrt(dl)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(
+        (QueryClause("SCORE_SHOULD", q="merge scan", qf=("text",)),),
+        amount=50,
+        similarities=(("text", "TFIDF"),),
+    )
+    return _topk_df(spark, eng, req, 10).withColumnRenamed("score", "tfidf_score")
+
+
 def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
@@ -691,6 +717,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_filtered": q_bm25_filtered,
     "and_count": q_and_count,
+    "and_multifield": q_and_multifield,
+    "sim_tfidf": q_sim_tfidf,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -755,6 +783,27 @@ SELECT count(*)::BIGINT AS hits FROM (
   SELECT doc_id FROM toks WHERE term IN ('hash','join')
   GROUP BY doc_id HAVING count(DISTINCT term) = 2
 )""",
+    "and_multifield": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS hits FROM documents d
+WHERE (d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'en') OR lower(d.lang) = 'en')
+  AND (d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge') OR lower(d.lang) = 'merge')""",
+    "sim_tfidf": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('merge','scan') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( (ln((stats.n_docs + 1) / (df.df + 1.0)) + 1.0)
+              * sqrt(tf.tf) / sqrt(dl.dl) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS tfidf_score FROM scored
+ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10""",
     "terms_set_count": """
 SELECT count(*)::BIGINT AS hits FROM documents
 WHERE lower(lang) IN ('es','de') AND lower(source) <> 'src0'""",

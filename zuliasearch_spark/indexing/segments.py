@@ -208,6 +208,13 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
     from zuliasearch_spark.indexing.builder import POSTINGS_SCHEMA
     from zuliasearch_spark.util.varint import segmented_cumsum, varint_decode, varint_encode
 
+    # the merge lazily re-reads the source segments while writing the
+    # output: writing into (or under) the source dir would clobber
+    # seg=0's files mid-read and corrupt the index — refuse early
+    src, dst = os.path.realpath(path), os.path.realpath(out_path)
+    if src == dst or dst.startswith(src + os.sep) or src.startswith(dst + os.sep):
+        raise ValueError(f"optimize out_path {out_path!r} overlaps source {path!r}")
+
     segs = sorted(committed_segments(path))
     manifest = {e["segment"]: e for e in read_manifest(path) if e.get("status") == "committed"}
     stride = config.number_of_shards

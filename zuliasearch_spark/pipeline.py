@@ -239,7 +239,6 @@ def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     the scan to one cell (≈ 1/#labels of the data). Brute-force
     cosine over the same data is the recall baseline.
     """
-    dims = emb.select(F.size("embedding").alias("d")).head()[0]
     cent = (
         emb.select("label", F.posexplode("embedding").alias("i", "v"))
         .groupBy("label", "i")

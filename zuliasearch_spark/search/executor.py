@@ -198,17 +198,50 @@ class _QueryPlan:
     sims: tuple[tuple[str, str], ...] = ()  # per-field similarity override
 
 
+_VALID_SIMS = ("BM25", "TFIDF", "TF", "CONSTANT")
+
+# ClassicSimilarity length norm over the SmallFloat byte4 length table:
+# TFIDFSimilarity.normTable[i] = 1/sqrt(byte4ToInt(i)) as float32
+# (Lucene TFIDFSimilarity; dl=0 never scores — no postings exist).
+def _classic_norm_table():
+    from zuliasearch_spark.util.smallfloat import LENGTH_TABLE
+
+    lt = LENGTH_TABLE.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        t = 1.0 / np.sqrt(lt)
+    t[lt == 0] = 0.0
+    return t.astype(np.float32)
+
+
+_CLASSIC_NORMS = _classic_norm_table()
+
+
 def _leaf_scores(sim, tfs, dls, boost, idf, avgdl, params):
     """Per-posting scores for one leaf under the selected similarity
-    (ShardReader.getSimilarity:537-579): BM25 (default), TF (raw
-    freq x boost, analysis/similarity/TFSimilarity.java), CONSTANT
-    (boost only, ConstantSimilarity.java)."""
+    (ShardReader.getSimilarity:537-579): BM25 (default), TFIDF
+    (Lucene ClassicSimilarity: sqrt(tf) · idf · boost / sqrt(dl),
+    ShardReader.java:562-564), TF (raw freq x boost,
+    analysis/similarity/TFSimilarity.java), CONSTANT (boost only,
+    ConstantSimilarity.java). ``idf`` is the (bm25_idf, classic_idf)
+    pair from the plan."""
+    bm25_idf_v, classic_idf_v = idf
     if sim == "CONSTANT":
         return np.full(tfs.shape, np.float32(boost) if params.lucene_parity else boost, dtype=np.float64)
     if sim == "TF":
         out = tfs.astype(np.float64) * boost
         return out.astype(np.float32).astype(np.float64) if params.lucene_parity else out
-    w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
+    if sim == "TFIDF":
+        if params.lucene_parity:
+            from zuliasearch_spark.util.smallfloat import int_to_byte4
+
+            w = np.float32(boost) * np.float32(classic_idf_v)
+            norm = _CLASSIC_NORMS[int_to_byte4(dls)]
+            return (np.sqrt(tfs.astype(np.float32)) * w * norm).astype(np.float32).astype(np.float64)
+        return boost * classic_idf_v * np.sqrt(tfs.astype(np.float64)) / np.sqrt(dls.astype(np.float64))
+    if sim != "BM25":
+        # reference throws on unknown similarity (ShardReader.java:576)
+        raise ValueError(f"Unknown similarity type {sim}")
+    w = float(np.float32(boost) * np.float32(bm25_idf_v)) if params.lucene_parity else boost * bm25_idf_v
     return bm25_term_scores(tfs, dls, w, avgdl, params)
 
 
@@ -345,7 +378,8 @@ def _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, 
         if idf is None:
             continue
         avgdl = avgdl_by_key[(spec.field, shard)]
-        w = float(np.float32(boost) * np.float32(idf)) if params.lucene_parity else boost * idf
+        bm25_idf_v = idf[0]
+        w = float(np.float32(boost) * np.float32(bm25_idf_v)) if params.lucene_parity else boost * bm25_idf_v
         if w <= 0:
             continue
         rows = np.arange(span[0], span[1], dtype=np.int64)
@@ -383,8 +417,14 @@ def _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, 
         return None  # not enough matches in seed: dense fallback
     theta = np.partition(sscores, sscores.size - k)[sscores.size - k]
 
-    # 4. final candidates: every doc whose upper bound can reach θ
-    cands = universe[ub[universe] >= theta - 1e-9]
+    # 4. final candidates: every doc whose upper bound can reach θ.
+    # Slack is RELATIVE to θ: exact scores are float32-rounded in
+    # parity mode while UB is a float64 sum of per-leaf f32 bounds, so
+    # an absolute epsilon (1e-9) is smaller than a float32 ulp at
+    # score ≳ 1 and could wrongly prune a true top-k doc whose UB ties
+    # θ within rounding. max(abs-eps, rel-eps·θ) covers both regimes.
+    slack = max(1e-9, abs(theta) * 1e-6)
+    cands = universe[ub[universe] >= theta - slack]
     docs, scores = exact(cands)
     pruned_any = cands.size < universe.size
     top, tscores, has_next, next_score = _rank_and_page(docs, scores, after, k)
@@ -549,6 +589,32 @@ class SearchEngine:
     def _analyze(self, field: str, text: str) -> list[str]:
         return analyze_query_text(text, self.config.analyzer_for_indexed_field(field))
 
+    def _effective_sims(self, req: SearchRequest, resolved) -> tuple[tuple[str, str], ...]:
+        """Per-field similarity for this request: analyzer default
+        (AnalyzerSettings.similarity, zulia_index.proto:313) merged
+        with the request's FieldSimilarity overrides, like
+        ShardReader.getSimilarity:537-579. Only non-BM25 entries are
+        kept, so an all-BM25 request keeps the block-max prune path.
+        Unknown names raise, as the reference does."""
+        overrides = dict(req.similarities)
+        out: dict[str, str] = {}
+        for rc in resolved:
+            for spec in rc.specs:
+                f = spec.field
+                if f in out:
+                    continue
+                sim = overrides.get(f)
+                if sim is None:
+                    try:
+                        sim = self.config.analyzer_for_indexed_field(f).similarity
+                    except KeyError:
+                        sim = "BM25"
+                if sim not in _VALID_SIMS:
+                    raise ValueError(f"Unknown similarity type {sim}")
+                if sim != "BM25":
+                    out[f] = sim
+        return tuple(sorted(out.items()))
+
     def _resolve(self, req: SearchRequest) -> list[ResolvedClause]:
         # requests are frozen/hashable: cache clause resolution — a
         # repeating query stream (the serving case) pays analysis once
@@ -609,7 +675,7 @@ class SearchEngine:
         df_by_key = self._collect_term_stats(specs)
         shards = self._shards()
 
-        idf_by_key: dict[tuple[str, str, int], float] = {}
+        idf_by_key: dict[tuple[str, str, int], tuple[float, float]] = {}
         avgdl_by_key: dict[tuple[str, int], float] = {}
         for f in {f for f, _ in specs}:
             for s in shards:
@@ -621,8 +687,16 @@ class SearchEngine:
                 df = sum(df_by_key.get((f, t, p), 0) for p in self._stat_peers(s))
                 doc_count, _ = self._stats_for(f, s)
                 if df > 0 and doc_count > 0:
-                    # bm25_weight with boost=1 → pure idf; boost folds in-kernel
-                    idf_by_key[(f, t, s)] = bm25_weight(doc_count, df, 1.0, self.params)
+                    # bm25_weight with boost=1 → pure idf; boost folds in-kernel.
+                    # classic idf = ln((N+1)/(df+1)) + 1 (Lucene
+                    # ClassicSimilarity.idf) for TFIDF similarity.
+                    classic = float(np.log((doc_count + 1) / (df + 1.0)) + 1.0)
+                    if self.params.lucene_parity:
+                        classic = float(np.float32(classic))
+                    idf_by_key[(f, t, s)] = (
+                        bm25_weight(doc_count, df, 1.0, self.params),
+                        classic,
+                    )
 
         return idf_by_key, avgdl_by_key, self._specs_condition(specs)
 
@@ -658,7 +732,7 @@ class SearchEngine:
                     per_shard_amount=req.start + req.amount,
                     after_by_shard=after,
                     prune=bool(req.block_max_pruning),
-                    sims=tuple(req.similarities),
+                    sims=self._effective_sims(req, resolved_by_qid[qid]),
                 )
             )
 
@@ -713,13 +787,16 @@ class SearchEngine:
                         continue
                     dead = self._tombstones.get(s, set())
                     total_hits += n_docs - len(dead)
-                    added = 0
-                    for d in range(n_docs):
-                        if added >= per_shard_amount:
-                            break
-                        if d not in dead:
-                            merged.append((0.0, s, d))
-                            added += 1
+                    # first per_shard_amount live doc ids, vectorized:
+                    # candidates = the page size + #deletes below it —
+                    # enough ids that at least per_shard_amount survive
+                    hi = min(n_docs, per_shard_amount + len(dead))
+                    cand = np.arange(hi, dtype=np.int64)
+                    if dead:
+                        dead_arr = np.fromiter(dead, dtype=np.int64)
+                        cand = cand[~np.isin(cand, dead_arr)]
+                    for d in cand[:per_shard_amount]:
+                        merged.append((0.0, s, int(d)))
                 merged.sort(key=lambda x: (-x[0], x[1], x[2]))
             page = merged[req.start : req.start + req.amount]
             topk = [{"shard": s, "doc_id": d, "score": sc, "qid": qid} for sc, s, d in page]
@@ -827,14 +904,17 @@ class SearchEngine:
         """
         matches = self.match_ids(req)
         allowed = self.tables.doc_map.filter(predicate)
-        j = matches.join(allowed, ["shard", "doc_id"])
-        top = (
-            j.orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))
-            .limit(amount)
-            .select("shard", "doc_id", "score", "uniqueId")
-            .collect()
-        )
-        total = j.count()
+        j = matches.join(allowed, ["shard", "doc_id"]).persist()
+        try:
+            top = (
+                j.orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))
+                .limit(amount)
+                .select("shard", "doc_id", "score", "uniqueId")
+                .collect()
+            )
+            total = j.count()  # reuses the persisted match set: one kernel pass
+        finally:
+            j.unpersist()
         return {
             "totalHits": int(total),
             "topk": [
@@ -965,9 +1045,14 @@ class SearchEngine:
         return sorted(r["field"] for r in rows)
 
     def get_number_of_docs(self) -> dict[int, int]:
-        """Per-shard doc counts (GetNumberOfDocs,
-        zulia_service.proto:278-293)."""
-        return dict(self._shard_counts)
+        """Per-shard LIVE doc counts (GetNumberOfDocs,
+        zulia_service.proto:278-293): the reference counts through
+        IndexReader.numDocs(), which excludes deletions, so tombstoned
+        docs are subtracted here too."""
+        return {
+            s: n - len(self._tombstones.get(s, ()))
+            for s, n in self._shard_counts.items()
+        }
 
     def delete_by_unique_ids(self, unique_ids) -> int:
         """Tombstone deletes (Delete/BatchDelete,
@@ -985,9 +1070,13 @@ class SearchEngine:
             .select("shard", "doc_id")
             .collect()
         )
+        marked = 0
         for r in rows:
-            self._tombstones.setdefault(int(r["shard"]), set()).add(int(r["doc_id"]))
-        return len(rows)
+            s = self._tombstones.setdefault(int(r["shard"]), set())
+            if int(r["doc_id"]) not in s:
+                s.add(int(r["doc_id"]))
+                marked += 1  # count only NEWLY deleted docs
+        return marked
 
     def expand_fuzzy(self, field: str, term: str, max_edits: int = 2, max_terms: int = 50) -> tuple[str, ...]:
         """Fuzzy term expansion (term~2, ZuliaSyntaxParser.jj:170;

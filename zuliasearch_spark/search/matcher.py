@@ -12,10 +12,15 @@ once:
 - FILTER_NOT / TERMS_NOT exclude; a query of only negative clauses
   matches everything else (the reference's MatchAll fix-up,
   ZuliaIndex.java:715-717,934-937);
-- inside a clause, AND requires every term, OR requires
-  ``min_optional`` (mm) of them; clause score = sum of matched term
-  scores (clause boost folded into the term weights, like Lucene's
-  BoostQuery pushing boost into TermQuery weights).
+- inside a clause, tokens form GROUPS (TermSpec.group): a group
+  matches iff any of its per-field subgroups matches, and a subgroup
+  matches iff all of its analyzed terms match (the reference's
+  per-token OR-across-fields expansion,
+  ZuliaMultiFieldQueryNodeProcessor.java:36-60). AND requires every
+  required group, OR requires ``min_optional`` (mm) of the optional
+  groups; clause score = sum of matched term scores (clause boost
+  folded into the term weights, like Lucene's BoostQuery pushing
+  boost into TermQuery weights).
 
 Scores accumulate in float64 and downcast to float32 once at the end
 when ``parity`` — matching Lucene's double accumulator + float
@@ -61,22 +66,50 @@ def combine_clauses(
 
     for rc in resolved:
         c = rc.clause
-        req_masks: list[np.ndarray] = []
-        opt_masks: list[np.ndarray] = []
         cscore = np.zeros(n, dtype=np.float64)
+        # (group, subgroup) -> combined leaf masks + Σ leaf scores;
+        # group -> OR of subgroups. A subgroup combines its analyzed
+        # terms with the clause's default operator (Lucene's
+        # AnalyzerQueryNodeProcessor + DefaultOperator: AND makes a
+        # multi-term token a conjunction, OR a disjunction). A
+        # conjunction that doesn't fully match contributes NO score.
+        sub_masks: dict[tuple[int, int], np.ndarray] = {}
+        sub_scores: dict[tuple[int, int], np.ndarray] = {}
+        sub_conj: dict[tuple[int, int], bool] = {}
+        group_required: dict[int, bool] = {}
         for spec in rc.specs:
             m, s = term_vectors(spec, c.boost)
-            (req_masks if spec.required else opt_masks).append(m)
-            cscore += np.where(m, s, 0.0)
+            key = (spec.group, spec.subgroup)
+            prev = sub_masks.get(key)
+            if prev is None:
+                sub_masks[key] = m
+                sub_scores[key] = np.where(m, s, 0.0)
+            else:
+                sub_masks[key] = (prev & m) if spec.required else (prev | m)
+                sub_scores[key] = sub_scores[key] + np.where(m, s, 0.0)
+                sub_conj[key] = spec.required
+            group_required[spec.group] = spec.required
+
+        group_masks: dict[int, np.ndarray] = {}
+        for key, m in sub_masks.items():
+            g = key[0]
+            if sub_conj.get(key):
+                # conjunction subgroup: gate the leaf scores on full match
+                cscore += np.where(m, sub_scores[key], 0.0)
+            else:
+                cscore += sub_scores[key]
+            prev = group_masks.get(g)
+            group_masks[g] = m if prev is None else (prev | m)
 
         cm = np.ones(n, dtype=bool) if rc.specs else np.zeros(n, dtype=bool)
-        for m in req_masks:
-            cm &= m
-        if opt_masks:
-            cnt = np.zeros(n, dtype=np.int64)
-            for m in opt_masks:
-                cnt += m
-            cm &= cnt >= rc.min_optional
+        opt_cnt = None
+        for g, gm in group_masks.items():
+            if group_required[g]:
+                cm &= gm
+            else:
+                opt_cnt = gm.astype(np.int64) if opt_cnt is None else opt_cnt + gm
+        if opt_cnt is not None:
+            cm &= opt_cnt >= rc.min_optional
 
         if c.type in (SCORE_MUST, FILTER, TERMS):
             pos_mask &= cm

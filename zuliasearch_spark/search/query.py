@@ -85,7 +85,11 @@ class SearchRequest:
     amount: int = 10
     start: int = 0
     last_result: LastResult | None = None
-    # pruning: None = auto (prune when clause shape allows), False = off
+    # pruning: True = on (falls back to dense when the clause shape
+    # disallows bounds); None/False = off. Off by default because the
+    # pruned path reports totalHits as a LOWER bound (hits_exact=False)
+    # like Lucene's TOP_SCORES mode, and count-style requests need
+    # exact hits.
     block_max_pruning: bool | None = None
     # per-field similarity override for this request, e.g.
     # (("content", "TF"),) — FieldSimilarity zulia_query.proto:295-298,
@@ -95,11 +99,29 @@ class SearchRequest:
 
 @dataclass(frozen=True)
 class TermSpec:
-    """One resolved (field, term) leaf inside a clause."""
+    """One resolved (field, term) leaf inside a clause.
+
+    Leaves are organized two levels deep, mirroring the reference's
+    query-tree shape (ZuliaMultiFieldQueryNodeProcessor.java:36-60
+    clones each token node per field into an OR group; a token whose
+    analyzer emits several terms — camelCase splits — is a
+    conjunction within its field):
+
+    - ``group``: the source TOKEN this leaf came from. The clause's
+      AND/OR/mm semantics apply at the group level: AND = every
+      required group must match; OR = at least ``mm`` groups.
+    - ``subgroup``: the target FIELD within the token's multi-field
+      expansion. A group matches iff ANY of its subgroups matches; a
+      subgroup matches iff ALL of its leaves match (the analyzed
+      terms of the token in that field).
+    - ``required``: whether the GROUP is an AND member.
+    """
 
     field: str
     term: str
-    required: bool  # within-clause AND member
+    required: bool  # the group is a within-clause AND member
+    group: int = 0  # source-token id within the clause
+    subgroup: int = 0  # field id within the token's expansion
 
 
 @dataclass(frozen=True)
@@ -108,13 +130,17 @@ class ResolvedClause:
     specs: tuple[TermSpec, ...]
 
     @property
+    def n_groups(self) -> int:
+        return len({s.group for s in self.specs})
+
+    @property
     def n_required(self) -> int:
-        return sum(1 for s in self.specs if s.required)
+        return len({s.group for s in self.specs if s.required})
 
     @property
     def min_optional(self) -> int:
-        """How many optional leaves must match for the clause to match."""
-        n_opt = len(self.specs) - self.n_required
+        """How many optional GROUPS must match for the clause to match."""
+        n_opt = self.n_groups - self.n_required
         if n_opt == 0:
             return 0
         if self.n_required > 0:
@@ -129,14 +155,17 @@ def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]
     """
     specs: list[TermSpec] = []
     required = clause.default_op.upper() == "AND"
+    group = 0
     if clause.q is None and clause.terms:
         # explicit pre-analyzed term set; for TERMS/TERMS_NOT this is
         # the TermInSetQuery surface, for scoring clauses it's the
-        # MLT-style derived-terms OR query (terms are NOT re-analyzed)
+        # MLT-style derived-terms OR query (terms are NOT re-analyzed).
+        # Every (field, term) is its own group: pure disjunction.
         fields = clause.qf or default_fields
         for f in fields:
             for t in clause.terms:
-                specs.append(TermSpec(f, t, required=False))  # set = OR
+                specs.append(TermSpec(f, t, required=False, group=group))
+                group += 1
     elif clause.q is not None:
         for token in clause.q.split():
             if ":" in token:
@@ -147,11 +176,15 @@ def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]
                 if not fields:
                     raise ValueError(f"no default fields for unscoped term {token!r}")
                 targets = [(f, token) for f in fields]
-            multi_field = len(targets) > 1
-            for fname, raw in targets:
+            emitted = False
+            for sub, (fname, raw) in enumerate(targets):
                 for term in analyze(fname, raw):
-                    # multi-field expansion of one token: fields are OR'd
-                    specs.append(TermSpec(fname, term, required=required and not multi_field))
+                    specs.append(
+                        TermSpec(fname, term, required=required, group=group, subgroup=sub)
+                    )
+                    emitted = True
+            if emitted:
+                group += 1
     else:
         raise ValueError("clause needs q= text or terms= set")
     return ResolvedClause(clause, tuple(specs))

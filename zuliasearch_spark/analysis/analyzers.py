@@ -96,11 +96,18 @@ _TO_UPPER[_IS_LOWER] = _B[_IS_LOWER] - 32
 
 @dataclass
 class TokenStream:
-    """Dictionary-encoded token stream: terms[i] = vocab[codes[i]]."""
+    """Dictionary-encoded token stream: terms[i] = vocab[codes[i]].
+
+    ``pos`` is the token's position within its document, assigned
+    BEFORE dictionary filters run — so dropping a stopword leaves a
+    position gap, exactly like Lucene's StopFilter position
+    increments (phrase queries then see the gap).
+    """
 
     doc_idx: np.ndarray  # int64, position into the input Series
     codes: np.ndarray  # int64 into vocab
     vocab: pa.Array  # unique terms (Arrow string array)
+    pos: np.ndarray | None = None  # int64 position within document
 
     def __len__(self) -> int:
         return len(self.codes)
@@ -174,7 +181,9 @@ def _tokenize_encode(texts, settings: AnalyzerSettings) -> TokenStream:
         doc_idx = np.arange(len(arr), dtype=np.int64)
         nonempty = pc.utf8_length(dict_arr.dictionary).to_numpy(zero_copy_only=False) > 0
         keep = nonempty[codes]
-        return TokenStream(doc_idx[keep], codes[keep], dict_arr.dictionary)
+        return TokenStream(
+            doc_idx[keep], codes[keep], dict_arr.dictionary, np.zeros(int(keep.sum()), dtype=np.int64)
+        )
 
     if settings.tokenizer == WHITESPACE:
         word = _WORD_WS
@@ -202,13 +211,23 @@ def _tokenize_encode(texts, settings: AnalyzerSettings) -> TokenStream:
         start = end
     if not tok_parts:
         return TokenStream(
-            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            pa.array([], type=pa.string()),
+            np.empty(0, dtype=np.int64),
         )
     tok_arr = pa.concat_arrays(tok_parts) if len(tok_parts) > 1 else tok_parts[0]
     doc_idx = np.concatenate(doc_idx_parts) if len(doc_idx_parts) > 1 else doc_idx_parts[0]
     dict_arr = pc.dictionary_encode(tok_arr)
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    return TokenStream(doc_idx, codes, dict_arr.dictionary)
+    # token position within its document (doc_idx is ascending; chunk
+    # boundaries are document boundaries so the restart is exact)
+    idxs = np.arange(doc_idx.size, dtype=np.int64)
+    new_doc = np.ones(doc_idx.size, dtype=bool)
+    new_doc[1:] = doc_idx[1:] != doc_idx[:-1]
+    run_start = np.maximum.accumulate(np.where(new_doc, idxs, 0))
+    pos = idxs - run_start
+    return TokenStream(doc_idx, codes, dict_arr.dictionary, pos)
 
 
 def _tokenize_chunk(
@@ -295,12 +314,16 @@ def _apply_vocab_filters(ts: TokenStream, settings: AnalyzerSettings) -> TokenSt
         folded = pd.Series(ts.vocab.to_pandas()).str.translate(_ASCII_FOLD_TABLE)
         dict2 = pc.dictionary_encode(pa.array(folded, type=pa.string()))
         remap = dict2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = TokenStream(ts.doc_idx, remap[ts.codes], dict2.dictionary)
+        ts = TokenStream(ts.doc_idx, remap[ts.codes], dict2.dictionary, ts.pos)
     if STOPWORDS in settings.filters and len(ts.vocab):
         stop = pa.array(sorted(ENGLISH_STOPWORDS), type=pa.string())
         is_stop = pc.is_in(ts.vocab, value_set=stop).to_numpy(zero_copy_only=False)
         keep = ~is_stop[ts.codes]
-        ts = TokenStream(ts.doc_idx[keep], ts.codes[keep], ts.vocab)
+        # positions keep their pre-filter values: removed stopwords
+        # leave gaps (Lucene StopFilter position increments)
+        ts = TokenStream(
+            ts.doc_idx[keep], ts.codes[keep], ts.vocab, None if ts.pos is None else ts.pos[keep]
+        )
     return ts
 
 
@@ -341,6 +364,37 @@ def term_freqs(
     out_doc = (uk // nv).astype(np.int64)
     out_term = pc.take(ts.vocab, pa.array(uk % nv, type=pa.int64()))
     return out_doc, out_term, counts.astype(np.int64), dl
+
+
+def term_freqs_positions(
+    texts, settings: AnalyzerSettings
+) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`term_freqs` plus the flat position stream.
+
+    Returns ``(doc_idx, term, tf, dl, pos_flat)``: the first three
+    parallel over distinct (document, term) pairs ordered by
+    (document, term-code) ascending; ``pos_flat`` holds each pair's
+    ascending positions concatenated in pair order (run lengths =
+    ``tf``) — the layout the block encoder needs for the positions
+    stream.
+    """
+    ts = tokenize(texts, settings)
+    n_docs = len(texts)
+    dl = np.bincount(ts.doc_idx, minlength=n_docs).astype(np.int64)
+    if len(ts) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, pa.array([], type=pa.string()), empty, dl, empty
+    # sort tokens by (doc, code, pos): pairs become contiguous with
+    # ascending positions; pair order matches term_freqs (doc, code)
+    order = np.lexsort((ts.pos, ts.codes, ts.doc_idx))
+    d, c, p = ts.doc_idx[order], ts.codes[order], ts.pos[order]
+    new_pair = np.ones(d.size, dtype=bool)
+    new_pair[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(new_pair)
+    tf = np.diff(np.concatenate((starts, [d.size]))).astype(np.int64)
+    out_doc = d[starts]
+    out_term = pc.take(ts.vocab, pa.array(c[starts], type=pa.int64()))
+    return out_doc, out_term, tf, dl, p.astype(np.int64)
 
 
 def analyze_query_text(text: str, settings: AnalyzerSettings) -> list[str]:

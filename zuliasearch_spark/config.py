@@ -112,6 +112,11 @@ class IndexConfig:
     quantize_norms: bool = True
     docs_per_bucket: int = 1 << 17
     block_size: int = 128
+    # store per-posting position streams (delta+varint, same block
+    # layout as docIDs) — Lucene indexes positions for analyzed text
+    # by default; phrase/proximity queries need them. Costs ~1-2
+    # bytes/occurrence; set False for a match-only index.
+    store_positions: bool = True
     # segmented reads: partition id = segment * stride + shard; BM25
     # stats aggregate over all segments of the same true shard (all
     # Lucene segments of a shard share the reader's df/avgdl)

@@ -158,6 +158,29 @@ def q_sim_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(spark, eng, req, 10).withColumnRenamed("score", "tfidf_score")
 
 
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query, BM25-scored with phrase frequency and
+    summed constituent idfs (Lucene PhraseQuery / ExactPhraseMatcher;
+    grammar QUOTED ZuliaSyntaxParser.jj:171). Needs the positions
+    stream built by store_positions=True."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(
+        (QueryClause("SCORE_SHOULD", phrase=("merge", "scan"), qf=("text",)),), amount=50
+    )
+    return _topk_df(spark, eng, req, 10)
+
+
+def q_phrase_slop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity phrase "merge scan"~2 as a FILTER (sloppy 2-term
+    metric: min |offset(b) − offset(a)| ≤ slop)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(
+        (QueryClause("FILTER", phrase=("merge", "scan"), slop=2, qf=("text",)),), amount=1
+    )
+    hits = eng.search(req, fetch="none")["totalHits"]
+    return spark.createDataFrame([(hits,)], "hits bigint")
+
+
 def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
@@ -719,6 +742,8 @@ QUERIES = {
     "and_count": q_and_count,
     "and_multifield": q_and_multifield,
     "sim_tfidf": q_sim_tfidf,
+    "phrase_topk": q_phrase_topk,
+    "phrase_slop_count": q_phrase_slop_count,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -788,6 +813,31 @@ WITH {_TOKS_CTE}
 SELECT count(*)::BIGINT AS hits FROM documents d
 WHERE (d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'en') OR lower(d.lang) = 'en')
   AND (d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge') OR lower(d.lang) = 'merge')""",
+    "phrase_topk": f"""
+WITH {_TOKS_CTE},
+lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('merge','scan') GROUP BY term),
+idfsum AS (SELECT sum(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))) AS w
+           FROM df CROSS JOIN stats),
+ptf AS (SELECT doc_id, count(*) AS tfp
+        FROM lst, unnest(generate_series(1, greatest(len(l)-1, 1))) AS g(i)
+        WHERE i < len(l) AND l[i] = 'merge' AND l[i+1] = 'scan' GROUP BY doc_id),
+scored AS (
+  SELECT ptf.doc_id,
+         idfsum.w * ptf.tfp / (ptf.tfp + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10""",
+    "phrase_slop_count": """
+WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
+pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i))
+SELECT count(DISTINCT a.doc_id)::BIGINT AS hits
+FROM pt a JOIN pt b ON b.doc_id = a.doc_id
+WHERE a.term = 'merge' AND b.term = 'scan' AND abs((b.i - 1) - a.i) <= 2""",
     "sim_tfidf": f"""
 WITH {_TOKS_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),

@@ -67,10 +67,12 @@ from zuliasearch_spark.util.varint import varint_encode, varint_encode_with_offs
 POSTINGS_SCHEMA = (
     "field string, shard int, bucket long, term string, block_id int, "
     "first_doc long, last_doc long, n int, doc_bytes binary, tf_bytes binary, "
-    "dl_bytes binary, max_tf int, min_dl int, sum_tf long, sum_dl long"
+    "dl_bytes binary, pos_bytes binary, max_tf int, min_dl int, sum_tf long, sum_dl long"
 )
 
-TALL_SCHEMA = "shard int, doc_id long, dl int, terms array<string>, tfs array<int>"
+TALL_SCHEMA = (
+    "shard int, doc_id long, dl int, terms array<string>, tfs array<int>, poss array<int>"
+)
 
 
 @dataclass
@@ -94,7 +96,7 @@ class IndexTables:
             df.unpersist()
 
 
-def _make_tokenizer(col: str, settings: AnalyzerSettings):
+def _make_tokenizer(col: str, settings: AnalyzerSettings, store_positions: bool = True):
     """mapInArrow generator: (shard, doc_id, <col>) → per-doc term rows.
 
     Arrow in, Arrow out: the content strings never become Python
@@ -102,13 +104,25 @@ def _make_tokenizer(col: str, settings: AnalyzerSettings):
     directly and the emitted term column is the kernel's own Arrow
     array. (mapInPandas here would materialize every document as a
     PyStr and back: measured as more expensive than tokenizing.)
+
+    ``poss`` is each doc's flat position stream in (term, position)
+    order — run lengths are the ``tfs`` entries — feeding the block
+    encoder's positions stream (empty when positions are off).
     """
     import pyarrow as pa
+
+    from zuliasearch_spark.analysis.analyzers import term_freqs_positions
 
     def tokenize(batches):
         for rb in batches:
             names = rb.schema.names
-            doc_idx, term_arr, tf, dl = term_freqs(rb.column(names.index(col)), settings)
+            if store_positions:
+                doc_idx, term_arr, tf, dl, posflat = term_freqs_positions(
+                    rb.column(names.index(col)), settings
+                )
+            else:
+                doc_idx, term_arr, tf, dl = term_freqs(rb.column(names.index(col)), settings)
+                posflat = np.empty(0, dtype=np.int64)
             shard = rb.column(names.index("shard")).to_numpy()
             docid = rb.column(names.index("doc_id")).to_numpy()
             # pack per-DOC rows (list columns): the downstream shuffle
@@ -120,6 +134,20 @@ def _make_tokenizer(col: str, settings: AnalyzerSettings):
                 np.concatenate((starts, [doc_idx.size])).astype(np.int32), type=pa.int32()
             )
             term_vals = term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr
+            if store_positions and posflat.size:
+                # per-present-doc token counts = Σ tf within the doc
+                tok_counts = np.add.reduceat(tf, starts)
+                pos_offsets = np.zeros(present.size + 1, dtype=np.int32)
+                np.cumsum(tok_counts, out=pos_offsets[1:])
+                poss = pa.ListArray.from_arrays(
+                    pa.array(pos_offsets, type=pa.int32()),
+                    pa.array(posflat.astype(np.int32), type=pa.int32()),
+                )
+            else:
+                poss = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(present.size + 1, dtype=np.int32), type=pa.int32()),
+                    pa.array([], type=pa.int32()),
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(shard[present], type=pa.int32()),
@@ -127,8 +155,9 @@ def _make_tokenizer(col: str, settings: AnalyzerSettings):
                     pa.array(dl[present].astype(np.int32), type=pa.int32()),
                     pa.ListArray.from_arrays(offsets, term_vals),
                     pa.ListArray.from_arrays(offsets, pa.array(tf.astype(np.int32), type=pa.int32())),
+                    poss,
                 ],
-                names=["shard", "doc_id", "dl", "terms", "tfs"],
+                names=["shard", "doc_id", "dl", "terms", "tfs", "poss"],
             )
 
     return tokenize
@@ -165,7 +194,19 @@ def _make_block_encoder(block_size: int):
         doc = np.repeat(tbl.column("doc_id").to_numpy().astype(np.int64), counts)
         dl = np.repeat(tbl.column("dl").to_numpy().astype(np.int64), counts)
         tf = tbl.column("tfs").combine_chunks().flatten().to_numpy().astype(np.int64)
+        posflat = tbl.column("poss").combine_chunks().flatten().to_numpy().astype(np.int64)
         order = np.lexsort((doc, codes))
+        if posflat.size:
+            # positions travel as pair runs (lengths = tf): gather the
+            # runs into the sorted pair order before re-slicing
+            starts_orig = np.zeros(tf.size, dtype=np.int64)
+            np.cumsum(tf[:-1], out=starts_orig[1:])
+            tf_sorted = tf[order]
+            from zuliasearch_spark.analysis.analyzers import _ranges_within
+
+            gather = np.repeat(starts_orig[order], tf_sorted)
+            gather += _ranges_within(tf_sorted.astype(np.int32)).astype(np.int64)
+            posflat = posflat[gather]
         codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
 
         new_term = np.empty(len(codes), dtype=bool)
@@ -193,6 +234,18 @@ def _make_block_encoder(block_size: int):
         tf_cum = np.zeros(len(tf) + 1, dtype=np.int64)
         np.cumsum(tf, out=tf_cum[1:])
 
+        if posflat.size:
+            # positions stream: per posting run (length tf), first
+            # position absolute, rest gaps — freq implies run length,
+            # exactly Lucene's .pos stream layout
+            run_starts = tf_cum[:-1]
+            pdeltas = np.empty_like(posflat)
+            pdeltas[0] = posflat[0]
+            np.subtract(posflat[1:], posflat[:-1], out=pdeltas[1:])
+            pdeltas[run_starts] = posflat[run_starts]
+            pos_buf, pos_offs = varint_encode_with_offsets(pdeltas)
+            mv_pos = memoryview(pos_buf)
+
         mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
         nb = bstarts.size
         # norms entry (appended as the last row, term = NULL): distinct
@@ -212,9 +265,17 @@ def _make_block_encoder(block_size: int):
         doc_bytes = [bytes(mv_doc[doc_offs[a] : doc_offs[b]]) for a, b in zip(bstarts, bends)]
         tf_bytes = [bytes(mv_tf[tf_offs[a] : tf_offs[b]]) for a, b in zip(bstarts, bends)]
         dl_bytes = [bytes(mv_dl[dl_offs[a] : dl_offs[b]]) for a, b in zip(bstarts, bends)]
+        if posflat.size:
+            pos_bytes = [
+                bytes(mv_pos[pos_offs[tf_cum[a]] : pos_offs[tf_cum[b]]])
+                for a, b in zip(bstarts, bends)
+            ]
+        else:
+            pos_bytes = [b""] * nb
         doc_bytes.append(varint_encode(ndeltas))
         tf_bytes.append(b"")
         dl_bytes.append(varint_encode(udl))
+        pos_bytes.append(b"")
 
         def i32(block_vals, norm_val):
             return pa.array(np.concatenate((block_vals.astype(np.int32), [np.int32(norm_val)])), type=pa.int32())
@@ -235,6 +296,7 @@ def _make_block_encoder(block_size: int):
                 "doc_bytes": pa.array(doc_bytes, type=pa.binary()),
                 "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
                 "dl_bytes": pa.array(dl_bytes, type=pa.binary()),
+                "pos_bytes": pa.array(pos_bytes, type=pa.binary()),
                 "max_tf": i32(np.maximum.reduceat(tf, bstarts), 0),
                 "min_dl": i32(np.minimum.reduceat(dl, bstarts), 0),
                 "sum_tf": i64(tf_cum[bends] - tf_cum[bstarts], 0),
@@ -307,7 +369,9 @@ def tokenize_all(base: DataFrame, config: IndexConfig) -> DataFrame:
         settings = config.analyzer(ia.analyzer_name)
         t = (
             base.select("shard", "doc_id", stored_col)
-            .mapInArrow(_make_tokenizer(stored_col, settings), TALL_SCHEMA)
+            .mapInArrow(
+                _make_tokenizer(stored_col, settings, config.store_positions), TALL_SCHEMA
+            )
             .withColumn("field", F.lit(ia.indexed_field_name))
         )
         tall_parts.append(t)

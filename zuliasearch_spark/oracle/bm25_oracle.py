@@ -21,10 +21,10 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from zuliasearch_spark.analysis.analyzers import analyze_query_text, term_freqs
+from zuliasearch_spark.analysis.analyzers import analyze_query_text, term_freqs, tokenize
 from zuliasearch_spark.config import IndexConfig
 from zuliasearch_spark.search.matcher import combine_clauses
-from zuliasearch_spark.search.query import SearchRequest, resolve_clause
+from zuliasearch_spark.search.query import PhraseSpec, SearchRequest, resolve_clause
 from zuliasearch_spark.search.scorer import Bm25Params, bm25_avgdl, bm25_term_scores, bm25_weight
 from zuliasearch_spark.util.hashing import shard_for_series
 
@@ -41,6 +41,9 @@ class _FieldIndex:
     # (shard -> term -> df)
     df_by_shard: dict[int, dict[str, int]]
     df_global: dict[str, int]
+    # per corpus row: [(position, term), ...] — the raw analyzed
+    # stream (with stopword position gaps) for phrase matching
+    streams: list[list[tuple[int, str]]]
 
 
 class OracleIndex:
@@ -86,8 +89,14 @@ class OracleIndex:
                 t, c = np.unique(term[m], return_counts=True)
                 df_by_shard[s] = dict(zip(t.tolist(), c.tolist()))
             tg, cg = np.unique(term, return_counts=True)
+            ts = tokenize(corpus[stored_col], settings)
+            streams: list[list[tuple[int, str]]] = [[] for _ in range(len(corpus))]
+            stream_terms = ts.terms()
+            for d, p, t in zip(ts.doc_idx.tolist(), ts.pos.tolist(), stream_terms.tolist()):
+                streams[d].append((p, str(t)))
             self.fields[ia.indexed_field_name] = _FieldIndex(
-                drow, term, tf, dl, doc_count, sum_dl, df_by_shard, dict(zip(tg.tolist(), cg.tolist()))
+                drow, term, tf, dl, doc_count, sum_dl, df_by_shard,
+                dict(zip(tg.tolist(), cg.tolist())), streams,
             )
 
     # -- scoring helpers ------------------------------------------------
@@ -126,6 +135,74 @@ class OracleIndex:
             score[r] = bm25_term_scores(tfs[m], fi.dl[r], w, avgdl, self.params)
         return mask, score
 
+    def _phrase_freqs(self, field: str, terms: tuple[str, ...], slop: int) -> dict[int, int]:
+        """row -> phrase frequency, by straightforward per-doc scans —
+        deliberately independent of the engine's vectorized
+        key-intersection so a shared bug cannot hide."""
+        fi = self.fields[field]
+        out: dict[int, int] = {}
+        for row, stream in enumerate(fi.streams):
+            if not stream:
+                continue
+            pos_by_term: dict[str, list[int]] = {}
+            for p, t in stream:
+                pos_by_term.setdefault(t, []).append(p)
+            if any(t not in pos_by_term for t in terms):
+                continue
+            if slop == 0 or len(terms) == 1:
+                bases = [
+                    p
+                    for p in pos_by_term[terms[0]]
+                    if all((p + i) in pos_by_term[t] for i, t in enumerate(terms) if i)
+                ]
+                freq = len(bases)
+            elif len(terms) == 2:
+                a_offs = pos_by_term[terms[0]]
+                freq = sum(
+                    1
+                    for pb in pos_by_term[terms[1]]
+                    if min(abs((pb - 1) - pa) for pa in a_offs) <= slop
+                )
+            else:
+                raise ValueError("oracle sloppy phrases support exactly 2 terms")
+            if freq:
+                out[row] = freq
+        return out
+
+    def _phrase_vectors(self, spec: PhraseSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
+        fi = self.fields[spec.field]
+        mask = np.zeros(self.n, dtype=bool)
+        score = np.zeros(self.n, dtype=np.float64)
+        freqs = self._phrase_freqs(spec.field, spec.terms, spec.slop)
+        if not freqs:
+            return mask, score
+        rows = np.fromiter(sorted(freqs), dtype=np.int64)
+        fr = np.array([freqs[r] for r in rows.tolist()], dtype=np.int64)
+        mask[rows] = True
+        cfg = self.config
+        shards = self.shard[rows] if cfg.per_shard_stats else np.zeros(len(rows), dtype=np.int64)
+        for s in np.unique(shards):
+            m = shards == s
+            if cfg.per_shard_stats:
+                n_docs, sum_dl = fi.doc_count[int(s)], fi.sum_dl[int(s)]
+                df_of = fi.df_by_shard[int(s)]
+            else:
+                n_docs, sum_dl = sum(fi.doc_count.values()), sum(fi.sum_dl.values())
+                df_of = fi.df_global
+            dfs = [df_of.get(t, 0) for t in spec.terms]
+            if any(d == 0 for d in dfs) or n_docs == 0:
+                continue
+            avgdl = bm25_avgdl(sum_dl, n_docs, self.params)
+            # PhraseWeight idf = Σ constituent idfs (Lucene idfExplain sum)
+            w = sum(bm25_weight(n_docs, d, 1.0, self.params) for d in dfs)
+            if self.params.lucene_parity:
+                w = float(np.float32(w) * np.float32(boost))
+            else:
+                w = w * boost
+            r = rows[m]
+            score[r] = bm25_term_scores(fr[m], fi.dl[r], w, avgdl, self.params)
+        return mask, score
+
     # -- search ----------------------------------------------------------
 
     def search(self, req: SearchRequest) -> dict:
@@ -134,12 +211,13 @@ class OracleIndex:
             resolve_clause(c, self._analyze, cfg.default_search_fields) for c in req.clauses
         ]
         n = self.n
-        match, total = combine_clauses(
-            resolved,
-            lambda spec, boost: self._term_vectors(spec.field, spec.term, boost),
-            n,
-            self.params.lucene_parity,
-        )
+
+        def tv(spec, boost):
+            if isinstance(spec, PhraseSpec):
+                return self._phrase_vectors(spec, boost)
+            return self._term_vectors(spec.field, spec.term, boost)
+
+        match, total = combine_clauses(resolved, tv, n, self.params.lucene_parity)
         total_hits = int(match.sum())
         idx = np.flatnonzero(match)
         # search-after cursor: drop docs at or before the per-shard mark

@@ -75,7 +75,14 @@ from zuliasearch_spark.analysis.analyzers import analyze_query_text
 from zuliasearch_spark.config import IndexConfig
 from zuliasearch_spark.indexing.builder import IndexTables
 from zuliasearch_spark.search.matcher import combine_clauses
-from zuliasearch_spark.search.query import ResolvedClause, SearchRequest, TermSpec, resolve_clause
+from zuliasearch_spark.search.query import (
+    PhraseSpec,
+    ResolvedClause,
+    SearchRequest,
+    TermSpec,
+    iter_stat_keys,
+    resolve_clause,
+)
 from zuliasearch_spark.search.scorer import (
     Bm25Params,
     bm25_avgdl,
@@ -113,6 +120,7 @@ class PostingsStore:
         self._doc_bytes = pdf["doc_bytes"].to_numpy()
         self._tf_bytes = pdf["tf_bytes"].to_numpy()
         self._dl_bytes = pdf["dl_bytes"].to_numpy()
+        self._pos_bytes = pdf["pos_bytes"].to_numpy() if "pos_bytes" in pdf.columns else None
         self.blocks_total = len(pdf)
         self.blocks_decoded = 0
         # (field, term) -> [row_start, row_end) into the arrays above
@@ -127,6 +135,7 @@ class PostingsStore:
             for s, e in zip(starts, ends):
                 self._rows[(str(fields[s]), str(terms[s]))] = (int(s), int(e))
         self._full_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._pos_cache: dict[tuple[str, str], tuple] = {}
 
     def keys(self):
         return self._rows.keys()
@@ -160,6 +169,38 @@ class PostingsStore:
             return None
         out = self._decode_rows(np.arange(span[0], span[1], dtype=np.int64))
         self._full_cache[key] = out
+        return out
+
+    def decode_with_positions(self, key: tuple[str, str]):
+        """Decode a term's blocks INCLUDING the positions stream.
+
+        Returns ``(docs, tfs, dls, pos_flat)`` where ``pos_flat``
+        holds each posting's ascending positions concatenated in
+        posting order (run lengths = tfs), or None if the term is
+        absent; raises if the index was built without positions.
+        """
+        got = self._pos_cache.get(key)
+        if got is not None:
+            return got
+        span = self._rows.get(key)
+        if span is None:
+            return None
+        rows = np.arange(span[0], span[1], dtype=np.int64)
+        docs, tfs, dls = self.decode(key)
+        if self._pos_bytes is None:
+            raise ValueError("index has no positions stream (store_positions=False)")
+        pos_buf = b"".join(self._pos_bytes[rows])
+        deltas = varint_decode(pos_buf)
+        if deltas.size != int(tfs.sum()):
+            raise ValueError(
+                "positions stream missing or truncated — was the index "
+                "built with store_positions=True?"
+            )
+        run_starts = np.zeros(tfs.size, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=run_starts[1:])
+        pos_flat = segmented_cumsum(deltas, run_starts)
+        out = (docs, tfs, dls, pos_flat)
+        self._pos_cache[key] = out
         return out
 
     def decode_overlapping(
@@ -245,14 +286,105 @@ def _leaf_scores(sim, tfs, dls, boost, idf, avgdl, params):
     return bm25_term_scores(tfs, dls, w, avgdl, params)
 
 
+_POS_SHIFT = np.int64(1) << np.int64(32)  # doc*2^32 + pos keys; pos < 2^31
+
+
+def _phrase_postings(store: PostingsStore, pspec: PhraseSpec):
+    """(docs, phrase_freq, dls) of a phrase over one shard's postings.
+
+    Exact phrases (slop=0, any length): each term i contributes the
+    sorted key set {doc·2³² + pos − i}; the intersection's keys are
+    phrase start offsets, so per-doc key counts are the phrase
+    frequency — one vectorized set intersection per term, the
+    columnar analogue of Lucene's ExactPhraseMatcher position walk.
+
+    Sloppy 2-term phrases: per occurrence of the last term, the
+    nearest same-doc key of the first term via searchsorted;
+    match iff min |offset_b − offset_a| ≤ slop (Lucene's 2-term
+    sloppy metric: "a b"~2 matches "b a", ~1 does not). Longer
+    sloppy phrases are not supported (raise).
+    """
+    streams = []
+    for t in pspec.terms:
+        entry = store.decode_with_positions((pspec.field, t))
+        if entry is None:
+            return None
+        streams.append(entry)
+    k = len(pspec.terms)
+    if pspec.slop == 0 or k == 1:
+        common = None
+        for i, (docs, tfs, dls, pos) in enumerate(streams):
+            keys = np.repeat(docs, tfs) * _POS_SHIFT + (pos - i + k)
+            common = keys if common is None else np.intersect1d(common, keys, assume_unique=True)
+            if common.size == 0:
+                break
+        if common is None or common.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+        udocs, freqs = np.unique(common // _POS_SHIFT, return_counts=True)
+    elif k == 2:
+        docs_a, tf_a, _dl_a, pos_a = streams[0]
+        docs_b, tf_b, _dl_b, pos_b = streams[1]
+        a_keys = np.repeat(docs_a, tf_a) * _POS_SHIFT + pos_a + k  # offset 0
+        b_keys = np.repeat(docs_b, tf_b) * _POS_SHIFT + (pos_b - 1) + k  # offset −1
+        j = np.searchsorted(a_keys, b_keys)
+        best = np.full(b_keys.size, np.iinfo(np.int64).max, dtype=np.int64)
+        for jj in (j - 1, j):
+            valid = (jj >= 0) & (jj < a_keys.size)
+            cand = a_keys[np.clip(jj, 0, max(a_keys.size - 1, 0))]
+            same_doc = (cand // _POS_SHIFT) == (b_keys // _POS_SHIFT)
+            dist = np.abs(b_keys - cand)
+            best = np.where(valid & same_doc, np.minimum(best, dist), best)
+        occ_docs = (b_keys // _POS_SHIFT)[best <= pspec.slop]
+        if occ_docs.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+        udocs, freqs = np.unique(occ_docs, return_counts=True)
+    else:
+        raise ValueError("sloppy phrases support exactly 2 terms (slop=0 for any length)")
+    d0, _, dls0 = store.decode((pspec.field, pspec.terms[0]))[:3]
+    dls_out = dls0[np.searchsorted(d0, udocs)]
+    return udocs, freqs.astype(np.int64), dls_out
+
+
+def _phrase_weight(pspec: PhraseSpec, shard, idf_by_key, params):
+    """(Σ bm25_idf, Σ classic_idf) over constituents — Lucene
+    PhraseWeight sums the terms' idf explanations. None if any
+    constituent has no postings in the shard's stat group."""
+    sb = sc = 0.0
+    for t in pspec.terms:
+        got = idf_by_key.get((pspec.field, t, shard))
+        if got is None:
+            return None
+        sb += got[0]
+        sc += got[1]
+    if params.lucene_parity:
+        return (float(np.float32(sb)), float(np.float32(sc)))
+    return (sb, sc)
+
+
 def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, cand_sorted, sims=None):
     """term_vectors over a candidate subset: arrays indexed by candidate
     position, postings gathered via searchsorted on decoded doc lists."""
     sims = sims or {}
 
-    def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
+    def term_vectors(spec, boost: float) -> tuple[np.ndarray, np.ndarray]:
         mask = np.zeros(n_sub, dtype=bool)
         score = np.zeros(n_sub, dtype=np.float64)
+        if isinstance(spec, PhraseSpec):
+            got = _phrase_postings(store, spec)
+            if got is None:
+                return mask, score
+            udocs, freqs, dls = got
+            pos = np.searchsorted(udocs, cand_sorted)
+            ok = (pos < udocs.size) & (udocs[np.minimum(pos, max(udocs.size - 1, 0))] == cand_sorted)
+            mask[ok] = True
+            w = _phrase_weight(spec, shard, idf_by_key, params)
+            if w is not None and ok.any():
+                sel = pos[ok]
+                score[ok] = _leaf_scores(
+                    sims.get(spec.field, "BM25"), freqs[sel], dls[sel], boost, w,
+                    avgdl_by_key[(spec.field, shard)], params,
+                )
+            return mask, score
         entry = store.decode_overlapping((spec.field, spec.term), cand_sorted)
         if entry is None:
             return mask, score
@@ -275,9 +407,22 @@ def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, 
 def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, sims=None):
     sims = sims or {}
 
-    def term_vectors(spec: TermSpec, boost: float) -> tuple[np.ndarray, np.ndarray]:
+    def term_vectors(spec, boost: float) -> tuple[np.ndarray, np.ndarray]:
         mask = np.zeros(n, dtype=bool)
         score = np.zeros(n, dtype=np.float64)
+        if isinstance(spec, PhraseSpec):
+            got = _phrase_postings(store, spec)
+            if got is None:
+                return mask, score
+            udocs, freqs, dls = got
+            mask[udocs] = True
+            w = _phrase_weight(spec, shard, idf_by_key, params)
+            if w is not None and udocs.size:
+                score[udocs] = _leaf_scores(
+                    sims.get(spec.field, "BM25"), freqs, dls, boost, w,
+                    avgdl_by_key[(spec.field, shard)], params,
+                )
+            return mask, score
         entry = store.decode((spec.field, spec.term))
         if entry is None:
             return mask, score
@@ -366,6 +511,8 @@ def _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, 
         # docs can match with zero score (pure filter / negation
         # shapes): the UB universe would miss them — dense only
         return None
+    if any(isinstance(s, PhraseSpec) for rc in resolved for s in rc.specs):
+        return None  # phrase freq has no per-block bound: dense only
 
     # 1-2. dense per-doc upper bound via difference array over block ranges
     ub_diff = np.zeros(n + 1, dtype=np.float64)
@@ -709,9 +856,9 @@ class SearchEngine:
         """Execute many requests in ONE Spark job (module docstring)."""
         shards = self._shards()
         resolved_by_qid = {qid: self._resolve(r) for qid, r in reqs.items()}
-        all_specs = {
-            (s.field, s.term) for rs in resolved_by_qid.values() for rc in rs for s in rc.specs
-        }
+        all_specs: set[tuple[str, str]] = set()
+        for rs in resolved_by_qid.values():
+            all_specs |= iter_stat_keys(rs)
         plan = self._plan(all_specs)
         results: dict[str, dict] = {}
         if plan is None:
@@ -823,8 +970,7 @@ class SearchEngine:
         resolved = self._resolve(req)
         if resolved and all(rc.clause.negative for rc in resolved):
             raise ValueError("match_ids needs a positive clause; anti-join doc_map for pure negations")
-        specs = {(s.field, s.term) for rc in resolved for s in rc.specs}
-        plan = self._plan(specs)
+        plan = self._plan(iter_stat_keys(resolved))
         if plan is None:
             raise ValueError("empty query")
         idf_by_key, avgdl_by_key, cond = plan

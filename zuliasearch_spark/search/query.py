@@ -55,6 +55,10 @@ class QueryClause:
     mm: int = 0  # min-should-match when default_op == OR
     boost: float = 1.0
     terms: tuple[str, ...] = ()  # TERMS / TERMS_NOT explicit term set
+    # phrase query: ordered words, analyzed per target field
+    # ("exact phrase"~N, ZuliaSyntaxParser.jj:171; needs positions)
+    phrase: tuple[str, ...] = ()
+    slop: int = 0  # proximity slop for the phrase
 
     @property
     def scoring(self) -> bool:
@@ -125,6 +129,44 @@ class TermSpec:
 
 
 @dataclass(frozen=True)
+class PhraseSpec:
+    """One resolved phrase leaf: ordered terms in one field.
+
+    Participates in the same group/subgroup algebra as TermSpec (a
+    quoted phrase is one token; multi-field expansion ORs the fields).
+    Matching needs the positions stream; slop semantics follow
+    Lucene's sloppy phrase for 2-term phrases (min |offset(b) -
+    offset(a)| ≤ slop, where offset = position - phrase index; an
+    out-of-order pair costs 2), exact adjacency for slop=0 at any
+    length.
+    """
+
+    field: str
+    terms: tuple[str, ...]
+    slop: int
+    required: bool
+    group: int = 0
+    subgroup: int = 0
+
+    @property
+    def stat_keys(self) -> tuple[tuple[str, str], ...]:
+        return tuple((self.field, t) for t in self.terms)
+
+
+def iter_stat_keys(resolved) -> set[tuple[str, str]]:
+    """All (field, term) pairs a resolved query needs stats/postings
+    for — TermSpec leaves plus every phrase constituent."""
+    out: set[tuple[str, str]] = set()
+    for rc in resolved:
+        for spec in rc.specs:
+            if isinstance(spec, PhraseSpec):
+                out.update(spec.stat_keys)
+            else:
+                out.add((spec.field, spec.term))
+    return out
+
+
+@dataclass(frozen=True)
 class ResolvedClause:
     clause: QueryClause
     specs: tuple[TermSpec, ...]
@@ -153,9 +195,23 @@ def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]
 
     ``analyze(field, text) -> list[str]`` runs the field's analyzer.
     """
-    specs: list[TermSpec] = []
+    specs: list[TermSpec | PhraseSpec] = []
     required = clause.default_op.upper() == "AND"
     group = 0
+    if clause.phrase:
+        # a phrase is ONE token group, OR'd across the target fields;
+        # words are analyzed with each field's chain (so camelCase
+        # splitting inside a phrase word yields consecutive terms)
+        fields = clause.qf or default_fields
+        if not fields:
+            raise ValueError("no default fields for phrase clause")
+        for sub, fname in enumerate(fields):
+            terms = tuple(analyze(fname, " ".join(clause.phrase)))
+            if terms:
+                specs.append(
+                    PhraseSpec(fname, terms, clause.slop, required=True, group=0, subgroup=sub)
+                )
+        return ResolvedClause(clause, tuple(specs))
     if clause.q is None and clause.terms:
         # explicit pre-analyzed term set; for TERMS/TERMS_NOT this is
         # the TermInSetQuery surface, for scoring clauses it's the

@@ -1,0 +1,223 @@
+"""Query-string parser: AST shape (QueryParserTest.java as spec) and
+end-to-end execution through the kernel tree evaluator."""
+
+import pandas as pd
+import pytest
+
+from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+from zuliasearch_spark.indexing.builder import build_index
+from zuliasearch_spark.search.executor import SearchEngine
+from zuliasearch_spark.search.parser import (
+    Bool,
+    Leaf,
+    ParseError,
+    Range,
+    parse_query,
+)
+from zuliasearch_spark.search.query import SearchRequest
+
+# ---------------------------------------------------------------------------
+# AST shape (mirrors QueryParserTest.minimumShouldMatchTest occurs)
+
+
+def occurs(node):
+    return [o for o, _ in node.children]
+
+
+def test_mm_group_occurs_or_default():
+    # "abstract:diabetes title:(cancer AND lung -fly rat bear insect +fruit)@2"
+    # → abstract:diabetes ((+cancer +lung -fly rat bear insect +fruit)~2)
+    q = parse_query("abstract:diabetes title:(cancer AND lung -fly rat bear insect +fruit)@2")
+    assert occurs(q) == ["SHOULD", "SHOULD"]
+    grp = q.children[1][1]
+    assert isinstance(grp, Bool) and grp.mm == 2
+    assert occurs(grp) == ["MUST", "MUST", "MUST_NOT", "SHOULD", "SHOULD", "SHOULD", "MUST"]
+    assert all(c.field == "title" for _, c in grp.children)
+
+
+def test_mm_group_tilde_syntax_same():
+    a = parse_query("t:(cancer AND lung -fly rat +fruit)@2")
+    b = parse_query("t:(cancer AND lung -fly rat +fruit)~2")
+    assert occurs(a.children[0][1]) == occurs(b.children[0][1])
+    assert a.children[0][1].mm == b.children[0][1].mm == 2
+
+
+def test_default_and_promotes_bare_terms():
+    q = parse_query("cancer lung OR fly", default_op="AND")
+    # AND default: bare terms MUST; explicit OR demotes both sides
+    assert occurs(q) == ["MUST", "SHOULD", "SHOULD"]
+
+
+def test_and_promotes_previous():
+    q = parse_query("a b AND c")
+    assert occurs(q) == ["SHOULD", "MUST", "MUST"]
+
+
+def test_not_and_bang():
+    q = parse_query("a NOT b !c -d")
+    assert occurs(q) == ["SHOULD", "MUST_NOT", "MUST_NOT", "MUST_NOT"]
+
+
+def test_nested_groups():
+    q = parse_query("(a OR b) AND c")
+    assert occurs(q) == ["MUST", "MUST"]
+    inner = q.children[0][1]
+    assert isinstance(inner, Bool) and occurs(inner) == ["SHOULD", "SHOULD"]
+
+
+def test_phrase_slop_fuzzy_boost_regex():
+    q = parse_query('"exact phrase"~3 term~ wild* /reg.x/ a:b^2.5')
+    ph = q.children[0][1]
+    assert ph.phrase and ph.slop == 3 and ph.text == "exact phrase"
+    fz = q.children[1][1]
+    assert fz.fuzzy == 2  # bare ~ → 2 edits
+    assert q.children[2][1].text == "wild*"
+    assert q.children[3][1].regex
+    assert q.children[4][1].boost == 2.5
+
+
+def test_ranges_and_comparisons():
+    q = parse_query("n:[10 TO 50] m:{a TO b} ts:[2024-06-17T16:10:00 TO *] k>=5 j<3 i=7")
+    r0 = q.children[0][1]
+    assert isinstance(r0, Range) and (r0.lo, r0.hi, r0.incl_lo, r0.incl_hi) == ("10", "50", True, True)
+    r1 = q.children[1][1]
+    assert (r1.lo, r1.hi, r1.incl_lo, r1.incl_hi) == ("a", "b", False, False)
+    r2 = q.children[2][1]
+    assert r2.lo == "2024-06-17T16:10:00" and r2.hi is None
+    assert q.children[3][1].lo == "5" and q.children[3][1].incl_lo
+    assert q.children[4][1].hi == "3" and not q.children[4][1].incl_hi
+    assert q.children[5][1].lo == "7" and q.children[5][1].hi == "7"
+
+
+def test_field_group_scoping_and_exists():
+    q = parse_query("f:(a b) g:*")
+    grp = q.children[0][1]
+    assert all(c.field == "f" for _, c in grp.children)
+    assert q.children[1][1].text == "*" and q.children[1][1].field == "g"
+
+
+def test_escapes():
+    q = parse_query(r"added:2024\:06\:17 pa\-th:x")
+    assert q.children[0][1].field == "added" and q.children[0][1].text == "2024:06:17"
+
+
+def test_parse_errors():
+    for bad in ["", "(a", "a)", "f:[1 TO", "^2"]:
+        with pytest.raises(ParseError):
+            parse_query(bad)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through the engine
+
+DOCS = [
+    ("d00", "alpha beta gamma", "en", 10),
+    ("d01", "alpha beta", "en", 20),
+    ("d02", "beta gamma", "fr", 30),
+    ("d03", "alpha", "fr", 40),
+    ("d04", "gamma delta", "en", 50),
+    ("d05", "delta epsilon", "de", 60),
+    ("d06", "alphabet soup", "fr", 70),
+    ("d07", "epsilon", "en", 80),
+    ("d08", "alpha alpha beta", "de", 90),
+    ("d09", "", "fr", 100),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    cfg = IndexConfig(
+        index_name="qs",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+            FieldConfig("lang", index_as=(IndexAs("lang", "lcKeyword"),)),
+        ),
+        per_shard_stats=False,
+        quantize_norms=False,
+    )
+    pdf = pd.DataFrame(DOCS, columns=["uniqueId", "content", "lang", "n"])
+    tables = build_index(
+        spark.createDataFrame(pdf), cfg, stored_cols=("n", "lang")
+    ).persist()
+    yield SearchEngine(tables)
+    tables.unpersist()
+
+
+def _ids(res):
+    return {t["uniqueId"] for t in res["topk"]}
+
+
+def _q(engine, q, **kw):
+    return engine.search(SearchRequest(qs=q, amount=50, **kw))
+
+
+def test_qs_bool(engine):
+    assert _ids(_q(engine, "alpha AND beta")) == {"d00", "d01", "d08"}
+    assert _ids(_q(engine, "alpha -beta")) == {"d03"}
+    assert _ids(_q(engine, "(alpha OR delta) AND gamma")) == {"d00", "d04"}
+    assert _ids(_q(engine, "alpha beta", default_op="AND")) == {"d00", "d01", "d08"}
+    assert _ids(_q(engine, "lang:fr alpha", default_op="AND")) == {"d03"}
+
+
+def test_qs_mm_group(engine):
+    assert _ids(_q(engine, "(alpha beta gamma)~2")) == {"d00", "d01", "d02", "d08"}
+
+
+def test_qs_phrase_and_wildcard(engine):
+    assert _ids(_q(engine, '"alpha beta"')) == {"d00", "d01", "d08"}
+    # wildcard alph* covers alpha + alphabet
+    assert _ids(_q(engine, "alph*")) == {"d00", "d01", "d03", "d06", "d08"}
+    # fuzzy alpa~1 → alpha
+    assert _ids(_q(engine, "alpa~1")) == {"d00", "d01", "d03", "d08"}
+
+
+def test_qs_exists(engine):
+    # content:* matches every doc with ≥1 content token (not d09)
+    res = _q(engine, "content:*")
+    assert _ids(res) == {f"d0{i}" for i in range(9)}
+    assert res["totalHits"] == 9
+
+
+def test_qs_negative_only_fixup(engine):
+    res = _q(engine, "-alpha")
+    assert _ids(res) == {"d02", "d04", "d05", "d06", "d07", "d09"}
+
+
+def test_qs_boost_changes_ranking(engine):
+    plain = engine.search(SearchRequest(qs="alpha epsilon", amount=3))
+    boosted = engine.search(SearchRequest(qs="alpha^20 epsilon", amount=3))
+    s_plain = {t["uniqueId"]: t["score"] for t in plain["topk"]}
+    s_boost = {t["uniqueId"]: t["score"] for t in boosted["topk"]}
+    assert s_plain != s_boost
+    # an alpha-only doc overtakes the epsilon docs under the boost
+    assert boosted["topk"][0]["uniqueId"] in {"d03", "d08", "d01", "d00"}
+
+
+def test_search_string_ranges(engine):
+    res = engine.search_string("alpha AND n:[15 TO 45]", amount=50)
+    assert {t["uniqueId"] for t in res["topk"]} == {"d01", "d03"}
+    assert res["totalHits"] == 2
+    # pure range query (no term leaves)
+    res2 = engine.search_string("n:[85 TO *]", amount=50)
+    assert {t["uniqueId"] for t in res2["topk"]} == {"d08", "d09"}
+    # string range over a keyword column
+    res3 = engine.search_string("alpha AND lang:[en TO en]", amount=50)
+    assert {t["uniqueId"] for t in res3["topk"]} == {"d00", "d01"}
+    # NOT range
+    res4 = engine.search_string("alpha -n:[15 TO 95]", amount=50)
+    assert {t["uniqueId"] for t in res4["topk"]} == {"d00"}
+
+
+def test_qs_matches_clause_model_scores(engine):
+    from zuliasearch_spark.search.query import QueryClause as C
+
+    a = engine.search(SearchRequest(qs="alpha beta", amount=50))
+    b = engine.search(
+        SearchRequest(clauses=(C("SCORE_SHOULD", q="alpha beta", qf=("content",)),), amount=50)
+    )
+    sa = {t["uniqueId"]: t["score"] for t in a["topk"]}
+    sb = {t["uniqueId"]: t["score"] for t in b["topk"]}
+    assert sa == sb

@@ -181,6 +181,25 @@ def q_phrase_slop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(hits,)], "hits bigint")
 
 
+def q_qs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string syntax end-to-end (search.parser →
+    matcher.evaluate_tree): a boosted required group plus a bare
+    disjunct — '(merge AND scan)^2 window'. Docs matching the group
+    get 2·(s_merge + s_scan); everyone needs ≥1 should-match."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(qs="(merge AND scan)^2 window", qf=("text",), amount=50)
+    return _topk_df(spark, eng, req, 10)
+
+
+def q_qs_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string booleans with NOT and nesting:
+    '(merge AND scan) OR window -lang:fr'."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(qs="((merge AND scan) OR window) -lang:fr", qf=("text",), amount=1)
+    hits = eng.search(req, fetch="none")["totalHits"]
+    return spark.createDataFrame([(hits,)], "hits bigint")
+
+
 def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
@@ -744,6 +763,8 @@ QUERIES = {
     "sim_tfidf": q_sim_tfidf,
     "phrase_topk": q_phrase_topk,
     "phrase_slop_count": q_phrase_slop_count,
+    "qs_topk": q_qs_topk,
+    "qs_count": q_qs_count,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -813,6 +834,37 @@ WITH {_TOKS_CTE}
 SELECT count(*)::BIGINT AS hits FROM documents d
 WHERE (d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'en') OR lower(d.lang) = 'en')
   AND (d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge') OR lower(d.lang) = 'merge')""",
+    "qs_topk": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('merge','scan','window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id, tf.term,
+        ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS sc
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+p AS (SELECT doc_id,
+        max(CASE WHEN term = 'merge' THEN sc END) AS sm,
+        max(CASE WHEN term = 'scan' THEN sc END) AS ss,
+        max(CASE WHEN term = 'window' THEN sc END) AS sw
+      FROM s GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id,
+         (CASE WHEN sm IS NOT NULL AND ss IS NOT NULL THEN 2 * (sm + ss) ELSE 0 END)
+           + coalesce(sw, 0) AS score
+  FROM p
+  WHERE (sm IS NOT NULL AND ss IS NOT NULL) OR sw IS NOT NULL
+)
+ORDER BY round(score, 7) DESC, doc_id ASC LIMIT 10""",
+    "qs_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS hits FROM documents d
+WHERE ((d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge')
+        AND d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'scan'))
+       OR d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'window'))
+  AND lower(d.lang) <> 'fr'""",
     "phrase_topk": f"""
 WITH {_TOKS_CTE},
 lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),

@@ -74,7 +74,19 @@ from pyspark.sql import functions as F
 from zuliasearch_spark.analysis.analyzers import analyze_query_text
 from zuliasearch_spark.config import IndexConfig
 from zuliasearch_spark.indexing.builder import IndexTables
-from zuliasearch_spark.search.matcher import combine_clauses
+from zuliasearch_spark.search.matcher import combine_clauses, evaluate_tree
+from zuliasearch_spark.search.parser import ExistsSpec as _ExistsSpecT
+from zuliasearch_spark.search.parser import (
+    RBool,
+    parse_query,
+    resolve_tree,
+    strip_ranges as _strip_ranges,
+    tree_has_positive_leaf,
+    tree_ranges,
+    tree_stat_keys,
+)
+
+_TREE_SENTINEL = "\x00tree\x00"  # cache key for a pre-stripped AST
 from zuliasearch_spark.search.query import (
     PhraseSpec,
     ResolvedClause,
@@ -133,7 +145,11 @@ class PostingsStore:
             starts = np.flatnonzero(key_change)
             ends = np.concatenate((starts[1:], [len(pdf)]))
             for s, e in zip(starts, ends):
-                self._rows[(str(fields[s]), str(terms[s]))] = (int(s), int(e))
+                t = terms[s]
+                # norms rows (term IS NULL) key as (field, None) —
+                # the field-exists stream (distinct docs + lengths)
+                key_term = None if t is None or (isinstance(t, float) and np.isnan(t)) else str(t)
+                self._rows[(str(fields[s]), key_term)] = (int(s), int(e))
         self._full_cache: dict[tuple[str, str], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._pos_cache: dict[tuple[str, str], tuple] = {}
 
@@ -237,6 +253,7 @@ class _QueryPlan:
     after_by_shard: dict[int, tuple[float, int]]
     prune: bool
     sims: tuple[tuple[str, str], ...] = ()  # per-field similarity override
+    tree: "RBool | None" = None  # parsed query-string AST (overrides resolved)
 
 
 _VALID_SIMS = ("BM25", "TFIDF", "TF", "CONSTANT")
@@ -369,6 +386,16 @@ def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, 
     def term_vectors(spec, boost: float) -> tuple[np.ndarray, np.ndarray]:
         mask = np.zeros(n_sub, dtype=bool)
         score = np.zeros(n_sub, dtype=np.float64)
+        if isinstance(spec, _ExistsSpecT):
+            entry = store.decode((spec.field, None))
+            if entry is None:
+                return mask, score
+            docs = entry[0]
+            pos = np.searchsorted(docs, cand_sorted)
+            ok = (pos < docs.size) & (docs[np.minimum(pos, max(docs.size - 1, 0))] == cand_sorted)
+            mask[ok] = True
+            score[ok] = np.float32(boost) if params.lucene_parity else boost
+            return mask, score
         if isinstance(spec, PhraseSpec):
             got = _phrase_postings(store, spec)
             if got is None:
@@ -410,6 +437,16 @@ def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, sims=
     def term_vectors(spec, boost: float) -> tuple[np.ndarray, np.ndarray]:
         mask = np.zeros(n, dtype=bool)
         score = np.zeros(n, dtype=np.float64)
+        if isinstance(spec, _ExistsSpecT):
+            # field:* — constant-score over the norms stream
+            # (FieldExistsQuery semantics)
+            entry = store.decode((spec.field, None))
+            if entry is None:
+                return mask, score
+            docs = entry[0]
+            mask[docs] = True
+            score[docs] = np.float32(boost) if params.lucene_parity else boost
+            return mask, score
         if isinstance(spec, PhraseSpec):
             got = _phrase_postings(store, spec)
             if got is None:
@@ -486,16 +523,19 @@ def _run_query_on_shard(
     after = plan.after_by_shard.get(shard)
     k = plan.per_shard_amount
 
-    if plan.prune and not plan.sims and deleted is None:
-        # (pruning bounds assume BM25 impacts; similarity overrides
-        # and tombstones fall back to dense)
+    if plan.tree is None and plan.prune and not plan.sims and deleted is None:
+        # (pruning bounds assume BM25 impacts; similarity overrides,
+        # tombstones and parsed trees fall back to dense)
         result = _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, after, k)
         if result is not None:
             return result
 
     # dense path: exact totalHits, exact top-k
     tv = _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, dict(plan.sims))
-    match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
+    if plan.tree is not None:
+        match, total = evaluate_tree(plan.tree, tv, n, params.lucene_parity)
+    else:
+        match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
     _apply_tombstones(match, deleted)
     total_hits = int(match.sum())
     idx = np.flatnonzero(match)
@@ -672,6 +712,7 @@ def _make_match_kernel(
     params: Bm25Params,
     n_docs_by_shard: dict[int, int],
     tombstones: dict[int, "np.ndarray"] | None = None,
+    tree: "RBool | None" = None,
 ):
     """Kernel variant emitting the FULL match set (for facets/stats).
 
@@ -697,7 +738,10 @@ def _make_match_kernel(
         if n == 0:
             n = int(store.last_doc.max()) + 1
         tv = _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params)
-        match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
+        if tree is not None:
+            match, total = evaluate_tree(tree, tv, n, params.lucene_parity, root_fixup=False)
+        else:
+            match, total = combine_clauses(resolved, tv, n, params.lucene_parity)
         _apply_tombstones(match, (tombstones or {}).get(shard))
         idx = np.flatnonzero(match)
         return pd.DataFrame(
@@ -736,7 +780,7 @@ class SearchEngine:
     def _analyze(self, field: str, text: str) -> list[str]:
         return analyze_query_text(text, self.config.analyzer_for_indexed_field(field))
 
-    def _effective_sims(self, req: SearchRequest, resolved) -> tuple[tuple[str, str], ...]:
+    def _effective_sims(self, req: SearchRequest, fields) -> tuple[tuple[str, str], ...]:
         """Per-field similarity for this request: analyzer default
         (AnalyzerSettings.similarity, zulia_index.proto:313) merged
         with the request's FieldSimilarity overrides, like
@@ -745,22 +789,43 @@ class SearchEngine:
         Unknown names raise, as the reference does."""
         overrides = dict(req.similarities)
         out: dict[str, str] = {}
-        for rc in resolved:
-            for spec in rc.specs:
-                f = spec.field
-                if f in out:
-                    continue
-                sim = overrides.get(f)
-                if sim is None:
-                    try:
-                        sim = self.config.analyzer_for_indexed_field(f).similarity
-                    except KeyError:
-                        sim = "BM25"
-                if sim not in _VALID_SIMS:
-                    raise ValueError(f"Unknown similarity type {sim}")
-                if sim != "BM25":
-                    out[f] = sim
+        for f in fields:
+            if f in out:
+                continue
+            sim = overrides.get(f)
+            if sim is None:
+                try:
+                    sim = self.config.analyzer_for_indexed_field(f).similarity
+                except KeyError:
+                    sim = "BM25"
+            if sim not in _VALID_SIMS:
+                raise ValueError(f"Unknown similarity type {sim}")
+            if sim != "BM25":
+                out[f] = sim
         return tuple(sorted(out.items()))
+
+    def _resolve_request(self, req: SearchRequest):
+        """(resolved_clauses, tree): clause model or parsed qs tree."""
+        if req.qs is None:
+            return self._resolve(req), None
+        key = ("qs", req.qs, req.qf, req.default_op, req.mm)
+        tree = self._resolve_cache.get(key)
+        if tree is None:
+            root = parse_query(req.qs, req.default_op)
+            fields = tuple(req.qf) or self.config.default_search_fields
+            tree = resolve_tree(
+                root,
+                self._analyze,
+                fields,
+                lambda f, rx: self.expand_terms(f, rx),
+                lambda f, t, e: self.expand_fuzzy(f, t, max_edits=e),
+                req.default_op,
+            )
+            if req.mm:
+                tree = RBool(tree.children, max(tree.mm, req.mm), tree.boost)
+            if len(self._resolve_cache) < 4096:
+                self._resolve_cache[key] = tree
+        return [], tree
 
     def _resolve(self, req: SearchRequest) -> list[ResolvedClause]:
         # requests are frozen/hashable: cache clause resolution — a
@@ -775,6 +840,7 @@ class SearchEngine:
     def _collect_term_stats(self, specs: set[tuple[str, str]]) -> dict[tuple[str, str, int], int]:
         """df per (field, term, shard) for the query leaves (pruned
         scan of only terms not already cached)."""
+        specs = {(f, t) for f, t in specs if t is not None}  # exists keys need no df
         missing = specs - self._known_terms
         if missing:
             cond = self._specs_condition(missing)
@@ -785,12 +851,22 @@ class SearchEngine:
 
     @staticmethod
     def _specs_condition(specs: set[tuple[str, str]]):
+        """Postings-scan predicate for the query's stat keys. A key
+        with term None selects the field's NORMS rows (term IS NULL)
+        — the field-exists stream."""
         by_field: dict[str, list[str]] = {}
+        exists_fields: list[str] = []
         for f, t in specs:
-            by_field.setdefault(f, []).append(t)
+            if t is None:
+                exists_fields.append(f)
+            else:
+                by_field.setdefault(f, []).append(t)
         cond = None
         for f, terms in by_field.items():
             c = (F.col("field") == f) & F.col("term").isin(terms)
+            cond = c if cond is None else (cond | c)
+        for f in exists_fields:
+            c = (F.col("field") == f) & F.col("term").isNull()
             cond = c if cond is None else (cond | c)
         return cond
 
@@ -830,6 +906,8 @@ class SearchEngine:
                 if doc_count > 0:
                     avgdl_by_key[(f, s)] = bm25_avgdl(sum_dl, doc_count, self.params)
         for f, t in specs:
+            if t is None:
+                continue  # exists leaves score constant: no idf
             for s in shards:
                 df = sum(df_by_key.get((f, t, p), 0) for p in self._stat_peers(s))
                 doc_count, _ = self._stats_for(f, s)
@@ -855,10 +933,19 @@ class SearchEngine:
     def search_many(self, reqs: dict[str, SearchRequest], fetch: str = "ids") -> dict[str, dict]:
         """Execute many requests in ONE Spark job (module docstring)."""
         shards = self._shards()
-        resolved_by_qid = {qid: self._resolve(r) for qid, r in reqs.items()}
+        resolved_by_qid: dict[str, list[ResolvedClause]] = {}
+        tree_by_qid: dict[str, "RBool | None"] = {}
+        keys_by_qid: dict[str, set] = {}
+        for qid, r in reqs.items():
+            resolved, tree = self._resolve_request(r)
+            if tree is not None and tree_ranges(tree):
+                raise ValueError("range clauses in a query string: use search_string()")
+            resolved_by_qid[qid] = resolved
+            tree_by_qid[qid] = tree
+            keys_by_qid[qid] = tree_stat_keys(tree) if tree is not None else iter_stat_keys(resolved)
         all_specs: set[tuple[str, str]] = set()
-        for rs in resolved_by_qid.values():
-            all_specs |= iter_stat_keys(rs)
+        for ks in keys_by_qid.values():
+            all_specs |= ks
         plan = self._plan(all_specs)
         results: dict[str, dict] = {}
         if plan is None:
@@ -879,7 +966,8 @@ class SearchEngine:
                     per_shard_amount=req.start + req.amount,
                     after_by_shard=after,
                     prune=bool(req.block_max_pruning),
-                    sims=self._effective_sims(req, resolved_by_qid[qid]),
+                    sims=self._effective_sims(req, {f for f, _ in keys_by_qid[qid]}),
+                    tree=tree_by_qid[qid],
                 )
             )
 
@@ -924,7 +1012,12 @@ class SearchEngine:
             # purely-negative query: shards where the negative terms have no
             # postings produced no kernel group, yet ALL their docs match
             # (the reference's MatchAll fix-up, ZuliaIndex.java:715-717)
-            if resolved and all(rc.clause.negative for rc in resolved):
+            tree = tree_by_qid[qid]
+            pure_negative = (
+                (resolved and all(rc.clause.negative for rc in resolved))
+                or (tree is not None and not tree_has_positive_leaf(tree))
+            )
+            if pure_negative:
                 seen_shards = set(sub["shard"].astype(int)) | {
                     int(s) for s in pdf[pdf["qid"] == qid]["shard"]
                 }
@@ -957,6 +1050,81 @@ class SearchEngine:
                 t.pop("qid", None)
         return results
 
+    def search_string(
+        self,
+        q: str,
+        amount: int = 10,
+        start: int = 0,
+        qf: tuple[str, ...] = (),
+        default_op: str = "OR",
+        mm: int = 0,
+        similarities: tuple[tuple[str, str], ...] = (),
+    ) -> dict:
+        """Search with the Zulia query-string syntax (search.parser).
+
+        Range conjuncts (``field:[a TO b]``, ``field>=v``) evaluate
+        against doc_map columns via a Catalyst-pushed predicate
+        semi-joined with the postings match set — the
+        IndexOrDocValuesQuery split (SetQueryHelper.java:45-106).
+        Everything else runs in the sharded postings kernel.
+        """
+        req = SearchRequest(
+            qs=q, qf=tuple(qf), default_op=default_op, mm=mm,
+            amount=amount, start=start, similarities=tuple(similarities),
+        )
+        _, tree = self._resolve_request(req)
+        ranges = tree_ranges(tree)
+        if not ranges:
+            return self.search(req)
+        pred = self._range_predicate(ranges)
+        stripped = _strip_ranges(tree)
+        if stripped is None or not tree_has_positive_leaf(stripped):
+            # pure doc-values query: filter doc_map directly
+            allowed = self.tables.doc_map.filter(pred)
+            rows = (
+                allowed.orderBy(F.asc("shard"), F.asc("doc_id"))
+                .limit(start + amount)
+                .select("shard", "doc_id", "uniqueId")
+                .collect()
+            )
+            total = allowed.count()
+            topk = [
+                {"shard": int(r["shard"]), "doc_id": int(r["doc_id"]), "score": 0.0, "uniqueId": r["uniqueId"]}
+                for r in rows[start : start + amount]
+            ]
+            return {"totalHits": int(total), "topk": topk, "hitsExact": True}
+        sreq = SearchRequest(
+            qs=_TREE_SENTINEL, qf=req.qf, default_op=default_op, mm=mm,
+            amount=amount, start=start, similarities=tuple(similarities),
+        )
+        self._resolve_cache[("qs", _TREE_SENTINEL, sreq.qf, default_op, mm)] = stripped
+        return self.search_docvalues(sreq, pred, amount=amount)
+
+    def _range_predicate(self, ranges) -> str:
+        """RRange conjuncts → one SQL predicate over doc_map columns
+        (numeric when the column is numeric, else string compare)."""
+        dtypes = dict(self.tables.doc_map.dtypes)
+        parts = []
+        for occur, r in ranges:
+            if r.field not in dtypes:
+                raise ValueError(f"range field {r.field!r} is not a stored column")
+            numeric = dtypes[r.field] in ("int", "bigint", "float", "double", "smallint", "tinyint", "decimal")
+
+            def lit(v):
+                if numeric:
+                    float(v)  # validates
+                    return v
+                return "'" + str(v).replace("'", "''") + "'"
+
+            sub = []
+            if r.lo is not None:
+                sub.append(f"`{r.field}` {'>=' if r.incl_lo else '>'} {lit(r.lo)}")
+            if r.hi is not None:
+                sub.append(f"`{r.field}` {'<=' if r.incl_hi else '<'} {lit(r.hi)}")
+            p = "(" + " AND ".join(sub) + ")" if sub else "(1=1)"
+            parts.append(f"NOT {p}" if occur == "MUST_NOT" else p)
+        return " AND ".join(parts)
+
     def match_ids(self, req: SearchRequest):
         """DataFrame of ALL matching (shard, doc_id, score) rows.
 
@@ -967,15 +1135,24 @@ class SearchEngine:
         positive clause (a purely-negative match-all set should be
         computed as doc_map anti-join instead).
         """
-        resolved = self._resolve(req)
-        if resolved and all(rc.clause.negative for rc in resolved):
-            raise ValueError("match_ids needs a positive clause; anti-join doc_map for pure negations")
-        plan = self._plan(iter_stat_keys(resolved))
+        resolved, tree = self._resolve_request(req)
+        if tree is not None:
+            if tree_ranges(tree):
+                raise ValueError("range clauses: use search_string()")
+            if not tree_has_positive_leaf(tree):
+                raise ValueError("match_ids needs a positive clause")
+            keys = tree_stat_keys(tree)
+        else:
+            if resolved and all(rc.clause.negative for rc in resolved):
+                raise ValueError("match_ids needs a positive clause; anti-join doc_map for pure negations")
+            keys = iter_stat_keys(resolved)
+        plan = self._plan(keys)
         if plan is None:
             raise ValueError("empty query")
         idf_by_key, avgdl_by_key, cond = plan
         kernel = _make_match_kernel(
-            resolved, idf_by_key, avgdl_by_key, self.params, self._shard_counts, self._tombstone_arrays()
+            resolved, idf_by_key, avgdl_by_key, self.params, self._shard_counts,
+            self._tombstone_arrays(), tree=tree,
         )
         return self.tables.postings.filter(cond).groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
 

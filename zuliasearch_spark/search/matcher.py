@@ -135,3 +135,75 @@ def combine_clauses(
     if parity:
         total = total.astype(np.float32).astype(np.float64)
     return match, total
+
+
+def evaluate_tree(root, term_vectors, n: int, parity: bool, root_fixup: bool = True):
+    """Evaluate a resolved query-string AST (parser.RBool / RLeaf)
+    over a dense doc space — the nested-BooleanQuery generalization
+    of :func:`combine_clauses` for parsed queries (groups can nest,
+    carry their own mm — Lucene setMinimumNumberShouldMatch — and
+    mix +/- with bare terms).
+
+    ``root_fixup``: a top-level query of only prohibited clauses
+    matches everything else (the reference's MatchAll fix-up,
+    ZuliaIndex.java:715-717); NESTED pure-negative groups match
+    nothing, as in Lucene.
+    """
+    from zuliasearch_spark.search.parser import MUST, MUST_NOT, RBool, RLeaf
+
+    def eval_node(node, top: bool):
+        if isinstance(node, RLeaf):
+            # subgroup algebra shared with combine_clauses: OR across
+            # fields; multi-term tokens conj/disj by default operator
+            sub: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+            for spec in node.specs:
+                m, s = term_vectors(spec, node.boost)
+                got = sub.get(spec.subgroup)
+                if got is None:
+                    sub[spec.subgroup] = (m, np.where(m, s, 0.0), 1)
+                else:
+                    pm, ps, cnt = got
+                    nm = (pm & m) if node.conj else (pm | m)
+                    sub[spec.subgroup] = (nm, ps + np.where(m, s, 0.0), cnt + 1)
+            mask = np.zeros(n, dtype=bool)
+            score = np.zeros(n, dtype=np.float64)
+            for m, s, cnt in sub.values():
+                mask |= m
+                score += np.where(m, s, 0.0) if (node.conj and cnt > 1) else s
+            return mask, np.where(mask, score, 0.0)
+        assert isinstance(node, RBool)
+        mask = np.ones(n, dtype=bool)
+        score = np.zeros(n, dtype=np.float64)
+        should_cnt = None
+        has_must = has_should = False
+        neg = np.zeros(n, dtype=bool)
+        for occur, child in node.children:
+            cm, cs = eval_node(child, False)
+            if occur == MUST:
+                mask &= cm
+                score += cs
+                has_must = True
+            elif occur == MUST_NOT:
+                neg |= cm
+            else:
+                should_cnt = cm.astype(np.int64) if should_cnt is None else should_cnt + cm
+                score += cs
+                has_should = True
+        mask &= ~neg
+        if has_should:
+            req = node.mm if node.mm > 0 else (0 if has_must else 1)
+            if req > 0:
+                mask &= should_cnt >= req
+        elif not has_must:
+            # only prohibited children: nothing matches (Lucene),
+            # unless this is the root and the fix-up applies
+            if not (top and root_fixup):
+                mask = np.zeros(n, dtype=bool)
+        if node.boost != 1.0:
+            score = score * node.boost
+        return mask, np.where(mask, score, 0.0)
+
+    match, total = eval_node(root, True)
+    if parity:
+        total = total.astype(np.float32).astype(np.float64)
+    return match, total

@@ -85,7 +85,14 @@ class LastResult:
 
 @dataclass(frozen=True)
 class SearchRequest:
-    clauses: tuple[QueryClause, ...]
+    clauses: tuple[QueryClause, ...] = ()
+    # query-string form (ZuliaSyntaxParser surface): when set, ``qs``
+    # is parsed by search.parser into a nested boolean tree instead
+    # of using ``clauses``; qf/default_op/mm configure the parse
+    qs: str | None = None
+    qf: tuple[str, ...] = ()
+    default_op: str = "OR"
+    mm: int = 0
     amount: int = 10
     start: int = 0
     last_result: LastResult | None = None

@@ -140,7 +140,24 @@ def main() -> None:
         corpus_path = os.path.join(work, "corpus")
         index_path = os.path.join(work, "index")
         gen_corpus_spark(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
-        corpus = spark.read.parquet(corpus_path).repartition(cpus * 4)
+        # parallelism via SPLIT SIZING, not .repartition(): a
+        # round-robin shuffle has no stable partition layout across
+        # jobs, which id assignment requires (builder.assign_ids);
+        # sized file splits give the same fan-out with a plain scan
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(corpus_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        # target ~2 splits per core with a 4MB floor: enough fan-out
+        # to keep every core busy, big enough that per-task Python
+        # overhead stays amortized (measured: 85×1MB splits ran 1.5×
+        # slower than 16×8MB for the same 20k-doc tokenize)
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", max(4 << 20, total_bytes // (cpus * 2))
+        )
+        corpus = spark.read.parquet(corpus_path)
         cfg = code_bench_config()
 
         def build():

@@ -384,17 +384,23 @@ def term_freqs_positions(
     if len(ts) == 0:
         empty = np.empty(0, dtype=np.int64)
         return empty, pa.array([], type=pa.string()), empty, dl, empty
-    # sort tokens by (doc, code, pos): pairs become contiguous with
-    # ascending positions; pair order matches term_freqs (doc, code)
-    order = np.lexsort((ts.pos, ts.codes, ts.doc_idx))
-    d, c, p = ts.doc_idx[order], ts.codes[order], ts.pos[order]
-    new_pair = np.ones(d.size, dtype=bool)
-    new_pair[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    # one stable sort of the packed (doc, code) key + ONE gather (the
+    # positions); the stream is already position-ordered so stability
+    # keeps each pair's positions ascending. Minimizing passes
+    # matters: this runs over every token of every document.
+    nv = np.int64(len(ts.vocab))
+    key = ts.doc_idx * nv + ts.codes
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    p = ts.pos[order]
+    new_pair = np.ones(ks.size, dtype=bool)
+    np.not_equal(ks[1:], ks[:-1], out=new_pair[1:])
     starts = np.flatnonzero(new_pair)
-    tf = np.diff(np.concatenate((starts, [d.size]))).astype(np.int64)
-    out_doc = d[starts]
-    out_term = pc.take(ts.vocab, pa.array(c[starts], type=pa.int64()))
-    return out_doc, out_term, tf, dl, p.astype(np.int64)
+    tf = np.diff(np.concatenate((starts, [ks.size]))).astype(np.int64)
+    uk = ks[starts]
+    out_doc = (uk // nv).astype(np.int64)
+    out_term = pc.take(ts.vocab, pa.array(uk % nv, type=pa.int64()))
+    return out_doc, out_term, tf, dl, p.astype(np.int64, copy=False)
 
 
 def analyze_query_text(text: str, settings: AnalyzerSettings) -> list[str]:

@@ -112,6 +112,12 @@ class IndexConfig:
     quantize_norms: bool = True
     docs_per_bucket: int = 1 << 17
     block_size: int = 128
+    # upsert semantics (Store replaces by uniqueId,
+    # ZuliaShard.java:337-352): when set, the build keeps only the
+    # row with the highest value of this column per uniqueId
+    # (row_number over uid desc = 1 — SURVEY §2.1), so re-stored
+    # documents shadow their older versions
+    upsert_order_col: str | None = None
     # store per-posting position streams (delta+varint, same block
     # layout as docIDs) — Lucene indexes positions for analyzed text
     # by default; phrase/proximity queries need them. Costs ~1-2

@@ -200,6 +200,46 @@ def q_qs_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(hits,)], "hits bigint")
 
 
+def q_upsert_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert build (Store replaces by uniqueId,
+    ZuliaShard.java:337-352): every doc_id % 10 == 0 document is
+    re-stored with new text at version 1; the build keeps only the
+    newest row per uid. Returns counts proving the replacement."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("uid"),
+        "text",
+        F.lit(0).alias("ver"),
+    )
+    updated = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("uid"),
+            F.lit("upserted fresh corpus row").alias("text"),
+            F.lit(1).alias("ver"),
+        )
+    )
+    cfg = IndexConfig(
+        index_name="upsert_gate",
+        unique_id_col="uid",
+        number_of_shards=4,
+        default_search_fields=("text",),
+        field_configs=(FieldConfig("text", index_as=(IndexAs("text", "whitespace_lc"),)),),
+        per_shard_stats=False,
+        quantize_norms=False,
+        upsert_order_col="ver",
+    )
+    from zuliasearch_spark.indexing.builder import build_index as _bi
+
+    tables = _bi(base.unionByName(updated), cfg)
+    eng = SearchEngine(tables)
+    n_upserted = eng.search(
+        SearchRequest((QueryClause("FILTER", q="text:upserted"),), amount=1), fetch="none"
+    )["totalHits"]
+    n_docs = sum(eng.get_number_of_docs().values())
+    return spark.createDataFrame([(n_upserted, n_docs)], "n_upserted bigint, n_docs bigint")
+
+
 def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
@@ -765,6 +805,7 @@ QUERIES = {
     "phrase_slop_count": q_phrase_slop_count,
     "qs_topk": q_qs_topk,
     "qs_count": q_qs_count,
+    "upsert_count": q_upsert_count,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -865,6 +906,10 @@ WHERE ((d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge')
         AND d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'scan'))
        OR d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'window'))
   AND lower(d.lang) <> 'fr'""",
+    "upsert_count": """
+SELECT count(*) FILTER (WHERE doc_id % 10 = 0)::BIGINT AS n_upserted,
+       count(*)::BIGINT AS n_docs
+FROM documents""",
     "phrase_topk": f"""
 WITH {_TOKS_CTE},
 lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),

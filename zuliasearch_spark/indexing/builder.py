@@ -56,7 +56,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zuliasearch_spark.analysis.analyzers import term_freqs
@@ -71,7 +71,8 @@ POSTINGS_SCHEMA = (
 )
 
 TALL_SCHEMA = (
-    "shard int, doc_id long, dl int, terms array<string>, tfs array<int>, poss array<int>"
+    "field string, shard int, doc_id long, dl int, "
+    "terms array<string>, tfs array<int>, poss array<int>"
 )
 
 
@@ -96,69 +97,84 @@ class IndexTables:
             df.unpersist()
 
 
-def _make_tokenizer(col: str, settings: AnalyzerSettings, store_positions: bool = True):
-    """mapInArrow generator: (shard, doc_id, <col>) → per-doc term rows.
+def _make_tokenizer(field_specs, store_positions: bool = True, id_cfg=None, uid_col: str | None = None):
+    """mapInArrow generator: corpus batch → per-doc term rows for
+    EVERY indexed field in one pass.
+
+    ``field_specs`` = [(stored_col, indexed_field_name, settings)].
+    One kernel handles all fields so the corpus is scanned ONCE per
+    build (round 1 scanned it once per field) and, critically, the
+    tall frame is a single narrow branch — no union — so the
+    partition indices seen by upstream id assignment stay the scan's
+    own (TaskContext.partitionId is stage-relative; a union offsets
+    it per branch).
 
     Arrow in, Arrow out: the content strings never become Python
     objects — the analyzer kernel reads the Arrow string buffer
     directly and the emitted term column is the kernel's own Arrow
-    array. (mapInPandas here would materialize every document as a
-    PyStr and back: measured as more expensive than tokenizing.)
-
-    ``poss`` is each doc's flat position stream in (term, position)
-    order — run lengths are the ``tfs`` entries — feeding the block
-    encoder's positions stream (empty when positions are off).
+    array. ``poss`` is each doc's flat position stream in (term,
+    position) order — run lengths are the ``tfs`` entries — feeding
+    the block encoder's positions stream (empty when positions off).
     """
     import pyarrow as pa
 
     from zuliasearch_spark.analysis.analyzers import term_freqs_positions
 
     def tokenize(batches):
+        # when id_cfg is set, (shard, doc_id) are assigned HERE from
+        # the count-pass offsets — the corpus then crosses the
+        # JVM→Python boundary exactly once for the whole postings path
+        assigner = _IdAssigner(*id_cfg) if id_cfg is not None else None
         for rb in batches:
             names = rb.schema.names
-            if store_positions:
-                doc_idx, term_arr, tf, dl, posflat = term_freqs_positions(
-                    rb.column(names.index(col)), settings
-                )
+            if assigner is not None:
+                shard, docid = assigner.next_ids(rb.column(names.index(uid_col)))
             else:
-                doc_idx, term_arr, tf, dl = term_freqs(rb.column(names.index(col)), settings)
-                posflat = np.empty(0, dtype=np.int64)
-            shard = rb.column(names.index("shard")).to_numpy()
-            docid = rb.column(names.index("doc_id")).to_numpy()
-            # pack per-DOC rows (list columns): the downstream shuffle
-            # moves ~200x fewer rows for the same bytes — per-row
-            # serialization overhead at the exchange dominates
-            # otherwise. doc_idx is ascending by construction.
-            present, starts = np.unique(doc_idx, return_index=True)
-            offsets = pa.array(
-                np.concatenate((starts, [doc_idx.size])).astype(np.int32), type=pa.int32()
-            )
-            term_vals = term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr
-            if store_positions and posflat.size:
-                # per-present-doc token counts = Σ tf within the doc
-                tok_counts = np.add.reduceat(tf, starts)
-                pos_offsets = np.zeros(present.size + 1, dtype=np.int32)
-                np.cumsum(tok_counts, out=pos_offsets[1:])
-                poss = pa.ListArray.from_arrays(
-                    pa.array(pos_offsets, type=pa.int32()),
-                    pa.array(posflat.astype(np.int32), type=pa.int32()),
+                shard = rb.column(names.index("shard")).to_numpy()
+                docid = rb.column(names.index("doc_id")).to_numpy()
+            for col, field_name, settings in field_specs:
+                if store_positions:
+                    doc_idx, term_arr, tf, dl, posflat = term_freqs_positions(
+                        rb.column(names.index(col)), settings
+                    )
+                else:
+                    doc_idx, term_arr, tf, dl = term_freqs(rb.column(names.index(col)), settings)
+                    posflat = np.empty(0, dtype=np.int64)
+                # pack per-DOC rows (list columns): the downstream
+                # shuffle moves ~200x fewer rows for the same bytes —
+                # per-row serialization overhead at the exchange
+                # dominates otherwise. doc_idx ascending by construction.
+                present, starts = np.unique(doc_idx, return_index=True)
+                offsets = pa.array(
+                    np.concatenate((starts, [doc_idx.size])).astype(np.int32), type=pa.int32()
                 )
-            else:
-                poss = pa.ListArray.from_arrays(
-                    pa.array(np.zeros(present.size + 1, dtype=np.int32), type=pa.int32()),
-                    pa.array([], type=pa.int32()),
+                term_vals = term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr
+                if store_positions and posflat.size:
+                    # per-present-doc token counts = Σ tf within the doc
+                    tok_counts = np.add.reduceat(tf, starts)
+                    pos_offsets = np.zeros(present.size + 1, dtype=np.int32)
+                    np.cumsum(tok_counts, out=pos_offsets[1:])
+                    poss = pa.ListArray.from_arrays(
+                        pa.array(pos_offsets, type=pa.int32()),
+                        pa.array(posflat.astype(np.int32), type=pa.int32()),
+                    )
+                else:
+                    poss = pa.ListArray.from_arrays(
+                        pa.array(np.zeros(present.size + 1, dtype=np.int32), type=pa.int32()),
+                        pa.array([], type=pa.int32()),
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([field_name] * present.size, type=pa.string()),
+                        pa.array(shard[present], type=pa.int32()),
+                        pa.array(docid[present], type=pa.int64()),
+                        pa.array(dl[present].astype(np.int32), type=pa.int32()),
+                        pa.ListArray.from_arrays(offsets, term_vals),
+                        pa.ListArray.from_arrays(offsets, pa.array(tf.astype(np.int32), type=pa.int32())),
+                        poss,
+                    ],
+                    names=["field", "shard", "doc_id", "dl", "terms", "tfs", "poss"],
                 )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(shard[present], type=pa.int32()),
-                    pa.array(docid[present], type=pa.int64()),
-                    pa.array(dl[present].astype(np.int32), type=pa.int32()),
-                    pa.ListArray.from_arrays(offsets, term_vals),
-                    pa.ListArray.from_arrays(offsets, pa.array(tf.astype(np.int32), type=pa.int32())),
-                    poss,
-                ],
-                names=["shard", "doc_id", "dl", "terms", "tfs", "poss"],
-            )
 
     return tokenize
 
@@ -317,28 +333,143 @@ def shard_udf(num_shards: int):
     return _shard
 
 
-def assign_ids(corpus: DataFrame, config: IndexConfig) -> DataFrame:
-    """Add (shard, doc_id): djb2 routing + dense per-shard doc ids.
+def _shards_of_arrow(uid_arr, num_shards: int) -> np.ndarray:
+    """djb2(uid) % num_shards for an Arrow string column (Arrow →
+    pandas uses the fast block path; the hash itself is vectorized)."""
+    import pyarrow as pa
 
-    doc_id = row_number within shard ordered by uniqueId: deterministic
-    and dense (tight delta gaps).
+    if isinstance(uid_arr, pa.ChunkedArray):
+        uid_arr = uid_arr.combine_chunks()
+    return np.asarray(shard_for_series(uid_arr.to_pandas(), num_shards))
 
-    The Window runs over a NARROW projection (uniqueId, shard) and the
-    resulting id table is broadcast-joined back, so the WIDE corpus
-    (content strings) never goes through a shuffle — shuffle bytes are
-    the scarce resource (disk/network bound, they don't scale with
-    cores). At a scale where the per-segment id table outgrows a
-    broadcast (~10M+ docs per segment), build with more, smaller
-    segments (SegmentedIndexWriter) — ids are per-segment — or swap
-    the join strategy to a sort-merge join by removing the broadcast
-    hint; the narrow Window itself stays cheap.
+
+def id_offsets(corpus: DataFrame, config: IndexConfig) -> dict[int, dict[int, int]]:
+    """Pass 1 of scale-safe id assignment: per-(scan-partition, shard)
+    doc-count offsets.
+
+    One shuffle-free job over just the uniqueId column (column-pruned
+    scan; split planning is by file byte ranges, so the partition
+    layout matches the consuming pass): a mapInArrow kernel counts
+    docs per shard per partition and emits P×S tiny rows, which the
+    driver prefix-sums into ``offsets[pid][shard]`` = the first doc_id
+    of that partition's slice of the shard.
+
+    This replaces the round-1 row_number()-over-shard Window + doc-
+    level broadcast join (parallelism capped at #shards; broadcast
+    died past ~10⁷ docs/segment) with NO window, NO join and NO
+    shuffle of the wide corpus. doc_id = arrival order within shard —
+    the same contract as Lucene segment docIDs. Deterministic for
+    deterministic input plans (parquet scans, createDataFrame);
+    shuffled lineage must be materialized first (build_index's upsert
+    path localCheckpoints for exactly this reason).
     """
+    import pyarrow as pa
+
     uid = config.unique_id_col
-    narrow = corpus.select(F.col(uid).cast("string").alias(uid))
-    narrow = narrow.withColumn("shard", shard_udf(config.number_of_shards)(F.col(uid)))
-    w = Window.partitionBy("shard").orderBy(uid)
-    ids = narrow.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
-    return corpus.withColumn(uid, F.col(uid).cast("string")).join(F.broadcast(ids), uid)
+    num_shards = config.number_of_shards
+
+    def count_kernel(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counts: dict[int, int] = {}
+        for rb in batches:
+            sh = _shards_of_arrow(rb.column(0), num_shards)
+            for s, n in zip(*np.unique(sh, return_counts=True)):
+                counts[int(s)] = counts.get(int(s), 0) + int(n)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid] * len(counts), type=pa.int32()),
+                pa.array(list(counts.keys()), type=pa.int32()),
+                pa.array(list(counts.values()), type=pa.int64()),
+            ],
+            names=["pid", "shard", "n"],
+        )
+
+    rows = (
+        corpus.select(F.col(uid).cast("string").alias(uid))
+        .mapInArrow(count_kernel, "pid int, shard int, n long")
+        .collect()
+    )
+    by_pid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_pid.setdefault(int(r["pid"]), {})[int(r["shard"])] = int(r["n"])
+    offsets: dict[int, dict[int, int]] = {}
+    running: dict[int, int] = {}
+    for pid in sorted(by_pid):
+        offsets[pid] = {}
+        for s, n in by_pid[pid].items():
+            offsets[pid][s] = running.get(s, 0)
+            running[s] = running.get(s, 0) + n
+    return offsets
+
+
+class _IdAssigner:
+    """Per-task (shard, doc_id) assignment from the offsets table —
+    shared by the doc_map kernel and the tokenizer kernel so the
+    corpus crosses the JVM→Python boundary exactly once per path."""
+
+    def __init__(self, offsets: dict[int, dict[int, int]], num_shards: int):
+        self.offsets = offsets
+        self.num_shards = num_shards
+        self._base: dict[int, int] | None = None
+        self._pid: int | None = None
+
+    def next_ids(self, uid_arr) -> tuple[np.ndarray, np.ndarray]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if self._pid != pid:
+            self._pid = pid
+            self._base = dict(self.offsets.get(pid, {}))
+        sh = _shards_of_arrow(uid_arr, self.num_shards)
+        doc_id = np.empty(sh.size, dtype=np.int64)
+        for s in np.unique(sh):
+            m = sh == s
+            start = self._base.get(int(s))
+            if start is None:
+                raise RuntimeError(
+                    f"non-deterministic input plan: partition {pid} saw shard "
+                    f"{s} absent from the count pass. id assignment needs a "
+                    "stable partition layout (plain scans qualify); "
+                    "materialize shuffled corpus lineage first, e.g. "
+                    "corpus.localCheckpoint(eager=True)"
+                )
+            cnt = int(m.sum())
+            doc_id[m] = np.arange(start, start + cnt, dtype=np.int64)
+            self._base[int(s)] = start + cnt
+        return sh.astype(np.int32), doc_id
+
+
+def assign_ids(corpus: DataFrame, config: IndexConfig, offsets=None) -> DataFrame:
+    """Add (shard, doc_id) columns (see :func:`id_offsets`)."""
+    import pyarrow as pa
+
+    uid = config.unique_id_col
+    corpus = corpus.withColumn(uid, F.col(uid).cast("string"))
+    if offsets is None:
+        offsets = id_offsets(corpus, config)
+    assigner_cfg = (offsets, config.number_of_shards)
+    uid_name = uid
+
+    def add_ids(batches):
+        assigner = _IdAssigner(*assigner_cfg)
+        for rb in batches:
+            uid_arr = rb.column(rb.schema.names.index(uid_name))
+            sh, doc_id = assigner.next_ids(uid_arr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    *(rb.column(i) for i in range(rb.num_columns)),
+                    pa.array(sh, type=pa.int32()),
+                    pa.array(doc_id, type=pa.int64()),
+                ],
+                names=[*rb.schema.names, "shard", "doc_id"],
+            )
+
+    out_schema = ", ".join(
+        f"`{name}` {dtype}" for name, dtype in corpus.dtypes
+    ) + ", shard int, doc_id long"
+    return corpus.mapInArrow(add_ids, out_schema)
 
 
 def stats_from_postings(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -364,23 +495,16 @@ def stats_from_postings(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def tokenize_all(base: DataFrame, config: IndexConfig) -> DataFrame:
     """corpus(+shard,doc_id) → tall (field, shard, doc_id, term, tf, dl)."""
-    tall_parts = []
-    for stored_col, ia in config.indexed_fields():
-        settings = config.analyzer(ia.analyzer_name)
-        t = (
-            base.select("shard", "doc_id", stored_col)
-            .mapInArrow(
-                _make_tokenizer(stored_col, settings, config.store_positions), TALL_SCHEMA
-            )
-            .withColumn("field", F.lit(ia.indexed_field_name))
-        )
-        tall_parts.append(t)
-    if not tall_parts:
+    field_specs = [
+        (stored_col, ia.indexed_field_name, config.analyzer(ia.analyzer_name))
+        for stored_col, ia in config.indexed_fields()
+    ]
+    if not field_specs:
         raise ValueError("index config has no indexed fields")
-    tall = tall_parts[0]
-    for t in tall_parts[1:]:
-        tall = tall.unionByName(t)
-    return tall
+    cols = list(dict.fromkeys(c for c, _, _ in field_specs))
+    return base.select("shard", "doc_id", *cols).mapInArrow(
+        _make_tokenizer(field_specs, config.store_positions), TALL_SCHEMA
+    )
 
 
 def build_postings(tall: DataFrame, config: IndexConfig) -> DataFrame:
@@ -401,23 +525,75 @@ def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, 
     written parquet — the tokenize pass runs exactly once).
     """
     uid = config.unique_id_col
-    base = assign_ids(corpus, config)
+    if config.upsert_order_col:
+        # upsert: keep the newest row per uniqueId (Store-replaces
+        # semantics, ZuliaShard.java:337-352). One shuffle on uid —
+        # uid is high-cardinality and uniform (it feeds djb2 routing)
+        # so the window parallelizes across all partitions; ties on
+        # the order column break deterministically by row digest.
+        from pyspark.sql import Window
 
-    doc_map_cols = [
-        F.col("shard"),
-        F.col("doc_id"),
-        F.col(uid).cast("string").alias("uniqueId"),
-    ]
+        w = Window.partitionBy(uid).orderBy(
+            F.desc(config.upsert_order_col), F.desc(F.xxhash64(F.struct(*corpus.columns)))
+        )
+        corpus = (
+            corpus.withColumn("_upsert_rn", F.row_number().over(w))
+            .filter(F.col("_upsert_rn") == 1)
+            .drop("_upsert_rn")
+        )
+        # id assignment requires a STABLE partition layout + row order
+        # across its two passes and across every downstream action; a
+        # shuffled lineage has neither (AQE re-coalesces the exchange
+        # independently per query, reducers fetch map outputs in
+        # arbitrary order). Materialize the deduped corpus once —
+        # localCheckpoint pins the partitions and truncates the
+        # lineage. At cluster scale, staging the deduped corpus to a
+        # table serves the same role with spill-to-disk durability.
+        corpus = corpus.localCheckpoint(eager=True)
+    corpus = corpus.withColumn(uid, F.col(uid).cast("string"))
+    offsets = id_offsets(corpus, config)
+
+    # doc_map path: compute the sha JVM-side FIRST so only the narrow
+    # (uid, sha, stored) projection crosses the Python id-assignment
+    # stage — the wide content column never does
+    narrow_cols = [F.col(uid)]
     content_col = next(
         (fc.stored_field_name for fc in config.field_configs for ia in fc.index_as), None
     )
     if content_col is not None:
-        doc_map_cols.append(F.sha2(F.col(content_col).cast("string"), 256).alias("content_sha256"))
+        narrow_cols.append(F.sha2(F.col(content_col).cast("string"), 256).alias("content_sha256"))
     for c in stored_cols:
-        doc_map_cols.append(F.col(c))
-    doc_map = base.select(*doc_map_cols)
+        narrow_cols.append(F.col(c))
+    narrow = corpus.select(*narrow_cols)
+    base = assign_ids(narrow, config, offsets=offsets)
+    doc_map = base.select(
+        "shard",
+        "doc_id",
+        F.col(uid).alias("uniqueId"),
+        *(["content_sha256"] if content_col is not None else []),
+        *stored_cols,
+    )
 
-    postings = build_postings(tokenize_all(base, config), config)
+    # postings path: ids assigned INSIDE the tokenizer kernel so the
+    # wide corpus crosses JVM→Python exactly once (id_offsets is the
+    # only extra job, a column-pruned count scan)
+    field_specs = [
+        (stored_col, ia.indexed_field_name, config.analyzer(ia.analyzer_name))
+        for stored_col, ia in config.indexed_fields()
+    ]
+    if not field_specs:
+        raise ValueError("index config has no indexed fields")
+    cols = list(dict.fromkeys(c for c, _, _ in field_specs))
+    tall = corpus.select(uid, *cols).mapInArrow(
+        _make_tokenizer(
+            field_specs,
+            config.store_positions,
+            id_cfg=(offsets, config.number_of_shards),
+            uid_col=uid,
+        ),
+        TALL_SCHEMA,
+    )
+    postings = build_postings(tall, config)
     term_stats, field_stats = stats_from_postings(postings)
     shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
     return IndexTables(config, doc_map, postings, term_stats, field_stats, shard_counts)

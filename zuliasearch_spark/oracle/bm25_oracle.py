@@ -53,17 +53,14 @@ class OracleIndex:
         corpus = corpus.reset_index(drop=True)
         uid = corpus[config.unique_id_col].astype(str)
         shard = shard_for_series(uid, config.number_of_shards).astype(np.int64)
-        # doc_id: per shard, ordered by uniqueId (deterministic)
-        order = np.lexsort((uid.to_numpy(), shard))
-        doc_id = np.empty(len(corpus), dtype=np.int64)
-        pos_in_shard = np.zeros(len(corpus), dtype=np.int64)
-        sorted_shards = shard[order]
-        # rank within each shard run
-        change = np.flatnonzero(np.diff(sorted_shards)) + 1
-        starts = np.concatenate(([0], change))
-        run_start = np.repeat(starts, np.diff(np.concatenate((starts, [len(corpus)]))))
-        pos_in_shard[order] = np.arange(len(corpus)) - run_start
-        doc_id = pos_in_shard
+        # doc_id: ARRIVAL order within shard — matching the engine's
+        # scan-order assignment (builder.assign_ids; Lucene's docIDs
+        # are segment-arrival order too)
+        doc_id = np.zeros(len(corpus), dtype=np.int64)
+        next_id: dict[int, int] = {}
+        for i, s in enumerate(shard.tolist()):
+            doc_id[i] = next_id.get(s, 0)
+            next_id[s] = doc_id[i] + 1
         self.corpus = corpus
         self.uid = uid.to_numpy()
         self.shard = shard

@@ -69,8 +69,15 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         "lang",
         "source",
         "n_chars",
+        # hierarchical facet path (source/lang), the facetPathSplitter
+        # surface (ShardDocumentIndexer.generateFacetLabels:515-520)
+        F.concat_ws("/", "source", "lang").alias("src_path"),
     )
-    tables = build_index(corpus, documents_config(), stored_cols=("orig_doc_id", "lang", "source", "n_chars"))
+    tables = build_index(
+        corpus,
+        documents_config(),
+        stored_cols=("orig_doc_id", "lang", "source", "n_chars", "src_path"),
+    )
     tables.persist()
     eng = SearchEngine(tables)
     _ENGINE_CACHE[sf_dir] = eng
@@ -244,6 +251,25 @@ def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
     return eng.facet_counts(req, "lang", top_n=10)
+
+
+def q_facet_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical facet counts: children of path ('src1',) on the
+    source/lang taxonomy over the text:merge match set
+    (HierarchicalFacetTest semantics; getTopChildren)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    return eng.facet_path_counts(req, "src_path", path=("src1",), top_n=10)
+
+
+def q_drill_down_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-down: scored query constrained to the facet-path prefix
+    ('src2',) (ZuliaIndex.java:723-761 drill-down FILTER)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("SCORE_SHOULD", q="index scan", qf=("text",)),), amount=1)
+    pred = eng.drill_down_predicate("src_path", ("src2",))
+    res = eng.search_docvalues(req, pred, amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
 
 
 def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,6 +832,8 @@ QUERIES = {
     "qs_topk": q_qs_topk,
     "qs_count": q_qs_count,
     "upsert_count": q_upsert_count,
+    "facet_path": q_facet_path,
+    "drill_down_count": q_drill_down_count,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -910,6 +938,16 @@ WHERE ((d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge')
 SELECT count(*) FILTER (WHERE doc_id % 10 = 0)::BIGINT AS n_upserted,
        count(*)::BIGINT AS n_docs
 FROM documents""",
+    "facet_path": f"""
+WITH {_TOKS_CTE}
+SELECT lang AS value, count(*)::BIGINT AS cnt FROM documents
+WHERE doc_id IN {_MATCH_MERGE} AND source = 'src1'
+GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 10""",
+    "drill_down_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ('index','scan'))
+  AND source = 'src2'""",
     "phrase_topk": f"""
 WITH {_TOKS_CTE},
 lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),

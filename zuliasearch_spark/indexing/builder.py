@@ -86,6 +86,9 @@ class IndexTables:
     term_stats: DataFrame  # field, shard, term, df, ttf
     field_stats: DataFrame  # field, shard, doc_count, sum_dl
     shard_counts: DataFrame  # shard, num_docs (doc_ids are dense 0..num_docs-1)
+    # filesystem root when parquet-backed: enables durable tombstones
+    # (<root>/tombstones/) that survive engine restarts
+    root_path: str | None = None
 
     def persist(self) -> "IndexTables":
         for df in (self.doc_map, self.postings, self.term_stats, self.field_stats, self.shard_counts):
@@ -645,4 +648,5 @@ def read_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTabl
         spark.read.parquet(os.path.join(path, "term_stats")),
         spark.read.parquet(os.path.join(path, "field_stats")),
         spark.read.parquet(os.path.join(path, "shard_counts")),
+        root_path=path,
     )

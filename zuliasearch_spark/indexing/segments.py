@@ -38,6 +38,9 @@ import os
 import time
 from dataclasses import replace
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -186,7 +189,9 @@ def read_segmented_index(spark: SparkSession, path: str, config: IndexConfig) ->
     doc_map = union_all("doc_map")
     term_stats, field_stats = stats_from_postings(postings)
     shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
-    return IndexTables(cfg, doc_map, postings, term_stats, field_stats, shard_counts)
+    return IndexTables(
+        cfg, doc_map, postings, term_stats, field_stats, shard_counts, root_path=path
+    )
 
 
 def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig) -> IndexTables:
@@ -202,8 +207,8 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
     segment order; ``bucket`` is rewritten to the block's new
     first_doc so (bucket, block_id) ordering == docID ordering holds.
     """
-    import numpy as np
-    import pandas as pd
+
+
 
     from zuliasearch_spark.indexing.builder import POSTINGS_SCHEMA
     from zuliasearch_spark.util.varint import segmented_cumsum, varint_decode, varint_encode
@@ -215,20 +220,42 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
     if src == dst or dst.startswith(src + os.sep) or src.startswith(dst + os.sep):
         raise ValueError(f"optimize out_path {out_path!r} overlaps source {path!r}")
 
+    from zuliasearch_spark.indexing.tombstones import load_tombstone_uids
+
     segs = sorted(committed_segments(path))
     manifest = {e["segment"]: e for e in read_manifest(path) if e.get("status") == "committed"}
     stride = config.number_of_shards
-    # offsets[seg][shard] = Σ docs of earlier segments in that shard
+
+    seg_tables = read_segmented_index(spark, path, config)
+
+    # tombstoned docs are PURGED during the rewrite (Lucene drops
+    # live-docs holes at merge): resolve persisted uniqueIds to
+    # (composite pid, local doc_id); deletes are assumed sparse
+    # relative to the corpus, so the dead lists ride the closure
+    dead_by_pid: dict[int, np.ndarray] = {}
+    tomb_uids = load_tombstone_uids(path)
+    if tomb_uids:
+        ids_df = spark.createDataFrame([(u,) for u in tomb_uids], "uniqueId string")
+        rows = (
+            seg_tables.doc_map.join(F.broadcast(ids_df), "uniqueId")
+            .select("shard", "doc_id")
+            .collect()
+        )
+        tmp: dict[int, set[int]] = {}
+        for r in rows:
+            tmp.setdefault(int(r["shard"]), set()).add(int(r["doc_id"]))
+        dead_by_pid = {p: np.fromiter(sorted(v), dtype=np.int64) for p, v in tmp.items()}
+
+    # offsets[seg][shard] = Σ LIVE docs of earlier segments in that shard
     offsets: dict[int, dict[int, int]] = {}
     running: dict[int, int] = {}
     for seg in segs:
         offsets[seg] = {}
         for shard_str, n in manifest[seg]["shard_docs"].items():
             s = int(shard_str)
+            n_dead = int(dead_by_pid.get(seg * stride + s, np.empty(0)).size)
             offsets[seg][s] = running.get(s, 0)
-            running[s] = running.get(s, 0) + int(n)
-
-    seg_tables = read_segmented_index(spark, path, config)
+            running[s] = running.get(s, 0) + int(n) - n_dead
 
     def remap(batches):
         for pdf in batches:
@@ -239,28 +266,101 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
             seg = pid // stride
             shard = pid % stride
             off = np.array([offsets[int(sg)][int(sh)] for sg, sh in zip(seg, shard)], dtype=np.int64)
-            new_doc_bytes = []
+            cols = {c: list(pdf[c]) for c in pdf.columns}
+            keep_rows = np.ones(len(pdf), dtype=bool)
             for i in range(len(pdf)):
+                dead = dead_by_pid.get(int(pid[i]))
                 docs = segmented_cumsum(
                     varint_decode(pdf["doc_bytes"].iloc[i]), np.zeros(1, dtype=np.int64)
-                ) + off[i]
+                )
+                tfs = varint_decode(pdf["tf_bytes"].iloc[i])
+                dls = varint_decode(pdf["dl_bytes"].iloc[i])
+                pos = varint_decode(pdf["pos_bytes"].iloc[i]) if "pos_bytes" in pdf.columns else np.empty(0, np.int64)
+                if dead is not None and dead.size:
+                    # purge: drop dead postings, renumber survivors
+                    # new_local = old − #dead below old
+                    j = np.searchsorted(dead, docs)
+                    is_dead = (j < dead.size) & (dead[np.minimum(j, dead.size - 1)] == docs)
+                    if is_dead.any():
+                        keep = ~is_dead
+                        if pos.size and tfs.size:
+                            run_starts = np.zeros(tfs.size, dtype=np.int64)
+                            np.cumsum(tfs[:-1], out=run_starts[1:])
+                            pos_flat = segmented_cumsum(pos, run_starts)
+                            tok_keep = np.repeat(keep, tfs) if tfs.size else keep
+                            pos_flat = pos_flat[tok_keep]
+                        else:
+                            pos_flat = None
+                        docs, j = docs[keep], j[keep]
+                        tfs = tfs[keep] if tfs.size else tfs
+                        dls = dls[keep] if dls.size else dls
+                        docs = docs - j  # renumber past purged holes
+                        if docs.size == 0:
+                            keep_rows[i] = False
+                            continue
+                        if pos_flat is not None:
+                            run_starts = np.zeros(tfs.size, dtype=np.int64)
+                            np.cumsum(tfs[:-1], out=run_starts[1:])
+                            pdeltas = np.empty_like(pos_flat)
+                            if pos_flat.size:
+                                pdeltas[0] = pos_flat[0]
+                                np.subtract(pos_flat[1:], pos_flat[:-1], out=pdeltas[1:])
+                                pdeltas[run_starts] = pos_flat[run_starts]
+                            cols["pos_bytes"][i] = varint_encode(pdeltas)
+                        cols["tf_bytes"][i] = varint_encode(tfs) if tfs.size else b""
+                        cols["dl_bytes"][i] = varint_encode(dls) if dls.size else b""
+                        cols["n"][i] = docs.size
+                        if tfs.size:
+                            cols["max_tf"][i] = int(tfs.max())
+                            cols["sum_tf"][i] = int(tfs.sum())
+                        if dls.size:
+                            cols["min_dl"][i] = int(dls.min())
+                        if pdf["term"].iloc[i] is None and dls.size:
+                            cols["sum_dl"][i] = int(dls.sum())
+                docs = docs + off[i]
                 deltas = np.empty_like(docs)
                 deltas[0] = docs[0]
                 np.subtract(docs[1:], docs[:-1], out=deltas[1:])
-                new_doc_bytes.append(varint_encode(deltas))
-            out = pdf.copy()
+                cols["doc_bytes"][i] = varint_encode(deltas)
+                cols["first_doc"][i] = int(docs[0])
+                cols["last_doc"][i] = int(docs[-1])
+            out = pd.DataFrame(cols)
             out["shard"] = shard.astype(np.int32)
-            out["first_doc"] = pdf["first_doc"].to_numpy() + off
-            out["last_doc"] = pdf["last_doc"].to_numpy() + off
-            out["bucket"] = out["first_doc"].to_numpy()
+            out["bucket"] = np.asarray(out["first_doc"], dtype=np.int64)
             out["block_id"] = np.int32(0)
-            out["doc_bytes"] = new_doc_bytes
-            yield out
+            yield out[keep_rows]
 
     merged_postings = seg_tables.postings.mapInPandas(remap, POSTINGS_SCHEMA)
     merged_doc_map = seg_tables.doc_map.withColumn("segment", (F.col("shard") / stride).cast("int"))
     off_rows = [(seg, sh, off) for seg, by in offsets.items() for sh, off in by.items()]
     off_df = spark.createDataFrame(off_rows, "segment int, true_shard int, off long")
+    if dead_by_pid:
+        from pyspark.sql.functions import pandas_udf
+
+        _dead = dead_by_pid
+
+        @pandas_udf("long")
+        def _purge_shift(pid_col: pd.Series, doc_col: pd.Series) -> pd.Series:
+            out = np.empty(len(pid_col), dtype=np.int64)
+            pids = pid_col.to_numpy()
+            docs = doc_col.to_numpy()
+            for p in np.unique(pids):
+                m = pids == p
+                dead = _dead.get(int(p))
+                if dead is None or dead.size == 0:
+                    out[m] = docs[m]
+                    continue
+                j = np.searchsorted(dead, docs[m])
+                is_dead = (j < dead.size) & (dead[np.minimum(j, dead.size - 1)] == docs[m])
+                shifted = docs[m] - j
+                shifted[is_dead] = -1  # sentinel: filtered below
+                out[m] = shifted
+            return pd.Series(out)
+
+        merged_doc_map = (
+            merged_doc_map.withColumn("doc_id", _purge_shift(F.col("shard"), F.col("doc_id")))
+            .filter(F.col("doc_id") >= 0)
+        )
     merged_doc_map = (
         merged_doc_map.withColumn("true_shard", (F.col("shard") % stride).cast("int"))
         .join(F.broadcast(off_df), ["segment", "true_shard"])
@@ -284,6 +384,9 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
 
     os.makedirs(out_path, exist_ok=True)
     docs_total = sum(running.values())
+    from zuliasearch_spark.indexing.tombstones import clear_tombstones
+
+    clear_tombstones(out_path)  # purged docs are gone: fresh tombstone set
     if os.path.exists(_manifest_path(out_path)):
         os.remove(_manifest_path(out_path))
     _append_manifest(

@@ -74,6 +74,7 @@ from pyspark.sql import functions as F
 from zuliasearch_spark.analysis.analyzers import analyze_query_text
 from zuliasearch_spark.config import IndexConfig
 from zuliasearch_spark.indexing.builder import IndexTables
+from zuliasearch_spark.indexing.tombstones import load_tombstone_uids, save_tombstone_uids
 from zuliasearch_spark.search.matcher import combine_clauses, evaluate_tree
 from zuliasearch_spark.search.parser import ExistsSpec as _ExistsSpecT
 from zuliasearch_spark.search.parser import (
@@ -772,8 +773,17 @@ class SearchEngine:
         self._resolve_cache: dict[tuple, list[ResolvedClause]] = {}
         self.last_metrics: dict[str, int] = {"blocks_decoded": 0, "blocks_total": 0}
         # tombstoned (deleted) docs per shard — masked in the kernels,
-        # purged by a segment rewrite (see delete_by_unique_ids)
+        # purged by a segment rewrite (see delete_by_unique_ids).
+        # Durable when the index is parquet-backed: the uniqueId list
+        # persists at <root>/tombstones.jsonl (atomic rewrite, same
+        # protocol as the segment manifest) and reloads on engine
+        # construction, so deletes survive restarts.
         self._tombstones: dict[int, set[int]] = {}
+        self._tombstone_uids: set[str] = set()
+        persisted = load_tombstone_uids(getattr(tables, "root_path", None))
+        if persisted:
+            self._tombstone_uids = set(persisted)
+            self._mark_tombstones(persisted)
 
     # -- planning ---------------------------------------------------------
 
@@ -1173,6 +1183,66 @@ class SearchEngine:
             .limit(top_n)
         )
 
+    def facet_path_counts(
+        self,
+        req: SearchRequest,
+        facet_field: str,
+        path: tuple[str, ...] = (),
+        top_n: int = 10,
+        separator: str = "/",
+    ):
+        """Hierarchical facet counts: top-N CHILDREN of ``path``.
+
+        The reference splits facet values into path components and
+        counts per taxonomy child (ShardDocumentIndexer
+        .generateFacetLabels:480-577 facetPathSplitter; query side
+        getTopChildren). Here the path algebra is Spark array
+        expressions over the stored column — no taxonomy sidecar
+        index is needed because Parquet+codegen make the split
+        free at scan time. A doc counts ONCE per distinct child
+        (handleListsUniqueValues semantics), including multi-valued
+        (array) facet columns.
+        """
+        matches = self.match_ids(req).select("shard", "doc_id")
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        col = F.col(facet_field)
+        if dict(self.tables.doc_map.dtypes).get(facet_field, "").startswith("array"):
+            col = F.explode(col)
+        parts = F.split(col, separator)
+        j = j.select("shard", "doc_id", parts.alias("parts"))
+        depth = len(path)
+        if depth:
+            want = F.array(*[F.lit(p) for p in path])
+            j = j.filter(
+                (F.size("parts") > depth) & (F.slice("parts", 1, depth) == want)
+            )
+        else:
+            j = j.filter(F.size("parts") > 0)
+        child = F.col("parts")[depth]
+        return (
+            j.select("shard", "doc_id", child.alias("value"))
+            .distinct()  # one count per doc per distinct child
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(top_n)
+        )
+
+    def drill_down_predicate(
+        self, facet_field: str, path: tuple[str, ...], separator: str = "/"
+    ) -> str:
+        """SQL predicate matching docs whose facet value has ``path``
+        as a component prefix — the reference's drill-down term on
+        the $facets field (ZuliaIndex.java:723-761; hierarchical dims
+        index every ancestor prefix). Compose with search_docvalues
+        for drill-down + scored search."""
+        esc = [p.replace("'", "''") for p in path]
+        arr = "array(" + ", ".join(f"'{p}'" for p in esc) + ")"
+        return (
+            f"size(split(`{facet_field}`, '{separator}')) >= {len(path)} AND "
+            f"slice(split(`{facet_field}`, '{separator}'), 1, {len(path)}) = {arr}"
+        )
+
     def numeric_stats(self, req: SearchRequest, stat_field: str):
         """min/max/sum/count over the match set (Stats.java:20-100)."""
         matches = self.match_ids(req).select("shard", "doc_id")
@@ -1377,15 +1447,9 @@ class SearchEngine:
             for s, n in self._shard_counts.items()
         }
 
-    def delete_by_unique_ids(self, unique_ids) -> int:
-        """Tombstone deletes (Delete/BatchDelete,
-        zulia_service.proto:117-156). Lucene marks deletions in a
-        per-segment live-docs bitset purged at merge; here the
-        tombstone set masks the kernel's match vector — postings stay
-        immutable until an optimize() rewrite. Returns #docs marked."""
-        ids = list(unique_ids)
-        if not ids:
-            return 0
+    def _mark_tombstones(self, ids: list[str]) -> int:
+        """Resolve uniqueIds → (shard, doc_id) and mark them deleted.
+        Returns the number of NEWLY deleted docs."""
         spark = self.tables.doc_map.sparkSession
         ids_df = spark.createDataFrame([(u,) for u in ids], "uniqueId string")
         rows = (
@@ -1398,7 +1462,25 @@ class SearchEngine:
             s = self._tombstones.setdefault(int(r["shard"]), set())
             if int(r["doc_id"]) not in s:
                 s.add(int(r["doc_id"]))
-                marked += 1  # count only NEWLY deleted docs
+                marked += 1
+        return marked
+
+    def delete_by_unique_ids(self, unique_ids) -> int:
+        """Tombstone deletes (Delete/BatchDelete,
+        zulia_service.proto:117-156). Lucene marks deletions in a
+        per-segment live-docs bitset purged at merge; here the
+        tombstone set masks the kernel's match vector — postings stay
+        immutable until an optimize() rewrite physically purges them.
+        Parquet-backed indexes persist the ids durably. Returns #docs
+        marked (newly deleted only)."""
+        ids = [str(u) for u in unique_ids]
+        if not ids:
+            return 0
+        marked = self._mark_tombstones(ids)
+        new_uids = set(ids) - self._tombstone_uids
+        if new_uids:
+            self._tombstone_uids |= new_uids
+            save_tombstone_uids(getattr(self.tables, "root_path", None), self._tombstone_uids)
         return marked
 
     def expand_fuzzy(self, field: str, term: str, max_edits: int = 2, max_terms: int = 50) -> tuple[str, ...]:

@@ -648,7 +648,24 @@ def q_neardup_cosine(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    return P.ivf_topk(_emb(spark, sf_dir))
+    """IVF ANN with k-means-trained centroids (no ground-truth label
+    leak) probing 5 of 8 cells; the oracle is the brute-force scan —
+    the gate passing means recall@10 = 1.0 at this nprobe. (The
+    synthetic embeddings are near-uniform, the hardest case for IVF;
+    average-recall behavior is asserted in tests/test_ann_dedup.py.)"""
+    return P.ivf_topk(_emb(spark, sf_dir), query_vec_id=30, n_cells=8, nprobe=5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return P.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def q_lsh_jaccard(spark, sf_dir):
+    """Dedup pipeline composition: MinHash-LSH candidate pairs →
+    EXACT word-shingle Jaccard verification (jaccard_pairs)."""
+    docs = _docs(spark, sf_dir)
+    cands = P.lsh_candidate_pairs(P.minhash_signatures(docs)).select("a", "b")
+    return P.jaccard_pairs(docs, cands)
 
 
 def q_lang_id(spark, sf_dir):
@@ -740,20 +757,55 @@ WHERE round(list_dot_product(a.v, b2.v)
 """
 
 _IVF_SQL = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT label, i, avg(v[i]) AS m
-         FROM e, unnest(generate_series(1, len(v))) AS g(i) GROUP BY label, i),
-cl AS (SELECT label, list(m ORDER BY i) AS c FROM cent GROUP BY label),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-best AS (SELECT label FROM cl, q
-         ORDER BY round(list_dot_product(c, qv)
-           / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))), 6) DESC, label ASC
-         LIMIT 1)
-SELECT vec_id, round(c2, 4) AS cosine FROM (
-  SELECT e.vec_id, round(list_dot_product(e.v, q.qv)
-    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS c2
-  FROM e JOIN best USING (label), q
-) ORDER BY c2 DESC, vec_id ASC LIMIT 10
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 30),
+c AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(c, 4) AS cosine FROM c
+ORDER BY c DESC, vec_id ASC LIMIT 10
+"""
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_LST},
+t AS (SELECT doc_id, unnest(l) AS term FROM lst),
+tfx AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+x AS (SELECT doc_id, tf, {_H32D.format(x='term')} AS x FROM tfx),
+bsum AS (SELECT doc_id, j, sum(CASE WHEN (x >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+         FROM x, unnest(generate_series(0, {P.SIMHASH_BITS - 1})) AS g(j) GROUP BY doc_id, j),
+f AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fp
+      FROM bsum GROUP BY doc_id),
+bands AS (SELECT doc_id, fp, g.b AS band, (fp >> (g.b * 8)) & 255 AS bv
+          FROM f, unnest(generate_series(0, 3)) AS g(b))
+SELECT DISTINCT a.doc_id AS a, b2.doc_id AS b,
+       bit_count(xor(a.fp, b2.fp))::BIGINT AS hamming
+FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.fp, b2.fp)) <= 6
+"""
+
+_LSH_JACCARD_SQL = f"""
+WITH {_LST},
+shd AS (SELECT DISTINCT doc_id,
+          CASE WHEN len(l) >= 3 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+               ELSE array_to_string(l, ' ') END AS sh
+        FROM lst, unnest(generate_series(1, greatest(len(l)-2, 1))) AS g(i)),
+x AS (SELECT doc_id, {_H32D.format(x='sh')} AS x FROM shd),
+mh AS (SELECT doc_id, {_MH_COLS} FROM x GROUP BY doc_id),
+bands AS ({_MH_BANDS}),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT p.a, p.b, count(*) AS n_inter
+          FROM pairs p JOIN shd sa ON sa.doc_id = p.a
+          JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+          GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+       round(coalesce(i.n_inter, 0) / (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
 """
 
 
@@ -854,6 +906,8 @@ QUERIES = {
     "mlt_topk": q_mlt_topk,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_jaccard": q_lsh_jaccard,
     "ngram_jaccard": q_ngram_jaccard,
     "neardup_cosine": q_neardup_cosine,
     "ivf_topk": q_ivf_topk,
@@ -1040,6 +1094,8 @@ ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
     "mlt_topk": _MLT_SQL,
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _SIMHASH_SQL,
+    "simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "lsh_jaccard": _LSH_JACCARD_SQL,
     "ngram_jaccard": _NGRAM_SQL,
     "neardup_cosine": _NEARDUP_SQL,
     "ivf_topk": _IVF_SQL,

@@ -1,0 +1,144 @@
+"""Fetch shaping, multi-index search, highlighting, import/export/clear."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+from zuliasearch_spark.indexing.builder import build_index
+from zuliasearch_spark.indexing.io import clear_index, export_index, import_documents
+from zuliasearch_spark.search.executor import SearchEngine
+from zuliasearch_spark.search.highlight import best_fragments, highlight, _pattern
+from zuliasearch_spark.search.multi import MultiIndexSearcher
+from zuliasearch_spark.search.query import QueryClause as C
+from zuliasearch_spark.search.query import SearchRequest
+
+DOCS = [
+    ("d0", "alpha beta gamma alpha", "en", 7),
+    ("d1", "beta beta", "fr", 9),
+    ("d2", "alpha delta", "de", 11),
+    ("d3", "epsilon", "en", 13),
+]
+
+
+def _cfg(name="fx"):
+    return IndexConfig(
+        index_name=name,
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),),
+        per_shard_stats=False,
+        quantize_norms=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    pdf = pd.DataFrame(DOCS, columns=["uniqueId", "content", "lang", "n"])
+    tables = build_index(spark.createDataFrame(pdf), _cfg(), stored_cols=("lang", "n")).persist()
+    yield SearchEngine(tables)
+    tables.unpersist()
+
+
+def test_fetch_types_and_masking(engine):
+    full = {r["uniqueId"]: r.asDict() for r in engine.fetch(["d0", "d2"]).collect()}
+    assert set(full) == {"d0", "d2"}
+    assert full["d0"]["lang"] == "en" and full["d0"]["n"] == 7
+    assert "content_sha256" in full["d0"]
+
+    meta = engine.fetch(["d0"], fetch_type="META").columns
+    assert set(meta) == {"uniqueId", "shard", "doc_id", "content_sha256"}
+    none = engine.fetch(["d0"], fetch_type="NONE").columns
+    assert set(none) == {"uniqueId", "shard", "doc_id"}
+
+    proj = engine.fetch(["d0"], document_fields=("lang", "n")).columns
+    assert "content_sha256" not in proj and "lang" in proj
+    masked = engine.fetch(["d0"], document_fields=("lang", "n"), document_masked_fields=("lang",)).columns
+    assert "lang" not in masked and "n" in masked
+
+
+def test_multi_index_merge_and_aliases(spark):
+    a = pd.DataFrame(DOCS[:2], columns=["uniqueId", "content", "lang", "n"])
+    b = pd.DataFrame(DOCS[2:], columns=["uniqueId", "content", "lang", "n"])
+    ta = build_index(spark.createDataFrame(a), _cfg("ia")).persist()
+    tb = build_index(spark.createDataFrame(b), _cfg("ib")).persist()
+    try:
+        ms = MultiIndexSearcher(
+            {"ia": SearchEngine(ta), "ib": SearchEngine(tb)},
+            aliases={"everything": "ia", "chain": "everything"},
+        )
+        assert ms.resolve("chain") == "ia"
+        req = SearchRequest((C("SCORE_SHOULD", q="alpha", qf=("content",)),), amount=10)
+        res = ms.search(req)
+        got = [(t["uniqueId"], t["index"]) for t in res["topk"]]
+        assert {u for u, _ in got} == {"d0", "d2"}
+        assert dict(got) == {"d0": "ia", "d2": "ib"}
+        assert res["totalHits"] == 2
+        # single-alias search hits only ia
+        only = ms.search(req, indexes=("chain",))
+        assert {t["uniqueId"] for t in only["topk"]} == {"d0"}
+        with pytest.raises(KeyError):
+            ms.resolve("nope")
+    finally:
+        ta.unpersist()
+        tb.unpersist()
+
+
+def test_highlight_whole_and_fragments(spark, engine):
+    req = SearchRequest((C("FILTER", q="content:alpha"),), amount=10)
+    matches = engine.match_ids(req).select("shard", "doc_id")
+    j = matches.join(engine.tables.doc_map, ["shard", "doc_id"])
+    docs = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["uniqueId", "content", "lang", "n"])
+    ).select("uniqueId", "content")
+    j = j.join(docs, "uniqueId")
+
+    whole = {r["uniqueId"]: r.asDict() for r in highlight(j, "content", ("alpha",), n_fragments=0).collect()}
+    assert whole["d0"]["highlighted"] == "<em>alpha</em> beta gamma <em>alpha</em>"
+    assert whole["d0"]["n_tagged"] == 2
+    assert whole["d2"]["n_tagged"] == 1
+
+    fr = {r["uniqueId"]: r["fragments"] for r in highlight(j, "content", ("alpha",), n_fragments=2, fragment_size=12).collect()}
+    assert all(len(f) >= 1 for f in fr.values())
+    assert any("<em>alpha</em>" in frag for frag in fr["d0"])
+
+
+def test_best_fragments_scoring():
+    text = "x y z alpha q w alpha alpha r s t u v nothing here at all"
+    pat = _pattern(("alpha",))
+    frags = best_fragments(text, pat, "<em>", "</em>", n_fragments=2, fragment_size=16)
+    assert len(frags) == 2
+    # densest fragment first
+    assert frags[0].count("<em>") >= frags[1].count("<em>")
+    assert "nothing" not in " ".join(frags)
+
+
+def test_export_import_clear(spark, engine, tmp_path_factory):
+    dump = str(tmp_path_factory.mktemp("dump"))
+    export_index(engine.tables, dump)
+    docs, cfg = import_documents(spark, dump)
+    assert docs.count() == len(DOCS)
+    assert cfg.index_name == "fx"
+    assert {r["uniqueId"] for r in docs.collect()} == {d[0] for d in DOCS}
+
+    victim = str(tmp_path_factory.mktemp("to_clear"))
+    os.makedirs(os.path.join(victim, "segments"), exist_ok=True)
+    with open(os.path.join(victim, "manifest.jsonl"), "w") as f:
+        f.write("{}\n")
+    clear_index(victim)
+    assert os.listdir(victim) == []
+
+
+def test_get_terms_extras(engine):
+    rows = {r["term"]: (r["df"], r["ttf"]) for r in engine.get_terms("content").collect()}
+    assert rows["beta"] == (2, 3)
+    inc = [r["term"] for r in engine.get_terms("content", include_terms=("alpha", "beta")).collect()]
+    assert inc == ["alpha", "beta"]
+    mtf = [r["term"] for r in engine.get_terms("content", min_term_freq=3).collect()]
+    assert mtf == ["alpha", "beta"]
+    fz = [r["term"] for r in engine.get_terms("content", fuzzy_term=("bета", 2)).collect()]
+    # cyrillic lookalikes are >2 edits away; use a latin near-miss
+    fz2 = [r["term"] for r in engine.get_terms("content", fuzzy_term=("betas", 1)).collect()]
+    assert "beta" in fz2

@@ -272,6 +272,99 @@ def q_drill_down_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
 
 
+def q_fetch_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BatchFetch with projection + masking (documentFields /
+    documentMaskedFields, zulia_service.proto:71-73): request lang +
+    n_chars, mask lang — only n_chars survives."""
+    eng = documents_engine(spark, sf_dir)
+    uids = [str(d).zfill(12) for d in (3, 7, 11)]
+    out = eng.fetch(
+        uids,
+        fetch_type="FULL",
+        document_fields=("lang", "n_chars"),
+        document_masked_fields=("lang",),
+    )
+    assert "lang" not in out.columns and "text" not in out.columns
+    return out.select(
+        out["uniqueId"].cast("bigint").alias("doc_id"),
+        out["n_chars"].cast("long").alias("n_chars"),
+    )
+
+
+_MULTI_CACHE: dict[str, object] = {}
+
+
+def q_multi_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two physical indexes (source split at src5) searched through a
+    MultiIndexSearcher alias — each index scores with its OWN
+    statistics and the federator merges by score
+    (MultiIndexAliasTest; QueryCombiner merge)."""
+    from zuliasearch_spark.search.multi import MultiIndexSearcher
+
+    ms = _MULTI_CACHE.get(sf_dir)
+    if ms is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("uid"),
+            "text",
+            "source",
+        )
+        cfg = IndexConfig(
+            index_name="half",
+            unique_id_col="uid",
+            number_of_shards=2,
+            default_search_fields=("text",),
+            field_configs=(FieldConfig("text", index_as=(IndexAs("text", "whitespace_lc"),)),),
+            per_shard_stats=False,
+            quantize_norms=False,
+        )
+        lo = build_index(corpus.filter(F.col("source") < "src5"), cfg).persist()
+        hi = build_index(corpus.filter(F.col("source") >= "src5"), cfg).persist()
+        ms = MultiIndexSearcher(
+            {"half_lo": SearchEngine(lo), "half_hi": SearchEngine(hi)},
+            aliases={"all_docs": "half_lo"},
+        )
+        _MULTI_CACHE[sf_dir] = ms
+    req = SearchRequest(
+        (QueryClause("SCORE_SHOULD", q="merge scan", qf=("text",)),), amount=50
+    )
+    res = ms.search(req, indexes=("half_lo", "half_hi"))
+    rows = [(int(t["uniqueId"]), float(t["score"])) for t in res["topk"]]
+    rows.sort(key=lambda r: (-round(r[1], 7), r[0]))
+    rows = [(d, float(round(s, 4))) for d, s in rows[:10]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def q_highlight_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document highlighting: every query-term occurrence
+    wrapped in pre/post tags (ZuliaHighlighter formatter surface)."""
+    from zuliasearch_spark.search.highlight import highlight
+
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    matches = eng.match_ids(req).select("shard", "doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("orig_doc_id"), "text"
+    )
+    j = matches.join(eng.tables.doc_map, ["shard", "doc_id"]).join(docs, ["orig_doc_id"])
+    out = highlight(j, "text", ("merge",), n_fragments=0)
+    return out.select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.col("n_tagged"),
+        F.substring("highlighted", 1, 80).alias("head"),
+    )
+
+
+def q_get_terms_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dictionary enumeration inside GetTerms
+    (ShardTermsHandler FuzzyTerm path): terms within edit distance 1
+    of 'merge' with summed df/ttf."""
+    eng = documents_engine(spark, sf_dir)
+    return eng.get_terms("text", fuzzy_term=("merge", 1)).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
+    )
+
+
 def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
@@ -886,6 +979,10 @@ QUERIES = {
     "upsert_count": q_upsert_count,
     "facet_path": q_facet_path,
     "drill_down_count": q_drill_down_count,
+    "fetch_masked": q_fetch_masked,
+    "multi_index_topk": q_multi_index_topk,
+    "highlight_tags": q_highlight_tags,
+    "get_terms_fuzzy": q_get_terms_fuzzy,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -997,6 +1094,39 @@ WITH {_TOKS_CTE}
 SELECT lang AS value, count(*)::BIGINT AS cnt FROM documents
 WHERE doc_id IN {_MATCH_MERGE} AND source = 'src1'
 GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 10""",
+    "fetch_masked": """
+SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents WHERE doc_id IN (3, 7, 11)""",
+    "multi_index_topk": f"""
+WITH {_TOKS_CTE},
+half AS (SELECT doc_id, CASE WHEN source < 'src5' THEN 0 ELSE 1 END AS h FROM documents),
+dl AS (SELECT t.doc_id, h.h, count(*) AS dl FROM toks t JOIN half h USING (doc_id) GROUP BY t.doc_id, h.h),
+stats AS (SELECT h, count(*) AS n_docs, avg(dl) AS avgdl FROM dl GROUP BY h),
+tf AS (SELECT t.doc_id, h.h, t.term, count(*) AS tf FROM toks t JOIN half h USING (doc_id)
+       WHERE t.term IN ('merge','scan') GROUP BY t.doc_id, h.h, t.term),
+df AS (SELECT h, term, count(*) AS df FROM tf GROUP BY h, term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df ON df.h = tf.h AND df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.h = tf.h
+  JOIN stats ON stats.h = tf.h
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10""",
+    "highlight_tags": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       ((length(text) - length(regexp_replace(lower(text), '\\bmerge\\b', '', 'g'))) / 5)::BIGINT AS n_tagged,
+       substr(regexp_replace(text, '\\b(merge)\\b', '<em>\\1</em>', 'gi'), 1, 80) AS head
+FROM documents WHERE doc_id IN {_MATCH_MERGE}""",
+    "get_terms_fuzzy": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf FROM tf
+WHERE length(term) BETWEEN 4 AND 6 AND levenshtein(term, 'merge') <= 1
+GROUP BY term ORDER BY term""",
     "drill_down_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(*)::BIGINT AS hits FROM documents

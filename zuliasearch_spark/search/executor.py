@@ -1261,15 +1261,22 @@ class SearchEngine:
         start_term: str | None = None,
         end_term: str | None = None,
         min_doc_freq: int = 0,
+        min_term_freq: int = 0,
         term_filter_regex: str | None = None,
+        include_terms: tuple[str, ...] = (),
+        fuzzy_term: tuple[str, int] | None = None,
         amount: int = 0,
     ):
         """Term dictionary enumeration (GetTerms, ShardTermsHandler.java:47-204).
 
         Per-shard df/ttf are summed across shards, filtered by range /
-        regex / minDocFreq, ordered by term — the Spark plan is exactly
-        the reference's seek + merge federation
-        (GetTermsRequestFederator) as one groupBy.
+        regex / minDocFreq / minTermFreq, ordered by term — the Spark
+        plan is exactly the reference's seek + merge federation
+        (GetTermsRequestFederator) as one groupBy. ``include_terms``
+        restricts to exact point lookups (GetTermsRequest.includeTerm)
+        and ``fuzzy_term=(term, max_edits)`` enumerates the dictionary
+        within edit distance (FuzzyTerm, ShardTermsHandler.java:95-120)
+        — the length band prunes the scan before levenshtein runs.
         """
         df = self.tables.term_stats.filter(F.col("field") == field)
         if start_term is not None:
@@ -1278,11 +1285,59 @@ class SearchEngine:
             df = df.filter(F.col("term") < end_term)
         if term_filter_regex:
             df = df.filter(F.col("term").rlike(term_filter_regex))
+        if include_terms:
+            df = df.filter(F.col("term").isin(list(include_terms)))
+        if fuzzy_term is not None:
+            t, edits = fuzzy_term
+            df = df.filter(F.length("term").between(len(t) - edits, len(t) + edits))
+            df = df.filter(F.levenshtein(F.col("term"), F.lit(t)) <= edits)
         out = df.groupBy("term").agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
         if min_doc_freq > 0:
             out = out.filter(F.col("df") >= min_doc_freq)
+        if min_term_freq > 0:
+            out = out.filter(F.col("ttf") >= min_term_freq)
         out = out.orderBy("term")
         return out.limit(amount) if amount else out
+
+    def fetch(
+        self,
+        unique_ids,
+        fetch_type: str = "FULL",
+        document_fields: tuple[str, ...] = (),
+        document_masked_fields: tuple[str, ...] = (),
+    ):
+        """Fetch/BatchFetch with result shaping (zulia_service
+        .proto:158-209; FetchType + documentFields/documentMaskedFields
+        :71-73; projection/masking ResultHelper semantics):
+
+        - ``NONE``  → ids only (uniqueId, shard, doc_id)
+        - ``META``  → ids + metadata (content_sha256)
+        - ``FULL``  → all stored fields, optionally projected to
+          ``document_fields`` and then stripped of
+          ``document_masked_fields`` (masking wins on overlap)
+
+        Returns a DataFrame; the id set is broadcast against doc_map
+        (point lookups stay O(ids), not O(corpus)).
+        """
+        spark = self.tables.doc_map.sparkSession
+        ids_df = spark.createDataFrame([(str(u),) for u in unique_ids], "uniqueId string")
+        j = self.tables.doc_map.join(F.broadcast(ids_df), "uniqueId")
+        meta_cols = ["uniqueId", "shard", "doc_id"]
+        all_cols = self.tables.doc_map.columns
+        ft = fetch_type.upper()
+        if ft == "NONE":
+            return j.select(*meta_cols)
+        if ft == "META":
+            extra = [c for c in ("content_sha256",) if c in all_cols]
+            return j.select(*meta_cols, *extra)
+        if ft != "FULL":
+            raise ValueError(f"unknown fetch type {fetch_type}")
+        cols = [c for c in all_cols if c not in meta_cols]
+        if document_fields:
+            cols = [c for c in cols if c in document_fields]
+        if document_masked_fields:
+            cols = [c for c in cols if c not in document_masked_fields]
+        return j.select(*meta_cols, *cols)
 
     def search_docvalues(self, req: SearchRequest, predicate: str, amount: int = 10) -> dict:
         """Search with a doc-values predicate over stored columns.

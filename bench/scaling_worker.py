@@ -68,6 +68,15 @@ def main() -> None:
         docs_per_bucket=8192,  # >= cores x fields encode groups at this sf
     )
 
+    # fixed split sizing at BOTH levels (identical plan + identical
+    # scan-order doc ids): ~128 splits regardless of core count
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(args.corpus)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", max(1 << 22, total_bytes // 128))
     corpus = spark.read.parquet(args.corpus)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix=f"scale{args.cores}_", dir=scratch)

@@ -96,6 +96,17 @@ def test_field_group_scoping_and_exists():
     assert q.children[1][1].text == "*" and q.children[1][1].field == "g"
 
 
+def test_length_meta_fields():
+    from zuliasearch_spark.search.parser import _meta_field
+
+    assert _meta_field("|content|") == "_zcl_content"
+    assert _meta_field("|||tags|||") == "_zll_tags"
+    assert _meta_field("plain") == "plain"
+    q = parse_query("|content|:[10 TO 50] |||tags|||>=2")
+    assert isinstance(q.children[0][1], Range) and q.children[0][1].field == "|content|"
+    assert q.children[1][1].field == "|||tags|||"
+
+
 def test_escapes():
     q = parse_query(r"added:2024\:06\:17 pa\-th:x")
     assert q.children[0][1].field == "added" and q.children[0][1].text == "2024:06:17"
@@ -209,6 +220,37 @@ def test_search_string_ranges(engine):
     # NOT range
     res4 = engine.search_string("alpha -n:[15 TO 95]", amount=50)
     assert {t["uniqueId"] for t in res4["topk"]} == {"d00"}
+
+
+def test_length_meta_end_to_end(spark):
+    from dataclasses import replace as _rep
+
+    cfg = IndexConfig(
+        index_name="lm",
+        unique_id_col="uniqueId",
+        number_of_shards=1,
+        default_search_fields=("content",),
+        field_configs=(FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),),
+        per_shard_stats=False,
+        quantize_norms=False,
+        store_length_meta=True,
+    )
+    pdf = pd.DataFrame(
+        [("m0", "aa"), ("m1", "bbbb cc"), ("m2", "dddddddddd")],
+        columns=["uniqueId", "content"],
+    )
+    from zuliasearch_spark.indexing.builder import build_index as _bi
+
+    tables = _bi(spark.createDataFrame(pdf), cfg).persist()
+    try:
+        eng = SearchEngine(tables)
+        assert "_zcl_content" in tables.doc_map.columns
+        res = eng.search_string("|content|:[3 TO 8]", amount=10)
+        assert {t["uniqueId"] for t in res["topk"]} == {"m1"}
+        res2 = eng.search_string("|||content|||:[1 TO 1]", amount=10)
+        assert res2["totalHits"] == 3  # scalar column: list length 1
+    finally:
+        tables.unpersist()
 
 
 def test_qs_matches_clause_model_scores(engine):

@@ -112,6 +112,11 @@ class IndexConfig:
     quantize_norms: bool = True
     docs_per_bucket: int = 1 << 17
     block_size: int = 128
+    # length-meta fields (FieldIndexer.java:19-35 writes _zll_ list
+    # lengths, StringFieldIndexer.java:28-38 _zcl_ char lengths):
+    # when True, doc_map gains _zcl_<col> / _zll_<col> columns per
+    # indexed stored column, queryable as |field| and |||field|||
+    store_length_meta: bool = False
     # upsert semantics (Store replaces by uniqueId,
     # ZuliaShard.java:337-352): when set, the build keeps only the
     # row with the highest value of this column per uniqueId

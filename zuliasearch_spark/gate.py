@@ -51,6 +51,7 @@ def documents_config() -> IndexConfig:
         ),
         per_shard_stats=False,  # SQL oracle computes collection-global stats
         quantize_norms=False,  # SQL oracle scores with exact field lengths
+        store_length_meta=True,  # |field| / |||field||| meta queries
     )
 
 
@@ -353,6 +354,15 @@ def q_highlight_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tagged"),
         F.substring("highlighted", 1, 80).alias("head"),
     )
+
+
+def q_len_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-length meta query |text|:[150 TO 350] through the parser
+    (CHAR_LENGTH_BAR syntax, FieldTypeUtil.getCharLengthWrap:108-110)
+    combined with a term via the query-string surface."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.search_string("text:merge AND |text|:[150 TO 350]", amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
 
 
 def q_get_terms_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,6 +993,7 @@ QUERIES = {
     "multi_index_topk": q_multi_index_topk,
     "highlight_tags": q_highlight_tags,
     "get_terms_fuzzy": q_get_terms_fuzzy,
+    "len_meta_count": q_len_meta_count,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -1096,6 +1107,10 @@ WHERE doc_id IN {_MATCH_MERGE} AND source = 'src1'
 GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 10""",
     "fetch_masked": """
 SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents WHERE doc_id IN (3, 7, 11)""",
+    "len_meta_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE doc_id IN {_MATCH_MERGE} AND length(text) BETWEEN 150 AND 350""",
     "multi_index_topk": f"""
 WITH {_TOKS_CTE},
 half AS (SELECT doc_id, CASE WHEN source < 'src5' THEN 0 ELSE 1 END AS h FROM documents),

@@ -567,14 +567,26 @@ def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, 
         narrow_cols.append(F.sha2(F.col(content_col).cast("string"), 256).alias("content_sha256"))
     for c in stored_cols:
         narrow_cols.append(F.col(c))
+    if config.store_length_meta:
+        # _zcl_ char-length + _zll_ list-length meta columns
+        # (ZuliaFieldConstants.java:14-15; FieldIndexer.java:19-35),
+        # queryable as |field| / |||field||| through the parser
+        dtypes = dict(corpus.dtypes)
+        for c in dict.fromkeys(sc for sc, _ in config.indexed_fields()):
+            narrow_cols.append(F.length(F.col(c).cast("string")).alias(f"_zcl_{c}"))
+            if dtypes.get(c, "").startswith("array"):
+                narrow_cols.append(F.size(c).alias(f"_zll_{c}"))
+            else:
+                narrow_cols.append(
+                    F.when(F.col(c).isNull(), 0).otherwise(1).alias(f"_zll_{c}")
+                )
     narrow = corpus.select(*narrow_cols)
     base = assign_ids(narrow, config, offsets=offsets)
     doc_map = base.select(
         "shard",
         "doc_id",
         F.col(uid).alias("uniqueId"),
-        *(["content_sha256"] if content_col is not None else []),
-        *stored_cols,
+        *[c for c in narrow.columns if c != uid],
     )
 
     # postings path: ids assigned INSIDE the tokenizer kernel so the

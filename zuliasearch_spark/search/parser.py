@@ -81,6 +81,10 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<and>AND\b|&&)
+    # |||field||| (list-length meta) must match before the OR token
+    # eats its leading bars; |field| (char-length meta) lexes as a
+    # plain term since '|' is a term character
+  | (?P<metafield>\|\|\|[^\s|]+\|\|\|)
   | (?P<or>OR\b|\|\|)
   | (?P<not>NOT\b|!)
   | (?P<lparen>\()
@@ -208,7 +212,7 @@ class _Parser:
     def parse_atom(self):
         t = self.next()
         fieldname = None
-        if t.kind == "term":
+        if t.kind in ("term", "metafield"):
             nxt = self.peek()
             if nxt is not None and nxt.kind in ("colon", "cmp"):
                 fieldname = _unescape(t.text)
@@ -382,6 +386,18 @@ class RRange:
     incl_hi: bool
 
 
+def _meta_field(name: str) -> str:
+    """|field| → _zcl_field (char length), |||field||| → _zll_field
+    (list length) — FieldTypeUtil.getCharLengthWrap/getListLengthWrap
+    (FieldTypeUtil.java:108-115); the meta columns are written by
+    IndexConfig.store_length_meta."""
+    if name.startswith("|||") and name.endswith("|||") and len(name) > 6:
+        return "_zll_" + name[3:-3]
+    if name.startswith("|") and name.endswith("|") and len(name) > 2:
+        return "_zcl_" + name[1:-1]
+    return name
+
+
 def resolve_tree(
     node,
     analyze,
@@ -403,7 +419,9 @@ def resolve_tree(
     if isinstance(node, Range):
         if node.field is None:
             raise ParseError("range needs a field")
-        return RRange(node.field, node.lo, node.hi, node.incl_lo, node.incl_hi)
+        return RRange(
+            _meta_field(node.field), node.lo, node.hi, node.incl_lo, node.incl_hi
+        )
     assert isinstance(node, Leaf)
     fields = (node.field,) if node.field else tuple(default_fields)
     if not fields:

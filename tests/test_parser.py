@@ -222,6 +222,46 @@ def test_search_string_ranges(engine):
     assert {t["uniqueId"] for t in res4["topk"]} == {"d00"}
 
 
+INTERVAL_DOCS = [
+    ("i0", "alpha x beta"),         # ordered, gap 1
+    ("i1", "beta x alpha"),         # reversed
+    ("i2", "alpha beta"),           # adjacent ordered
+    ("i3", "alpha x y z z z beta"), # ordered, gap 5
+    ("i4", "alpha"),                # missing beta
+]
+
+
+def test_intervals_end_to_end(spark):
+    cfg = IndexConfig(
+        index_name="iv",
+        unique_id_col="uniqueId",
+        number_of_shards=1,
+        default_search_fields=("content",),
+        field_configs=(FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),),
+        per_shard_stats=False,
+        quantize_norms=False,
+    )
+    pdf = pd.DataFrame(INTERVAL_DOCS, columns=["uniqueId", "content"])
+    from zuliasearch_spark.indexing.builder import build_index as _bi
+
+    tables = _bi(spark.createDataFrame(pdf), cfg).persist()
+    try:
+        eng = SearchEngine(tables)
+
+        def ids(q):
+            return {t["uniqueId"] for t in eng.search(SearchRequest(qs=q, amount=10))["topk"]}
+
+        assert ids("fn:ordered(alpha beta)") == {"i0", "i2", "i3"}
+        assert ids("fn:unordered(alpha beta)") == {"i0", "i1", "i2", "i3"}
+        assert ids("fn:ordered(alpha beta)~1") == {"i0", "i2"}  # maxgaps 1
+        assert ids("fn:ordered(alpha beta)~0") == {"i2"}
+        assert ids("fn:unordered(alpha beta)~1") == {"i0", "i1", "i2"}
+        # composes with booleans
+        assert ids("fn:ordered(alpha beta) -x") == {"i2"}
+    finally:
+        tables.unpersist()
+
+
 def test_length_meta_end_to_end(spark):
     from dataclasses import replace as _rep
 

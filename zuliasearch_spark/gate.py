@@ -356,6 +356,15 @@ def q_highlight_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_ordered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval function fn:ordered(merge scan): docs where 'merge'
+    occurs BEFORE 'scan' (ZuliaSyntaxParser Function state :193-215;
+    Lucene Intervals.ordered) — needs the positions stream."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.search_string("fn:ordered(merge scan)", qf=("text",), amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
 def q_len_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-length meta query |text|:[150 TO 350] through the parser
     (CHAR_LENGTH_BAR syntax, FieldTypeUtil.getCharLengthWrap:108-110)
@@ -994,6 +1003,7 @@ QUERIES = {
     "highlight_tags": q_highlight_tags,
     "get_terms_fuzzy": q_get_terms_fuzzy,
     "len_meta_count": q_len_meta_count,
+    "interval_ordered_count": q_interval_ordered_count,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -1111,6 +1121,14 @@ SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents WHERE doc_id IN (3, 7, 
 WITH {_TOKS_CTE}
 SELECT count(*)::BIGINT AS hits FROM documents
 WHERE doc_id IN {_MATCH_MERGE} AND length(text) BETWEEN 150 AND 350""",
+    "interval_ordered_count": """
+WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
+pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i))
+SELECT count(*)::BIGINT AS hits FROM (
+  SELECT a.doc_id FROM pt a JOIN pt b USING (doc_id)
+  WHERE a.term = 'merge' AND b.term = 'scan' AND a.i < b.i
+  GROUP BY a.doc_id
+)""",
     "multi_index_topk": f"""
 WITH {_TOKS_CTE},
 half AS (SELECT doc_id, CASE WHEN source < 'src5' THEN 0 ELSE 1 END AS h FROM documents),

@@ -89,6 +89,7 @@ from zuliasearch_spark.search.parser import (
 
 _TREE_SENTINEL = "\x00tree\x00"  # cache key for a pre-stripped AST
 from zuliasearch_spark.search.query import (
+    IntervalSpec,
     PhraseSpec,
     ResolvedClause,
     SearchRequest,
@@ -363,6 +364,84 @@ def _phrase_postings(store: PostingsStore, pspec: PhraseSpec):
     return udocs, freqs.astype(np.int64), dls_out
 
 
+def _interval_match_doc(pos_by_term: list[np.ndarray], ordered: bool, max_gaps: int) -> bool:
+    """One document's interval check (Lucene Intervals semantics,
+    minimal slice): ordered = positions strictly increasing in term
+    order; max_gaps ≥ 0 bounds (covering width − k) of the best
+    interval."""
+    k = len(pos_by_term)
+    if ordered:
+        if max_gaps < 0:
+            # greedy earliest chain
+            prev = -1
+            for pos in pos_by_term:
+                j = np.searchsorted(pos, prev + 1)
+                if j >= pos.size:
+                    return False
+                prev = int(pos[j])
+            return True
+        # try each occurrence of the LAST term as the interval end;
+        # backward-greedy maximizes the start → minimal span for that end
+        for end in pos_by_term[-1][::-1]:
+            nxt = int(end)
+            ok = True
+            for pos in pos_by_term[-2::-1]:
+                j = np.searchsorted(pos, nxt) - 1
+                if j < 0:
+                    ok = False
+                    break
+                nxt = int(pos[j])
+            if ok and (int(end) - nxt + 1 - k) <= max_gaps:
+                return True
+        return False
+    # unordered: all terms present; with max_gaps, a minimal covering
+    # window over one position per term must satisfy width − k ≤ gaps
+    if max_gaps < 0:
+        return all(p.size for p in pos_by_term)
+    idx = [0] * k
+    best = None
+    while True:
+        cur = [int(pos_by_term[i][idx[i]]) for i in range(k)]
+        w = max(cur) - min(cur) + 1
+        best = w if best is None else min(best, w)
+        lo = int(np.argmin(cur))
+        idx[lo] += 1
+        if idx[lo] >= pos_by_term[lo].size:
+            break
+    return best is not None and (best - k) <= max_gaps
+
+
+def _interval_postings(store: PostingsStore, ispec: IntervalSpec):
+    """(docs, dls) of documents matching the interval function —
+    per-doc checks run only over the terms' posting intersection."""
+    streams = []
+    for t in ispec.terms:
+        entry = store.decode_with_positions((ispec.field, t))
+        if entry is None:
+            return None
+        streams.append(entry)
+    common = streams[0][0]
+    for docs, _, _, _ in streams[1:]:
+        common = np.intersect1d(common, docs, assume_unique=True)
+        if common.size == 0:
+            break
+    out_docs = []
+    for d in common:
+        pos_by_term = []
+        for docs, tfs, _dls, pos in streams:
+            i = int(np.searchsorted(docs, d))
+            starts = np.zeros(tfs.size, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=starts[1:])
+            pos_by_term.append(pos[starts[i] : starts[i] + int(tfs[i])])
+        if _interval_match_doc(pos_by_term, ispec.ordered, ispec.max_gaps):
+            out_docs.append(int(d))
+    if not out_docs:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    out = np.array(out_docs, dtype=np.int64)
+    d0, _, dls0 = store.decode((ispec.field, ispec.terms[0]))[:3]
+    return out, dls0[np.searchsorted(d0, out)]
+
+
 def _phrase_weight(pspec: PhraseSpec, shard, idf_by_key, params):
     """(Σ bm25_idf, Σ classic_idf) over constituents — Lucene
     PhraseWeight sums the terms' idf explanations. None if any
@@ -392,6 +471,16 @@ def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, 
             if entry is None:
                 return mask, score
             docs = entry[0]
+            pos = np.searchsorted(docs, cand_sorted)
+            ok = (pos < docs.size) & (docs[np.minimum(pos, max(docs.size - 1, 0))] == cand_sorted)
+            mask[ok] = True
+            score[ok] = np.float32(boost) if params.lucene_parity else boost
+            return mask, score
+        if isinstance(spec, IntervalSpec):
+            got = _interval_postings(store, spec)
+            if got is None:
+                return mask, score
+            docs = got[0]
             pos = np.searchsorted(docs, cand_sorted)
             ok = (pos < docs.size) & (docs[np.minimum(pos, max(docs.size - 1, 0))] == cand_sorted)
             mask[ok] = True
@@ -448,6 +537,14 @@ def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, sims=
             mask[docs] = True
             score[docs] = np.float32(boost) if params.lucene_parity else boost
             return mask, score
+        if isinstance(spec, IntervalSpec):
+            got = _interval_postings(store, spec)
+            if got is None:
+                return mask, score
+            docs, _dls = got
+            mask[docs] = True
+            score[docs] = np.float32(boost) if params.lucene_parity else boost
+            return mask, score
         if isinstance(spec, PhraseSpec):
             got = _phrase_postings(store, spec)
             if got is None:
@@ -473,6 +570,20 @@ def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, sims=
         return mask, score
 
     return term_vectors
+
+
+def _has_phrase(tree, resolved) -> bool:
+    """Does the request need the positions stream?"""
+    positional = (PhraseSpec, IntervalSpec)
+    if tree is not None:
+        def walk(node):
+            if isinstance(node, RBool):
+                return any(walk(c) for _, c in node.children)
+            specs = getattr(node, "specs", ())
+            return any(isinstance(s, positional) for s in specs)
+
+        return walk(tree)
+    return any(isinstance(s, positional) for rc in resolved for s in rc.specs)
 
 
 def _rank_and_page(idx: np.ndarray, scores: np.ndarray, after, per_shard_amount: int):
@@ -880,6 +991,18 @@ class SearchEngine:
             cond = c if cond is None else (cond | c)
         return cond
 
+    def _postings_scan(self, cond, need_positions: bool):
+        """Pruned postings scan for a query batch. The positions
+        stream is the largest per-posting payload and only phrase
+        queries read it — term-only batches PROJECT it out so the
+        parquet scan and the per-shard shuffle never carry it
+        (column pruning reaches the scan: ReadSchema drops
+        pos_bytes)."""
+        scan = self.tables.postings.filter(cond)
+        if not need_positions and "pos_bytes" in scan.columns:
+            scan = scan.select(*[c for c in scan.columns if c != "pos_bytes"])
+        return scan
+
     def _shards(self) -> list[int]:
         return sorted(self._shard_counts)
 
@@ -984,12 +1107,13 @@ class SearchEngine:
         kernel = _make_batch_kernel(
             qplans, idf_by_key, avgdl_by_key, self.params, self._shard_counts, self._tombstone_arrays()
         )
-        pdf = (
-            self.tables.postings.filter(cond)
-            .groupBy("shard")
-            .applyInPandas(kernel, KERNEL_SCHEMA)
-            .toPandas()
+        scan = self._postings_scan(
+            cond,
+            any(
+                _has_phrase(tree_by_qid[qid], resolved_by_qid[qid]) for qid in reqs
+            ),
         )
+        pdf = scan.groupBy("shard").applyInPandas(kernel, KERNEL_SCHEMA).toPandas()
 
         # vectorized gather (QueryCombiner semantics in pandas C):
         # rank rows per qid by (score desc, shard asc, doc_id asc)
@@ -1164,17 +1288,29 @@ class SearchEngine:
             resolved, idf_by_key, avgdl_by_key, self.params, self._shard_counts,
             self._tombstone_arrays(), tree=tree,
         )
-        return self.tables.postings.filter(cond).groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
+        scan = self._postings_scan(cond, _has_phrase(tree, resolved))
+        return scan.groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
 
-    def facet_counts(self, req: SearchRequest, facet_field: str, top_n: int = 10):
+    def facet_counts(
+        self, req: SearchRequest, facet_field: str, top_n: int = 10, max_total_hits: int = 0
+    ):
         """Exact top-N facet counts over the match set.
 
         The reference merges per-shard partial facet counts with error
         bounds (FacetCombiner.java:41-144); a global Spark groupBy is
         exact, so maxError/possibleMissing are always zero here.
         Ties broken by value ascending (deterministic).
+
+        ``max_total_hits`` > 0 reproduces the maxTotalHitsForFacet
+        cost guard (QueryRequestValidator; facet counting stops after
+        N hits): only the first N matches per the deterministic
+        (shard, doc_id) order feed the counts — an approximation
+        switch for hot paths, off by default because the exact global
+        groupBy is already one shuffle.
         """
         matches = self.match_ids(req).select("shard", "doc_id")
+        if max_total_hits > 0:
+            matches = matches.orderBy("shard", "doc_id").limit(max_total_hits)
         joined = matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner")
         return (
             joined.groupBy(F.col(facet_field).alias("value"))

@@ -59,6 +59,18 @@ class Bool:
 
 
 @dataclass
+class Interval:
+    """fn:ordered(...) / fn:unordered(...) with optional ~maxgaps
+    (Function lexer state, ZuliaSyntaxParser.jj:193-215)."""
+
+    words: tuple[str, ...]
+    ordered: bool
+    max_gaps: int = -1
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
 class ExistsSpec:
     """field:* — FieldExistsQuery (ZuliaPureWildcardNodeProcessor
     .java:24-39): constant-score match of every doc with ≥1 indexed
@@ -214,6 +226,9 @@ class _Parser:
         fieldname = None
         if t.kind in ("term", "metafield"):
             nxt = self.peek()
+            if t.text == "fn" and nxt is not None and nxt.kind == "colon":
+                self.next()  # consume ':'
+                return self._parse_interval_fn()
             if nxt is not None and nxt.kind in ("colon", "cmp"):
                 fieldname = _unescape(t.text)
                 op = self.next()
@@ -256,6 +271,25 @@ class _Parser:
             leaf = Leaf(_unescape(t.text), field=fieldname)
             return self._suffixes(leaf)
         raise ParseError(f"unexpected token {t.text!r}")
+
+    def _parse_interval_fn(self):
+        name = self.next()
+        if name.kind != "term" or name.text not in ("ordered", "unordered"):
+            raise ParseError(f"unsupported interval function {name.text!r}")
+        if self.next().kind != "lparen":
+            raise ParseError(f"fn:{name.text} needs '(...)'")
+        words: list[str] = []
+        while True:
+            t = self.next()
+            if t.kind == "rparen":
+                break
+            if t.kind != "term":
+                raise ParseError(f"bad token {t.text!r} in fn:{name.text}")
+            words.append(_unescape(t.text))
+        if not words:
+            raise ParseError(f"fn:{name.text} needs at least one term")
+        node = Interval(tuple(words), ordered=name.text == "ordered")
+        return self._suffixes(node)
 
     def _parse_range(self, fieldname, incl_lo: bool) -> Range:
         # range body is re-read from the RAW string (the reference
@@ -319,6 +353,9 @@ class _Parser:
                     num = self.next().text
                 if isinstance(node, Bool):
                     node.mm = int(float(num)) if num else 1
+                elif isinstance(node, Interval):
+                    # ~N after fn:ordered/unordered = max gaps
+                    node.max_gaps = int(float(num)) if num else 0
                 elif isinstance(node, Leaf) and node.phrase:
                     node.slop = int(float(num)) if num else 0
                 elif isinstance(node, Leaf):
@@ -422,6 +459,23 @@ def resolve_tree(
         return RRange(
             _meta_field(node.field), node.lo, node.hi, node.incl_lo, node.incl_hi
         )
+    if isinstance(node, Interval):
+        from zuliasearch_spark.search.query import IntervalSpec
+
+        fields = (node.field,) if node.field else tuple(default_fields)
+        if not fields:
+            raise ParseError("no default fields for interval function")
+        ispecs = []
+        for sub, f in enumerate(fields):
+            terms = tuple(analyze(f, " ".join(node.words)))
+            if terms:
+                ispecs.append(
+                    IntervalSpec(
+                        f, terms, node.ordered, node.max_gaps,
+                        required=True, group=0, subgroup=sub,
+                    )
+                )
+        return RLeaf(tuple(ispecs), conj=False, boost=node.boost)
     assert isinstance(node, Leaf)
     fields = (node.field,) if node.field else tuple(default_fields)
     if not fields:
@@ -470,8 +524,10 @@ def tree_stat_keys(node) -> set[tuple[str, str]]:
         for _, c in node.children:
             out |= tree_stat_keys(c)
     elif isinstance(node, RLeaf):
+        from zuliasearch_spark.search.query import IntervalSpec
+
         for s in node.specs:
-            if isinstance(s, PhraseSpec):
+            if isinstance(s, (PhraseSpec, IntervalSpec)):
                 out.update(s.stat_keys)
             elif isinstance(s, ExistsSpec):
                 out.add((s.field, None))

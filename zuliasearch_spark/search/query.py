@@ -160,6 +160,29 @@ class PhraseSpec:
         return tuple((self.field, t) for t in self.terms)
 
 
+@dataclass(frozen=True)
+class IntervalSpec:
+    """Interval function leaf (fn:ordered / fn:unordered,
+    ZuliaSyntaxParser.jj Function state :193-215): all terms must
+    occur in one document, in query order when ``ordered``;
+    ``max_gaps ≥ 0`` bounds the minimal covering interval's internal
+    gaps (width − k), Lucene Intervals.maxgaps semantics. Matches are
+    constant-scored (boost), a documented simplification of Lucene's
+    interval frequency scoring."""
+
+    field: str
+    terms: tuple[str, ...]
+    ordered: bool
+    max_gaps: int = -1  # -1 = unbounded
+    required: bool = False
+    group: int = 0
+    subgroup: int = 0
+
+    @property
+    def stat_keys(self) -> tuple[tuple[str, str], ...]:
+        return tuple((self.field, t) for t in self.terms)
+
+
 def iter_stat_keys(resolved) -> set[tuple[str, str]]:
     """All (field, term) pairs a resolved query needs stats/postings
     for — TermSpec leaves plus every phrase constituent."""

@@ -1113,7 +1113,11 @@ class SearchEngine:
                 _has_phrase(tree_by_qid[qid], resolved_by_qid[qid]) for qid in reqs
             ),
         )
+        import time as _time
+
+        _t0 = _time.perf_counter()
         pdf = scan.groupBy("shard").applyInPandas(kernel, KERNEL_SCHEMA).toPandas()
+        _t_job = _time.perf_counter()
 
         # vectorized gather (QueryCombiner semantics in pandas C):
         # rank rows per qid by (score desc, shard asc, doc_id asc)
@@ -1121,6 +1125,7 @@ class SearchEngine:
         self.last_metrics = {
             "blocks_decoded": int(per_shard_df["blocks_decoded"].sum()),
             "blocks_total": int(per_shard_df["blocks_total"].sum()),
+            "job_ms": int((_t_job - _t0) * 1000),
         }
         qstats = pdf.drop_duplicates(["qid", "shard"]).groupby("qid").agg(
             total_hits=("total_hits", "sum"), hits_exact=("hits_exact", "min")
@@ -1130,28 +1135,47 @@ class SearchEngine:
         )
         hits = hits.assign(rank=hits.groupby("qid").cumcount())
 
+        # purely-negative queries need the MatchAll fix-up (handled in
+        # the slow path below); everything else takes the vectorized
+        # page cut — ONE pandas pass for the whole batch, no per-qid
+        # filtering of the big frame (that loop was O(queries × rows)
+        # and a constant ~1 s of driver time that throttled batch q/s)
+        neg_qids = set()
+        for qid in reqs:
+            resolved = resolved_by_qid[qid]
+            tree = tree_by_qid[qid]
+            if (resolved and all(rc.clause.negative for rc in resolved)) or (
+                tree is not None and not tree_has_positive_leaf(tree)
+            ):
+                neg_qids.add(qid)
+
+        start_map = {qid: r.start for qid, r in reqs.items()}
+        lim_map = {qid: r.start + r.amount for qid, r in reqs.items()}
+        qcol = hits["qid"]
+        page = hits[
+            (hits["rank"] >= qcol.map(start_map)) & (hits["rank"] < qcol.map(lim_map))
+        ]
+        topk_by_qid: dict[str, list[dict]] = {qid: [] for qid in reqs}
+        for row in page.itertuples(index=False):
+            if row.qid not in neg_qids:
+                topk_by_qid[row.qid].append(
+                    {"shard": int(row.shard), "doc_id": int(row.doc_id), "score": float(row.score), "qid": row.qid}
+                )
+
+        th_map = qstats["total_hits"].to_dict()
+        he_map = qstats["hits_exact"].to_dict()
         all_topk: list[dict] = []
         for qid, req in reqs.items():
-            resolved = resolved_by_qid[qid]
-            if qid in qstats.index:
-                total_hits = int(qstats.loc[qid, "total_hits"])
-                hits_exact = bool(qstats.loc[qid, "hits_exact"])
-            else:
-                total_hits, hits_exact = 0, True
-            sub = hits[hits["qid"] == qid] if len(hits) else hits
-            merged = list(
-                zip(sub["score"].astype(float), sub["shard"].astype(int), sub["doc_id"].astype(int))
-            )
-
-            # purely-negative query: shards where the negative terms have no
-            # postings produced no kernel group, yet ALL their docs match
-            # (the reference's MatchAll fix-up, ZuliaIndex.java:715-717)
-            tree = tree_by_qid[qid]
-            pure_negative = (
-                (resolved and all(rc.clause.negative for rc in resolved))
-                or (tree is not None and not tree_has_positive_leaf(tree))
-            )
-            if pure_negative:
+            total_hits = int(th_map.get(qid, 0))
+            hits_exact = bool(he_map.get(qid, True))
+            if qid in neg_qids:
+                # MatchAll fix-up: shards where the negative terms have
+                # no postings produced no kernel group, yet ALL their
+                # docs match (ZuliaIndex.java:715-717)
+                sub = hits[hits["qid"] == qid] if len(hits) else hits
+                merged = list(
+                    zip(sub["score"].astype(float), sub["shard"].astype(int), sub["doc_id"].astype(int))
+                )
                 seen_shards = set(sub["shard"].astype(int)) | {
                     int(s) for s in pdf[pdf["qid"] == qid]["shard"]
                 }
@@ -1172,11 +1196,16 @@ class SearchEngine:
                     for d in cand[:per_shard_amount]:
                         merged.append((0.0, s, int(d)))
                 merged.sort(key=lambda x: (-x[0], x[1], x[2]))
-            page = merged[req.start : req.start + req.amount]
-            topk = [{"shard": s, "doc_id": d, "score": sc, "qid": qid} for sc, s, d in page]
+                topk = [
+                    {"shard": s, "doc_id": d, "score": sc, "qid": qid}
+                    for sc, s, d in merged[req.start : req.start + req.amount]
+                ]
+            else:
+                topk = topk_by_qid[qid]
             all_topk.extend(topk)
             results[qid] = {"totalHits": total_hits, "topk": topk, "hitsExact": hits_exact}
 
+        self.last_metrics["gather_ms"] = int((_time.perf_counter() - _t_job) * 1000)
         if fetch != "none" and all_topk:
             self._attach_unique_ids(all_topk)
         for res in results.values():

@@ -169,6 +169,10 @@ def main() -> None:
         build_docs_per_sec = n_docs / t_code_build
 
         # ---- phase 3: BM25 query set over the written index ------------
+        # one shuffle partition per shard group: the batch kernel emits
+        # exactly #shards groups; surplus empty reduce tasks are
+        # per-job scheduling overhead
+        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.number_of_shards))
         tables = read_index(spark, index_path, cfg)
         code_engine = SearchEngine(tables)
         qset = bench_query_set()

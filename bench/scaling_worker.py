@@ -86,6 +86,11 @@ def main() -> None:
         tables = write_index(tables, f"{work}/index")
         t_build = time.perf_counter() - t0
 
+        # query phase: one shuffle partition per shard group — the
+        # batch kernel produces exactly #shards groups, and the extra
+        # 96 empty reduce tasks per job were pure driver-side
+        # scheduling overhead, a per-rep constant that caps scaling
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shards))
         tables = read_index(spark, f"{work}/index", cfg)
         engine = SearchEngine(tables)
         qset = dict(bench_query_set())

@@ -131,6 +131,42 @@ def test_export_import_clear(spark, engine, tmp_path_factory):
     assert os.listdir(victim) == []
 
 
+def test_vector_clauses(spark):
+    """VECTOR constrains to KNN top-k over the pre-filter;
+    VECTOR_SHOULD only adds similarity to the boolean score."""
+    rows = [
+        ("v0", "alpha common", [1.0, 0.0, 0.0]),
+        ("v1", "alpha common", [0.9, 0.1, 0.0]),
+        ("v2", "alpha common", [0.0, 1.0, 0.0]),
+        ("v3", "beta common", [1.0, 0.0, 0.0]),  # excluded by pre-filter
+        ("v4", "alpha common", None),  # no vector: can't match VECTOR
+    ]
+    pdf = pd.DataFrame(rows, columns=["uniqueId", "content", "vec"])
+    cfg = _cfg("vx")
+    sdf = spark.createDataFrame(pdf)
+    tables = build_index(sdf, cfg, stored_cols=("vec",)).persist()
+    try:
+        eng = SearchEngine(tables)
+        req = SearchRequest((C("FILTER", q="content:alpha"),), amount=10)
+        res = eng.search_vector(req, [1.0, 0.0, 0.0], "vec", k=2)
+        got = [t["uniqueId"] for t in res["topk"]]
+        assert got == ["v0", "v1"]  # KNN top-2 among alpha docs
+        assert res["topk"][0]["score"] == pytest.approx(1.0, abs=1e-4)
+
+        # VECTOR_SHOULD: all alpha docs match; top-2 get cosine added
+        req2 = SearchRequest((C("SCORE_SHOULD", q="common", qf=("content",)),), amount=10)
+        res2 = eng.search_vector(req2, [1.0, 0.0, 0.0], "vec", k=2, should=True, amount=10)
+        assert res2["totalHits"] == 5
+        by_uid = {t["uniqueId"]: t["score"] for t in res2["topk"]}
+        # v0/v3 tie for the top cosine (both exactly the query vector);
+        # deterministic (shard, doc_id) tiebreak picks 2 of {v0,v1,v3}
+        boosted = [u for u in ("v0", "v1", "v3") if by_uid[u] > by_uid["v2"]]
+        assert len(boosted) == 2
+        assert by_uid["v2"] == pytest.approx(by_uid["v4"], abs=1e-6)
+    finally:
+        tables.unpersist()
+
+
 def test_get_terms_extras(engine):
     rows = {r["term"]: (r["df"], r["ttf"]) for r in engine.get_terms("content").collect()}
     assert rows["beta"] == (2, 3)

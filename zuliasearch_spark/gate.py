@@ -61,9 +61,14 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if eng is not None:
         return eng
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
     # uid zero-padded so per-shard doc order == numeric doc_id order,
     # making engine tie-breaks identical to ORDER BY score DESC, doc_id
-    corpus = docs.select(
+    # broadcast join keeps the scan's partition layout + row order —
+    # the narrow lineage assign_ids requires (no shuffle of docs)
+    corpus = docs.join(F.broadcast(emb), "doc_id", "left").select(
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("uid"),
         F.col("doc_id").alias("orig_doc_id"),
         "text",
@@ -73,11 +78,13 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         # hierarchical facet path (source/lang), the facetPathSplitter
         # surface (ShardDocumentIndexer.generateFacetLabels:515-520)
         F.concat_ws("/", "source", "lang").alias("src_path"),
+        # per-doc embedding (FieldConfig VECTOR type) for VECTOR clauses
+        "embedding",
     )
     tables = build_index(
         corpus,
         documents_config(),
-        stored_cols=("orig_doc_id", "lang", "source", "n_chars", "src_path"),
+        stored_cols=("orig_doc_id", "lang", "source", "n_chars", "src_path", "embedding"),
     )
     tables.persist()
     eng = SearchEngine(tables)
@@ -354,6 +361,21 @@ def q_highlight_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tagged"),
         F.substring("highlighted", 1, 80).alias("head"),
     )
+
+
+def q_vector_clause_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR clause composed with a boolean pre-filter
+    (handleVectorQuery, ZuliaIndex.java:566-615): KNN top-10 by
+    cosine among docs matching text:merge, scored by similarity."""
+    eng = documents_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=10)
+    res = eng.search_vector(req, qv, "embedding", k=10)
+    rows = [(int(t["uniqueId"]), float(t["score"])) for t in res["topk"]]
+    rows.sort(key=lambda r: (-round(r[1], 7), r[0]))
+    rows = [(d, float(round(s, 4))) for d, s in rows]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
 def q_interval_ordered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,6 +1026,7 @@ QUERIES = {
     "get_terms_fuzzy": q_get_terms_fuzzy,
     "len_meta_count": q_len_meta_count,
     "interval_ordered_count": q_interval_ordered_count,
+    "vector_clause_topk": q_vector_clause_topk,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -1121,6 +1144,20 @@ SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents WHERE doc_id IN (3, 7, 
 WITH {_TOKS_CTE}
 SELECT count(*)::BIGINT AS hits FROM documents
 WHERE doc_id IN {_MATCH_MERGE} AND length(text) BETWEEN 150 AND 350""",
+    "vector_clause_topk": f"""
+WITH {_TOKS_CTE},
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+c AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT doc_id FROM m)
+)
+SELECT doc_id, round(c, 4) AS score FROM c
+ORDER BY round(c, 7) DESC, doc_id ASC LIMIT 10""",
     "interval_ordered_count": """
 WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
 pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i))

@@ -1537,6 +1537,85 @@ class SearchEngine:
             "hitsExact": True,
         }
 
+    def search_vector(
+        self,
+        req: SearchRequest,
+        vector,
+        vector_field: str,
+        k: int = 10,
+        should: bool = False,
+        amount: int | None = None,
+    ) -> dict:
+        """VECTOR / VECTOR_SHOULD clause composed with the boolean
+        query (handleVectorQuery, ZuliaIndex.java:566-615): the
+        request's clauses act as the KNN pre-filter (:693-695 injects
+        MatchAll when they are all absent), cosine similarity is
+        computed against a stored embedding column on doc_map, and:
+
+        - ``should=False`` (VECTOR): only the top-k docs by cosine
+          remain matched; each scores bm25 + cosine;
+        - ``should=True`` (VECTOR_SHOULD): matching is unchanged; the
+          top-k docs get the cosine added to their score.
+
+        The dot product runs as codegen array expressions over the
+        pre-filtered match set — the scan never ranks vectors the
+        boolean query already excluded.
+        """
+        amount = amount or k
+        if req.clauses or req.qs is not None:
+            matches = self.match_ids(req)
+        else:
+            matches = self.tables.doc_map.select(
+                "shard", "doc_id", F.lit(0.0).alias("score")
+            )
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        qlit = F.array(*[F.lit(float(x)) for x in vector])
+        emb = F.col(vector_field)
+
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        cos = dot(emb, qlit) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)))
+        scored = j.filter(emb.isNotNull()).select(
+            "shard", "doc_id", "score", "uniqueId", F.round(cos, 6).alias("cosine")
+        )
+        top = scored.orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id")).limit(k)
+        if should:
+            knn = {(int(r["shard"]), int(r["doc_id"])): float(r["cosine"]) for r in top.collect()}
+            base = matches.select("shard", "doc_id", "score").join(
+                self.tables.doc_map.select("shard", "doc_id", "uniqueId"), ["shard", "doc_id"]
+            )
+            rows = base.collect()
+            out = []
+            for r in rows:
+                key = (int(r["shard"]), int(r["doc_id"]))
+                out.append(
+                    {
+                        "shard": key[0],
+                        "doc_id": key[1],
+                        "uniqueId": r["uniqueId"],
+                        "score": float(r["score"]) + knn.get(key, 0.0),
+                    }
+                )
+            out.sort(key=lambda t: (-t["score"], t["shard"], t["doc_id"]))
+            return {"totalHits": len(out), "topk": out[:amount], "hitsExact": True}
+        rows = top.collect()
+        out = [
+            {
+                "shard": int(r["shard"]),
+                "doc_id": int(r["doc_id"]),
+                "uniqueId": r["uniqueId"],
+                "score": float(r["score"]) + float(r["cosine"]),
+            }
+            for r in rows
+        ]
+        out.sort(key=lambda t: (-t["score"], t["shard"], t["doc_id"]))
+        return {"totalHits": len(out), "topk": out[:amount], "hitsExact": True}
+
     def sort_search(
         self,
         req: SearchRequest,

@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Per-phase build profiler for the scaling protocol (BASELINE.md §4).
+"""Sub-phase profiler for the postings build (tokenize vs shuffle+encode
+vs parquet write) at one parallelism level:
 
-Times each materialization inside the timed build window separately so
-the Amdahl-fixed (non-core-scaling) cost can be attributed:
+    python bench/profile_postings.py --cores 8 --corpus /tmp/zscaling_corpus_200000
 
-    python bench/profile_build.py --cores 8 --corpus /tmp/zscaling_corpus_200000 --docs 200000
-
-Prints one JSON line with per-phase seconds.
+Each sub-phase is measured with a noop sink so upstream work is the
+only cost; phases are cumulative (tokenize; tokenize+encode;
+tokenize+encode+write) — differences attribute the increments.
 """
 
 from __future__ import annotations
@@ -25,7 +25,6 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--corpus", required=True)
-    ap.add_argument("--docs", type=int, required=True)
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--shuffle-partitions", type=int, default=128)
     args = ap.parse_args()
@@ -38,7 +37,7 @@ def main() -> None:
     os.makedirs(local_dir, exist_ok=True)
     export_env()
     builder = (
-        SparkSession.builder.appName(f"profile-{args.cores}")
+        SparkSession.builder.appName(f"profpost-{args.cores}")
         .master(f"local[{args.cores}]")
         .config("spark.driver.memory", "48g")
         .config("spark.local.dir", local_dir)
@@ -54,13 +53,11 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from pyspark.sql import functions as F
-
     from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
     from zuliasearch_spark.indexing import builder as B
 
     cfg = IndexConfig(
-        index_name="profile",
+        index_name="profpost",
         unique_id_col="uniqueId",
         number_of_shards=args.shards,
         default_search_fields=("content",),
@@ -80,57 +77,48 @@ def main() -> None:
     )
     spark.conf.set("spark.sql.files.maxPartitionBytes", max(1 << 22, total_bytes // 128))
     corpus = spark.read.parquet(args.corpus)
-    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = tempfile.mkdtemp(prefix=f"prof{args.cores}_", dir=scratch)
-    path = f"{work}/index"
     phases: dict[str, float] = {}
 
-    def clock(name):
-        class _C:
-            def __enter__(self):
-                self.t0 = time.perf_counter()
+    from pyspark.sql import functions as F
 
-            def __exit__(self, *a):
-                phases[name] = round(time.perf_counter() - self.t0, 2)
-
-        return _C()
-
-    t_all = time.perf_counter()
     uid = cfg.unique_id_col
-    corpus2 = corpus.withColumn(uid, F.col(uid).cast("string"))
-    with clock("id_offsets"):
-        offsets = B.id_offsets(corpus2, cfg)
+    corpus = corpus.withColumn(uid, F.col(uid).cast("string"))
+    t0 = time.perf_counter()
+    offsets = B.id_offsets(corpus, cfg)
+    phases["id_offsets"] = round(time.perf_counter() - t0, 2)
 
-    tables = B.build_index(corpus, cfg)
-    # replicate write_index stepwise
-    with clock("postings_write"):
-        (
-            tables.postings.repartition("field", "shard")
-            .sortWithinPartitions("term", "bucket", "block_id")
-            .write.mode("overwrite")
-            .partitionBy("field")
-            .parquet(os.path.join(path, "postings"))
-        )
-    with clock("doc_map_write"):
-        tables.doc_map.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
-    postings = spark.read.parquet(os.path.join(path, "postings"))
-    term_stats, field_stats = B.stats_from_postings(postings)
-    with clock("term_stats_write"):
-        (
-            term_stats.repartition("field")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("field")
-            .parquet(os.path.join(path, "term_stats"))
-        )
-    with clock("field_stats_write"):
-        field_stats.write.mode("overwrite").parquet(os.path.join(path, "field_stats"))
-    with clock("shard_counts_write"):
-        doc_map = spark.read.parquet(os.path.join(path, "doc_map"))
-        doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "shard_counts"))
-    phases["total"] = round(time.perf_counter() - t_all, 2)
+    field_specs = [
+        (stored_col, ia.indexed_field_name, cfg.analyzer(ia.analyzer_name))
+        for stored_col, ia in cfg.indexed_fields()
+    ]
+    cols = list(dict.fromkeys(c for c, _, _ in field_specs))
+    tall = corpus.select(uid, *cols).mapInArrow(
+        B._make_tokenizer(
+            field_specs, cfg.store_positions, id_cfg=(offsets, cfg.number_of_shards), uid_col=uid
+        ),
+        B.TALL_SCHEMA,
+    )
+
+    t0 = time.perf_counter()
+    tall.write.format("noop").mode("overwrite").save()
+    phases["tokenize"] = round(time.perf_counter() - t0, 2)
+
+    postings = B.build_postings(tall, cfg)
+    t0 = time.perf_counter()
+    postings.write.format("noop").mode("overwrite").save()
+    phases["tok_shuffle_encode"] = round(time.perf_counter() - t0, 2)
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix=f"profpost{args.cores}_", dir=scratch)
+    t0 = time.perf_counter()
+    (
+        postings.repartition("field", "shard")
+        .sortWithinPartitions("term", "bucket", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(os.path.join(work, "postings"))
+    )
+    phases["tok_enc_write"] = round(time.perf_counter() - t0, 2)
     phases["cores"] = args.cores
     print(json.dumps(phases), flush=True)
     spark.stop()

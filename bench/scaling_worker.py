@@ -35,19 +35,26 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from zuliasearch_spark.util.alloc import export_env, worker_env_configs
+
     local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
-    spark = (
+    export_env()
+    builder = (
         SparkSession.builder.appName(f"scaling-{args.cores}")
         .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "false")  # fixed plan across runs
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # resident-pool batch sizing (see zuliasearch_spark/util/alloc.py)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    for k, v in worker_env_configs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from bench import bench_query_set

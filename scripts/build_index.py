@@ -53,7 +53,15 @@ def main() -> None:
     from zuliasearch_spark.config import IndexConfig
     from zuliasearch_spark.indexing.segments import SegmentedIndexWriter
 
-    spark = SparkSession.builder.appName("zulia-spark-build").getOrCreate()
+    from zuliasearch_spark.util.alloc import export_env, worker_env_configs
+
+    export_env()
+    builder = SparkSession.builder.appName("zulia-spark-build").config(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "1024"
+    )
+    for k, v in worker_env_configs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     if args.config:

@@ -63,6 +63,12 @@ from zuliasearch_spark.config import (
     WHITESPACE,
     AnalyzerSettings,
 )
+from zuliasearch_spark.util.alloc import tune_allocators
+
+# every process that tokenizes (driver or Spark python worker) keeps
+# its allocator pools resident — see util/alloc.py for the measured
+# refault pathology this avoids
+tune_allocators()
 
 # Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public Apache-2.0 list)
 ENGLISH_STOPWORDS = frozenset(

@@ -6,6 +6,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from zuliasearch_spark.util.alloc import export_env, worker_env_configs
+
 
 def get_spark(
     app: str = "zuliasearch_spark",
@@ -30,7 +32,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # small batches keep each kernel call's transient buffers
+        # inside the allocator pool's resident pages (util/alloc.py);
+        # measured 12.6 vs 0.7 MB/s tokenizing 10 KB docs at 1024 vs
+        # 16k rows per batch on this host
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
@@ -39,6 +45,12 @@ def get_spark(
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+    # glibc allocator env for python workers (must be present at
+    # worker-process start): via executorEnv AND the driver's own
+    # environment (local-mode daemons fork from the driver's env)
+    export_env()
+    for k, v in worker_env_configs().items():
+        b = b.config(k, v)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

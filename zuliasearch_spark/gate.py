@@ -506,6 +506,40 @@ def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key field sort (repeated FieldSort list,
+    ShardReader.buildSortFromSortRequest:605-697): lang ASC then
+    n_chars DESC over the same filtered match set."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    return eng.sort_search(
+        req,
+        sort_keys=(("lang", True, True), ("n_chars", False, True)),
+        amount=10,
+        tiebreak=("orig_doc_id",),
+    ).select(
+        F.col("orig_doc_id").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf over the match set (AnalysisHandler
+    docTerms — one ranked term vector PER result doc)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("orig_doc_id"), "text"
+    )
+    out = eng.analysis_doc_terms(
+        req, docs, ["orig_doc_id"], "text", "orig_doc_id", "whitespace_lc", top_n=3
+    )
+    return out.select(
+        F.col("orig_doc_id").alias("doc_id"), "term", F.col("tf").cast("long").alias("tf")
+    ).orderBy("doc_id", "term")
+
+
 def q_wildcard_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard term expansion → TERMS set (qu* on the dictionary,
     ZuliaSyntaxParser wild*card terms)."""
@@ -576,6 +610,23 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 _WILDCARD_SQL = f"""
 WITH {_TOKS_CTE}
 SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM toks WHERE term LIKE 'qu%'
+"""
+
+_SORT_MULTI_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
+WHERE doc_id IN {_MATCH_MERGE}
+ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+_DOC_TERMS_SQL = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE doc_id IN {_MATCH_MERGE} GROUP BY doc_id, term),
+ranked AS (SELECT doc_id, term, tf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+           FROM tf)
+SELECT doc_id, term, tf::BIGINT AS tf FROM ranked WHERE rn <= 3 ORDER BY doc_id, term
 """
 
 _SUMMARY_SQL = f"""
@@ -1042,6 +1093,8 @@ QUERIES = {
     "highlight": q_highlight,
     "docvalue_range": q_docvalue_range,
     "sort_topk": q_sort_topk,
+    "sort_multi": q_sort_multi,
+    "doc_terms": q_doc_terms,
     "wildcard_count": q_wildcard_count,
     "summary_terms": q_summary_terms,
     "mlt_topk": q_mlt_topk,
@@ -1289,6 +1342,8 @@ ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
     "highlight": _HIGHLIGHT_SQL,
     "docvalue_range": _DOCVALUE_SQL,
     "sort_topk": _SORT_SQL,
+    "sort_multi": _SORT_MULTI_SQL,
+    "doc_terms": _DOC_TERMS_SQL,
     "wildcard_count": _WILDCARD_SQL,
     "summary_terms": _SUMMARY_SQL,
     "mlt_topk": _MLT_SQL,

@@ -882,6 +882,7 @@ class SearchEngine:
         self._df_cache: dict[tuple[str, str, int], int] = {}
         self._known_terms: set[tuple[str, str]] = set()
         self._resolve_cache: dict[tuple, list[ResolvedClause]] = {}
+        self._pinned: DataFrame | None = None
         self.last_metrics: dict[str, int] = {"blocks_decoded": 0, "blocks_total": 0}
         # tombstoned (deleted) docs per shard — masked in the kernels,
         # purged by a segment rewrite (see delete_by_unique_ids).
@@ -991,13 +992,55 @@ class SearchEngine:
             cond = c if cond is None else (cond | c)
         return cond
 
+    def pin(self, need_positions: bool = False) -> "SearchEngine":
+        """Pin the postings RESIDENT in executor memory, hash-
+        partitioned by shard — the steady-state serving topology.
+
+        Without pinning, every query batch re-decodes the postings
+        parquet and re-shuffles the matching blocks to their shard
+        group: per-batch cost proportional to index size, not result
+        size. Pinned, (a) batches filter the in-memory columnar cache
+        (no parquet scan), and (b) the cached plan's
+        HashPartitioning("shard") already satisfies
+        ``groupBy("shard")``'s ClusteredDistribution, so Catalyst
+        elides the per-batch exchange — each batch is one map-side
+        pass over resident co-located partitions, the Spark analogue
+        of Lucene keeping segments open in a searcher
+        (ShardReadManager.java reader leases). At cluster scale the
+        pinned partitions live on their executors and queries route
+        to them with NO data movement; scaling out adds partitions
+        without touching the plan.
+
+        ``need_positions=False`` (default) drops the pos_bytes stream
+        from the resident copy — the largest per-posting payload,
+        read only by phrase/interval queries, which transparently
+        fall back to the parquet scan path."""
+        base = self.tables.postings
+        if not need_positions and "pos_bytes" in base.columns:
+            base = base.select(*[c for c in base.columns if c != "pos_bytes"])
+        pinned = base.repartition(len(self._shards()), "shard").persist()
+        pinned.count()  # materialize the cache before serving
+        self._pinned = pinned
+        return self
+
+    def unpin(self) -> None:
+        if self._pinned is not None:
+            self._pinned.unpersist()
+            self._pinned = None
+
     def _postings_scan(self, cond, need_positions: bool):
         """Pruned postings scan for a query batch. The positions
         stream is the largest per-posting payload and only phrase
         queries read it — term-only batches PROJECT it out so the
         parquet scan and the per-shard shuffle never carry it
         (column pruning reaches the scan: ReadSchema drops
-        pos_bytes)."""
+        pos_bytes). When the index is pinned (:meth:`pin`), term-only
+        batches filter the resident shard-partitioned cache instead —
+        no parquet scan and no shuffle."""
+        if self._pinned is not None and (
+            need_positions is False or "pos_bytes" in self._pinned.columns
+        ):
+            return self._pinned.filter(cond)
         scan = self.tables.postings.filter(cond)
         if not need_positions and "pos_bytes" in scan.columns:
             scan = scan.select(*[c for c in scan.columns if c != "pos_bytes"])
@@ -1619,24 +1662,48 @@ class SearchEngine:
     def sort_search(
         self,
         req: SearchRequest,
-        sort_col: str,
+        sort_col: str | None = None,
         ascending: bool = True,
         amount: int = 10,
         tiebreak: tuple[str, ...] = ("shard", "doc_id"),
         missing_last: bool = True,
+        sort_keys: tuple[tuple, ...] | None = None,
     ):
         """Field-sorted results (SortTest semantics, ShardReader
         .buildSortFromSortRequest:605-697): typed sort on stored
         columns with missingLast + deterministic tiebreak — Catalyst
-        TakeOrderedAndProject does the distributed top-k."""
+        TakeOrderedAndProject does the distributed top-k.
+
+        ``sort_keys`` is the multi-key form (the reference's repeated
+        FieldSort list): tuples ``(col, ascending, missing_last[,
+        selector])`` applied in order. ``selector`` — "MIN" | "MAX" —
+        picks the sort value out of a multivalued (array) stored
+        column, Lucene's SortedNumericSelector/SortedSetSelector
+        semantics for multivalued fields."""
         matches = self.match_ids(req).select("shard", "doc_id")
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
-        c = F.col(sort_col)
-        if ascending:
-            key = c.asc_nulls_last() if missing_last else c.asc_nulls_first()
-        else:
-            key = c.desc_nulls_last() if missing_last else c.desc_nulls_first()
-        return j.orderBy(key, *[F.asc(t) for t in tiebreak]).limit(amount)
+        if sort_keys is None:
+            if sort_col is None:
+                raise ValueError("sort_search needs sort_col or sort_keys")
+            sort_keys = ((sort_col, ascending, missing_last),)
+        keys = []
+        for spec in sort_keys:
+            col, asc, mlast = spec[0], spec[1], spec[2]
+            selector = spec[3] if len(spec) > 3 else None
+            c = F.col(col)
+            if selector is not None:
+                sel = selector.upper()
+                if sel == "MIN":
+                    c = F.array_min(c)
+                elif sel == "MAX":
+                    c = F.array_max(c)
+                else:
+                    raise ValueError(f"unknown multivalued selector {selector!r}")
+            if asc:
+                keys.append(c.asc_nulls_last() if mlast else c.asc_nulls_first())
+            else:
+                keys.append(c.desc_nulls_last() if mlast else c.desc_nulls_first())
+        return j.orderBy(*keys, *[F.asc(t) for t in tiebreak]).limit(amount)
 
     def search_score_function(self, req: SearchRequest, expr: str, amount: int = 10):
         """Score-function search (handleScoreFunction:837-903): an
@@ -1723,6 +1790,55 @@ class SearchEngine:
             .agg(F.sum("tf").alias("sum_tf"))
             .orderBy(F.desc("sum_tf"), F.asc("term"))
             .limit(top_n)
+        )
+
+    def analysis_doc_terms(
+        self,
+        req: SearchRequest,
+        docs_df,
+        join_on: list[str],
+        text_col: str,
+        id_col: str,
+        analyzer_name: str,
+        top_n: int = 10,
+    ):
+        """Per-document top-N terms by tf over the match set
+        (AnalysisHandler.java:44-209 ``docTerms``: the reference
+        re-analyzes each result doc's stored text and returns its own
+        term vector, one ranked list PER doc — versus
+        :meth:`analysis_summary`'s corpus-level ranking). The window
+        partitions by doc, so its state is bounded by one document's
+        vocabulary regardless of corpus size."""
+        import pyarrow as pa
+
+        from pyspark.sql import Window
+
+        from zuliasearch_spark.analysis.analyzers import term_freqs as _tfs
+
+        settings = self.config.analyzer(analyzer_name)
+        matched = self.match_ids(req).select("shard", "doc_id")
+        j = matched.join(self.tables.doc_map, ["shard", "doc_id"]).join(docs_df, join_on)
+
+        def tok(batches):
+            for rb in batches:
+                names = rb.schema.names
+                ids = rb.column(names.index(id_col)).to_numpy(zero_copy_only=False)
+                doc_idx, term_arr, tf, _dl = _tfs(rb.column(names.index(text_col)), settings)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids[doc_idx].astype("int64"), type=pa.int64()),
+                        term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr,
+                        pa.array(tf.astype("int64"), type=pa.int64()),
+                    ],
+                    names=[id_col, "term", "tf"],
+                )
+
+        terms = j.select(id_col, text_col).mapInArrow(tok, f"{id_col} long, term string, tf long")
+        w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
+        return (
+            terms.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_n)
+            .drop("_rn")
         )
 
     def _tombstone_arrays(self) -> dict[int, np.ndarray] | None:

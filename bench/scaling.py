@@ -59,7 +59,18 @@ def run_level(cores: int, corpus: str, docs: int, zip_path: str, reps: int) -> d
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
     )
+    # Pin the whole process tree (JVM + forked python workers) to
+    # exactly `cores` host CPUs. Without this, local[N] caps only the
+    # TASK threads: the JVM's parallel-GC/IO/compression helper
+    # threads (G1 sizes its GC pool from the 32 HOST cpus) and the
+    # python worker daemons all run on idle host cores, so the low
+    # level leaks parallelism far beyond N and the measured scaling
+    # ratio understates the engine. An affinity mask of N CPUs is the
+    # honest analogue of an N-core executor host; the JVM reads the
+    # mask (availableProcessors) and sizes its pools to match.
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
     cmd = [
+        *pin,
         spark_submit,
         "--master",
         f"local[{cores}]",
@@ -177,7 +188,11 @@ def main() -> None:
 Protocol: BASELINE.md §4. Same `spark-submit --py-files` job, same
 corpus parquet ({args.docs:,} synthetic source files, FIXTURES.md F1),
 same logical plan (32 shards, 128 shuffle partitions, AQE off); only
-`--master local[N]` differs. Fresh JVM per measurement;
+`--master local[N]` differs, and each measurement is PINNED to
+exactly N host CPUs (`taskset -c 0-{{N-1}}`) so the JVM's GC/IO
+helper threads and the forked python workers cannot leak
+parallelism beyond the level under test — the honest analogue of an
+N-core executor host. Fresh JVM per measurement;
 {args.trials} alternating trials per level, minimum kept (the
 sandbox host's available throughput varies in multi-minute windows;
 the minimum is the least-throttled sample of identical work).

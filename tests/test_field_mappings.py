@@ -1,0 +1,91 @@
+"""Field mappings: query-side alias → concrete indexed fields with
+'*' patterns + includeSelf (zulia_index.proto:273-277 FieldMapping;
+expansion FieldTypeUtil.expandFields:117-120; FieldWildcardTest,
+FieldMappingTest semantics).
+
+Oracle here is the ENGINE ITSELF on the explicitly-expanded query —
+an alias query must be result-identical to the same query written
+with the concrete field list — so the check is independent of
+resolve_clause's internal expansion."""
+
+import pytest
+
+from tests.conftest import code_config
+from zuliasearch_spark.indexing.builder import build_index
+from zuliasearch_spark.search.executor import SearchEngine
+from zuliasearch_spark.search.query import QueryClause as C
+from zuliasearch_spark.search.query import SearchRequest
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_t1):
+    import dataclasses
+
+    cfg = code_config(num_shards=2, quantize_norms=False)
+    cfg = dataclasses.replace(
+        cfg,
+        field_mappings=(
+            ("everything", ("content", "path"), False),
+            ("texty", ("cont*",), False),
+            ("pathplus", ("cont*",), True),  # includeSelf; 'pathplus' not indexed
+        ),
+    )
+    tables = build_index(spark.createDataFrame(corpus_t1), cfg).persist()
+    yield SearchEngine(tables)
+    tables.unpersist()
+
+
+def _topk(res):
+    return [(t["shard"], t["doc_id"], round(t["score"], 6)) for t in res["topk"]]
+
+
+def test_alias_equals_explicit_field_list(engine):
+    via_alias = engine.search(
+        SearchRequest((C("SCORE_SHOULD", q="merge", qf=("everything",)),), amount=15),
+        fetch="none",
+    )
+    explicit = engine.search(
+        SearchRequest((C("SCORE_SHOULD", q="merge", qf=("content", "path")),), amount=15),
+        fetch="none",
+    )
+    assert _topk(via_alias) == _topk(explicit)
+    assert via_alias["totalHits"] == explicit["totalHits"]
+
+
+def test_wildcard_pattern_expansion(engine):
+    assert engine.config.expand_field("texty") == ("content",)
+    via_alias = engine.search(
+        SearchRequest((C("SCORE_MUST", q="texty:varint"),), amount=10), fetch="none"
+    )
+    explicit = engine.search(
+        SearchRequest((C("SCORE_MUST", q="content:varint"),), amount=10), fetch="none"
+    )
+    assert _topk(via_alias) == _topk(explicit)
+
+
+def test_include_self_appends_alias(engine):
+    assert engine.config.expand_field("pathplus") == ("content", "pathplus")
+
+
+def test_non_alias_passthrough(engine):
+    assert engine.config.expand_field("lang") == ("lang",)
+
+
+def test_alias_in_query_string(engine):
+    via_alias = engine.search(
+        SearchRequest(qs="everything:merge", amount=15), fetch="none"
+    )
+    explicit = engine.search(
+        SearchRequest(qs="content:merge OR path:merge", amount=15), fetch="none"
+    )
+    assert _topk(via_alias) == _topk(explicit)
+
+
+def test_empty_expansion_raises():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        code_config(), field_mappings=(("ghost", ("nope*",), False),)
+    )
+    with pytest.raises(ValueError, match="matched no fields"):
+        cfg.expand_field("ghost")

@@ -258,6 +258,14 @@ def test_intervals_end_to_end(spark):
         assert ids("fn:unordered(alpha beta)~1") == {"i0", "i1", "i2"}
         # composes with booleans
         assert ids("fn:ordered(alpha beta) -x") == {"i2"}
+        # fn:phrase = ordered + consecutive (maxgaps 0)
+        assert ids("fn:phrase(alpha beta)") == {"i2"}
+        # fn:or = any source present
+        assert ids("fn:or(beta z)") == {"i0", "i1", "i2", "i3"}
+        # fn:before / fn:after — two-source order constraints
+        assert ids("fn:before(alpha beta)") == {"i0", "i2", "i3"}
+        assert ids("fn:after(beta alpha)") == {"i0", "i2", "i3"}
+        assert ids("fn:after(alpha beta)") == {"i1"}
     finally:
         tables.unpersist()
 

@@ -135,6 +135,12 @@ class IndexConfig:
     request_factor: float = 2.0  # zulia_index.proto:39
     min_shard_request: int = 2  # zulia_index.proto:40
     shard_tolerance: float = 0.0  # zulia_index.proto:41
+    # field mappings (zulia_index.proto:273-277 FieldMapping;
+    # FieldWildcardTest): (alias, field-or-field-patterns, includeSelf).
+    # A query-side field name equal to ``alias`` expands to every
+    # indexed field matching any pattern ('*' wildcards); includeSelf
+    # appends the alias itself as a literal field.
+    field_mappings: tuple[tuple[str, tuple[str, ...], bool], ...] = ()
 
     def analyzer(self, name: str) -> AnalyzerSettings:
         if name in self.analyzers:
@@ -150,6 +156,32 @@ class IndexConfig:
             for ia in fc.index_as:
                 out.append((fc.stored_field_name, ia))
         return out
+
+    def expand_field(self, name: str) -> tuple[str, ...]:
+        """FieldMapping expansion (FieldTypeUtil.expandFields:117-120,
+        applied by ZuliaFlexibleQueryParser before multi-field
+        expansion): resolve a query-side field name through
+        ``field_mappings``. Non-alias names pass through unchanged.
+        Expansion is one level (the reference's mapping table is flat:
+        aliases map to concrete fields/patterns, not other aliases)."""
+        for alias, patterns, include_self in self.field_mappings:
+            if alias != name:
+                continue
+            import fnmatch
+
+            indexed = list(dict.fromkeys(ia.indexed_field_name for _, ia in self.indexed_fields()))
+            out: list[str] = []
+            for pat in patterns:
+                if "*" in pat or "?" in pat:
+                    out.extend(f for f in indexed if fnmatch.fnmatchcase(f, pat))
+                else:
+                    out.append(pat)
+            if include_self:
+                out.append(alias)
+            if not out:
+                raise ValueError(f"field mapping {alias!r} matched no fields")
+            return tuple(dict.fromkeys(out))
+        return (name,)
 
     def analyzer_for_indexed_field(self, indexed_field: str) -> AnalyzerSettings:
         for _, ia in self.indexed_fields():

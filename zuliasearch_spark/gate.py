@@ -496,6 +496,18 @@ def q_docvalue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
+def q_numeric_set_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC_SET typed clause (SetQueryHelper.getNumericSetQuery:
+    24-89): docs matching text:merge whose n_chars ∈ {set}, plus the
+    NUMERIC_SET_NOT complement on the same match set."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    vals = (120, 180, 240, 300, 360)
+    pos = eng.search_numeric_set(req, "n_chars", vals, amount=1)["totalHits"]
+    neg = eng.search_numeric_set(req, "n_chars", vals, negate=True, amount=1)["totalHits"]
+    return spark.createDataFrame([(pos, neg)], "hits_in bigint, hits_not bigint")
+
+
 def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field sort over a filtered match set (SortTest.java:45-60)."""
     eng = documents_engine(spark, sf_dir)
@@ -610,6 +622,17 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 _WILDCARD_SQL = f"""
 WITH {_TOKS_CTE}
 SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM toks WHERE term LIKE 'qu%'
+"""
+
+_NUMERIC_SET_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT
+  (SELECT count(*) FROM documents
+   WHERE doc_id IN {_MATCH_MERGE}
+     AND n_chars IN (120, 180, 240, 300, 360))::BIGINT AS hits_in,
+  (SELECT count(*) FROM documents
+   WHERE doc_id IN {_MATCH_MERGE}
+     AND (n_chars IS NULL OR n_chars NOT IN (120, 180, 240, 300, 360)))::BIGINT AS hits_not
 """
 
 _SORT_MULTI_SQL = f"""
@@ -1092,6 +1115,7 @@ QUERIES = {
     "sim_constant": q_sim_constant,
     "highlight": q_highlight,
     "docvalue_range": q_docvalue_range,
+    "numeric_set_count": q_numeric_set_count,
     "sort_topk": q_sort_topk,
     "sort_multi": q_sort_multi,
     "doc_terms": q_doc_terms,
@@ -1341,6 +1365,7 @@ ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
     "sim_constant": _SIM_CONST_SQL,
     "highlight": _HIGHLIGHT_SQL,
     "docvalue_range": _DOCVALUE_SQL,
+    "numeric_set_count": _NUMERIC_SET_SQL,
     "sort_topk": _SORT_SQL,
     "sort_multi": _SORT_MULTI_SQL,
     "doc_terms": _DOC_TERMS_SQL,

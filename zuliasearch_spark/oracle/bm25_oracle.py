@@ -205,7 +205,10 @@ class OracleIndex:
     def search(self, req: SearchRequest) -> dict:
         cfg = self.config
         resolved = [
-            resolve_clause(c, self._analyze, cfg.default_search_fields) for c in req.clauses
+            resolve_clause(
+                c, self._analyze, cfg.default_search_fields, expand=cfg.expand_field
+            )
+            for c in req.clauses
         ]
         n = self.n
 

@@ -942,6 +942,7 @@ class SearchEngine:
                 lambda f, rx: self.expand_terms(f, rx),
                 lambda f, t, e: self.expand_fuzzy(f, t, max_edits=e),
                 req.default_op,
+                expand_field=self.config.expand_field,
             )
             if req.mm:
                 tree = RBool(tree.children, max(tree.mm, req.mm), tree.boost)
@@ -954,7 +955,13 @@ class SearchEngine:
         # repeating query stream (the serving case) pays analysis once
         got = self._resolve_cache.get(req.clauses)
         if got is None:
-            got = [resolve_clause(c, self._analyze, self.config.default_search_fields) for c in req.clauses]
+            got = [
+                resolve_clause(
+                    c, self._analyze, self.config.default_search_fields,
+                    expand=self.config.expand_field,
+                )
+                for c in req.clauses
+            ]
             if len(self._resolve_cache) < 4096:
                 self._resolve_cache[req.clauses] = got
         return got
@@ -1106,8 +1113,23 @@ class SearchEngine:
     def search(self, req: SearchRequest, fetch: str = "ids") -> dict:
         return self.search_many({"q": req}, fetch=fetch)["q"]
 
-    def search_many(self, reqs: dict[str, SearchRequest], fetch: str = "ids") -> dict[str, dict]:
-        """Execute many requests in ONE Spark job (module docstring)."""
+    def search_many(
+        self, reqs: dict[str, SearchRequest], fetch: str = "ids", oversample: bool = False
+    ) -> dict[str, dict]:
+        """Execute many requests in ONE Spark job (module docstring).
+
+        ``oversample=True`` reproduces the reference's shard request
+        sizing: each shard is asked for only ``((k/numShards) +
+        minShardRequest) · requestFactor`` hits instead of the full k
+        (ZuliaIndex.getShardQuery:1021-1030, knobs
+        zulia_index.proto:39-41), with QueryCombiner-style
+        short-result detection — if a shard "has next" whose next
+        score could displace the merged page tail (beyond
+        shardTolerance), the affected queries are rerun exact
+        (QueryCombiner.java:146-382; fetchFull retry
+        QueryRequestFederator.java:95-105). Final results are
+        identical to the exact path; the oversampled first pass just
+        moves less data per shard."""
         shards = self._shards()
         resolved_by_qid: dict[str, list[ResolvedClause]] = {}
         tree_by_qid: dict[str, "RBool | None"] = {}
@@ -1128,18 +1150,47 @@ class SearchEngine:
             return {qid: {"totalHits": 0, "topk": [], "hitsExact": True} for qid in reqs}
         idf_by_key, avgdl_by_key, cond = plan
 
+        # purely-negative queries take the MatchAll fix-up in the
+        # gather (driver-side page from shard_counts) — their kernel
+        # rows must never be undersized, so they are exempt from
+        # oversampling
+        neg_qids = set()
+        for qid in reqs:
+            if (
+                resolved_by_qid[qid]
+                and all(rc.clause.negative for rc in resolved_by_qid[qid])
+            ) or (
+                tree_by_qid[qid] is not None
+                and not tree_has_positive_leaf(tree_by_qid[qid])
+            ):
+                neg_qids.add(qid)
+
         qplans: list[_QueryPlan] = []
+        k_by_qid: dict[str, int] = {}
         for qid, req in reqs.items():
             after = {
                 s: a
                 for s in shards
                 if (a := (req.last_result.after_for(s) if req.last_result else None))
             }
+            full = req.start + req.amount
+            k_shard = full
+            if oversample and len(shards) > 1 and qid not in neg_qids:
+                k_shard = min(
+                    full,
+                    int(
+                        np.ceil(
+                            (full / len(shards) + self.config.min_shard_request)
+                            * self.config.request_factor
+                        )
+                    ),
+                )
+            k_by_qid[qid] = k_shard
             qplans.append(
                 _QueryPlan(
                     qid=qid,
                     resolved=tuple(resolved_by_qid[qid]),
-                    per_shard_amount=req.start + req.amount,
+                    per_shard_amount=k_shard,
                     after_by_shard=after,
                     prune=bool(req.block_max_pruning),
                     sims=self._effective_sims(req, {f for f, _ in keys_by_qid[qid]}),
@@ -1179,19 +1230,11 @@ class SearchEngine:
         hits = hits.assign(rank=hits.groupby("qid").cumcount())
 
         # purely-negative queries need the MatchAll fix-up (handled in
-        # the slow path below); everything else takes the vectorized
-        # page cut — ONE pandas pass for the whole batch, no per-qid
-        # filtering of the big frame (that loop was O(queries × rows)
-        # and a constant ~1 s of driver time that throttled batch q/s)
-        neg_qids = set()
-        for qid in reqs:
-            resolved = resolved_by_qid[qid]
-            tree = tree_by_qid[qid]
-            if (resolved and all(rc.clause.negative for rc in resolved)) or (
-                tree is not None and not tree_has_positive_leaf(tree)
-            ):
-                neg_qids.add(qid)
-
+        # the slow path below; neg_qids computed before planning);
+        # everything else takes the vectorized page cut — ONE pandas
+        # pass for the whole batch, no per-qid filtering of the big
+        # frame (that loop was O(queries × rows) and a constant ~1 s
+        # of driver time that throttled batch q/s)
         start_map = {qid: r.start for qid, r in reqs.items()}
         lim_map = {qid: r.start + r.amount for qid, r in reqs.items()}
         qcol = hits["qid"]
@@ -1247,6 +1290,37 @@ class SearchEngine:
                 topk = topk_by_qid[qid]
             all_topk.extend(topk)
             results[qid] = {"totalHits": total_hits, "topk": topk, "hitsExact": hits_exact}
+
+        # short-result detection + exact retry (QueryCombiner.java:
+        # 146-382 compares each shard's "next" against the merged
+        # tail; QueryRequestFederator.java:95-105 re-federates with
+        # fetchFull). A query retries when a shard truncated at the
+        # oversampled k still had hits that could displace the page.
+        if oversample:
+            flags = pdf.drop_duplicates(["qid", "shard"])
+            short: list[str] = []
+            for qid, req in reqs.items():
+                if k_by_qid[qid] >= req.start + req.amount or qid in neg_qids:
+                    continue
+                f = flags[flags["qid"] == qid]
+                nxt = f.loc[f["has_next"].astype(bool), "next_score"].dropna()
+                if nxt.empty:
+                    continue
+                topk = results[qid]["topk"]
+                if len(topk) < req.amount or float(nxt.max()) >= (
+                    topk[-1]["score"] - self.config.shard_tolerance
+                ):
+                    short.append(qid)
+            if short:
+                outer_metrics = self.last_metrics
+                exact = self.search_many(
+                    {q: reqs[q] for q in short}, fetch="none", oversample=False
+                )
+                self.last_metrics = outer_metrics
+                self.last_metrics["retried"] = len(short)
+                for q in short:
+                    results[q] = exact[q]
+                all_topk = [t for res in results.values() for t in res["topk"]]
 
         self.last_metrics["gather_ms"] = int((_time.perf_counter() - _t_job) * 1000)
         if fetch != "none" and all_topk:
@@ -1579,6 +1653,29 @@ class SearchEngine:
             ],
             "hitsExact": True,
         }
+
+    def search_numeric_set(
+        self,
+        req: SearchRequest,
+        field: str,
+        values,
+        negate: bool = False,
+        amount: int = 10,
+    ) -> dict:
+        """NUMERIC_SET / NUMERIC_SET_NOT typed clause
+        (zulia_query.proto:39-51 QueryType; SetQueryHelper
+        .getNumericSetQuery:24-89): ``field ∈ {values}`` as a
+        filter-occur clause over doc values, composed with the
+        request's boolean clauses. NUMERIC_SET_NOT follows Lucene
+        MUST_NOT semantics: docs WITHOUT the field are not excluded
+        (SQL NOT IN alone would drop NULLs, so they are re-admitted
+        explicitly)."""
+        vals = ", ".join(repr(v) for v in values)
+        if negate:
+            pred = f"(`{field}` IS NULL OR `{field}` NOT IN ({vals}))"
+        else:
+            pred = f"`{field}` IN ({vals})"
+        return self.search_docvalues(req, pred, amount=amount)
 
     def search_vector(
         self,

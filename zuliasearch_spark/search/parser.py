@@ -273,8 +273,23 @@ class _Parser:
         raise ParseError(f"unexpected token {t.text!r}")
 
     def _parse_interval_fn(self):
+        """Interval functions (Function lexer state,
+        ZuliaSyntaxParser.jj:190-215). Flat-source slice of Lucene's
+        19 functions:
+
+        - ``fn:ordered`` / ``fn:unordered`` (+ ``~maxgaps`` suffix)
+        - ``fn:phrase(a b c)`` = ordered with zero gaps (consecutive)
+        - ``fn:or(a b c)`` = any source present (rewrites to a SHOULD
+          group — interval-frequency scoring is simplified to the
+          boolean OR, consistent with the constant-score intervals)
+        - ``fn:before(a b)`` / ``fn:after(a b)`` = two-source order
+          constraint (doc matches iff a occurs before/after some b)
+
+        Nested interval sources (fn:within, fn:containing, …) are not
+        supported — sources here are plain terms."""
         name = self.next()
-        if name.kind != "term" or name.text not in ("ordered", "unordered"):
+        supported = ("ordered", "unordered", "phrase", "or", "before", "after")
+        if name.kind != "term" or name.text not in supported:
             raise ParseError(f"unsupported interval function {name.text!r}")
         if self.next().kind != "lparen":
             raise ParseError(f"fn:{name.text} needs '(...)'")
@@ -285,10 +300,22 @@ class _Parser:
                 break
             if t.kind != "term":
                 raise ParseError(f"bad token {t.text!r} in fn:{name.text}")
-            words.append(_unescape(t.text))
+            w = _unescape(t.text).rstrip(",")
+            if w:
+                words.append(w)
         if not words:
             raise ParseError(f"fn:{name.text} needs at least one term")
-        node = Interval(tuple(words), ordered=name.text == "ordered")
+        if name.text == "or":
+            node = Bool([(SHOULD, Leaf(w)) for w in words], mm=1)
+        elif name.text in ("before", "after"):
+            if len(words) != 2:
+                raise ParseError(f"fn:{name.text} needs exactly two terms")
+            pair = tuple(words) if name.text == "before" else (words[1], words[0])
+            node = Interval(pair, ordered=True)
+        elif name.text == "phrase":
+            node = Interval(tuple(words), ordered=True, max_gaps=0)
+        else:
+            node = Interval(tuple(words), ordered=name.text == "ordered")
         return self._suffixes(node)
 
     def _parse_range(self, fieldname, incl_lo: bool) -> Range:
@@ -442,14 +469,29 @@ def resolve_tree(
     expand_wildcard,
     expand_fuzzy,
     default_op: str = "OR",
+    expand_field=None,
 ):
     """Raw AST → resolved AST. ``expand_wildcard(field, regex)`` and
     ``expand_fuzzy(field, term, edits)`` enumerate the term
-    dictionary (driver-side, pushdown-pruned scans)."""
+    dictionary (driver-side, pushdown-pruned scans). ``expand_field``
+    resolves field-mapping aliases (IndexConfig.expand_field)."""
+    if expand_field is None:
+        expand_field = lambda f: (f,)  # noqa: E731
+
+    def field_targets(scoped_field):
+        names = (scoped_field,) if scoped_field else tuple(default_fields)
+        return tuple(dict.fromkeys(f for n in names for f in expand_field(n)))
+
     conj = default_op.upper() == "AND"
     if isinstance(node, Bool):
         children = tuple(
-            (occur, resolve_tree(c, analyze, default_fields, expand_wildcard, expand_fuzzy, default_op))
+            (
+                occur,
+                resolve_tree(
+                    c, analyze, default_fields, expand_wildcard, expand_fuzzy,
+                    default_op, expand_field,
+                ),
+            )
             for occur, c in node.children
         )
         return RBool(children, node.mm, node.boost)
@@ -462,7 +504,7 @@ def resolve_tree(
     if isinstance(node, Interval):
         from zuliasearch_spark.search.query import IntervalSpec
 
-        fields = (node.field,) if node.field else tuple(default_fields)
+        fields = field_targets(node.field)
         if not fields:
             raise ParseError("no default fields for interval function")
         ispecs = []
@@ -477,7 +519,7 @@ def resolve_tree(
                 )
         return RLeaf(tuple(ispecs), conj=False, boost=node.boost)
     assert isinstance(node, Leaf)
-    fields = (node.field,) if node.field else tuple(default_fields)
+    fields = field_targets(node.field)
     if not fields:
         raise ParseError(f"no default fields for term {node.text!r}")
     specs = []

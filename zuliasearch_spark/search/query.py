@@ -220,11 +220,21 @@ class ResolvedClause:
         return max(1, min(self.clause.mm, n_opt))
 
 
-def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]) -> ResolvedClause:
+def resolve_clause(
+    clause: QueryClause, analyze, default_fields: tuple[str, ...], expand=None
+) -> ResolvedClause:
     """Expand clause text/terms into (field, term) leaves.
 
     ``analyze(field, text) -> list[str]`` runs the field's analyzer.
+    ``expand(field) -> tuple[str, ...]`` resolves field-mapping
+    aliases (IndexConfig.expand_field); identity when None.
     """
+    if expand is None:
+        expand = lambda f: (f,)  # noqa: E731
+
+    def expand_all(fields):
+        return tuple(dict.fromkeys(f for name in fields for f in expand(name)))
+
     specs: list[TermSpec | PhraseSpec] = []
     required = clause.default_op.upper() == "AND"
     group = 0
@@ -232,7 +242,7 @@ def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]
         # a phrase is ONE token group, OR'd across the target fields;
         # words are analyzed with each field's chain (so camelCase
         # splitting inside a phrase word yields consecutive terms)
-        fields = clause.qf or default_fields
+        fields = expand_all(clause.qf or default_fields)
         if not fields:
             raise ValueError("no default fields for phrase clause")
         for sub, fname in enumerate(fields):
@@ -247,7 +257,7 @@ def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]
         # the TermInSetQuery surface, for scoring clauses it's the
         # MLT-style derived-terms OR query (terms are NOT re-analyzed).
         # Every (field, term) is its own group: pure disjunction.
-        fields = clause.qf or default_fields
+        fields = expand_all(clause.qf or default_fields)
         for f in fields:
             for t in clause.terms:
                 specs.append(TermSpec(f, t, required=False, group=group))
@@ -256,9 +266,9 @@ def resolve_clause(clause: QueryClause, analyze, default_fields: tuple[str, ...]
         for token in clause.q.split():
             if ":" in token:
                 fname, raw = token.split(":", 1)
-                targets = [(fname, raw)]
+                targets = [(f, raw) for f in expand(fname)]
             else:
-                fields = clause.qf or default_fields
+                fields = expand_all(clause.qf or default_fields)
                 if not fields:
                     raise ValueError(f"no default fields for unscoped term {token!r}")
                 targets = [(f, token) for f in fields]

@@ -74,8 +74,13 @@ def run_level(cores: int, corpus: str, docs: int, zip_path: str, reps: int) -> d
         spark_submit,
         "--master",
         f"local[{cores}]",
+        # per-core memory held constant (6 GiB/core): scaling a real
+        # cluster from N to 4N executors adds memory with the cores
+        # (executors are identical machines); a fixed heap at both
+        # levels would hand the low level 4x the per-core memory and
+        # GC headroom, distorting the ratio the other way
         "--driver-memory",
-        "48g",
+        f"{6 * cores}g",
         "--py-files",
         f"{zip_path},{os.path.join(REPO, 'bench.py')}",
         os.path.join(REPO, "bench", "scaling_worker.py"),

@@ -116,6 +116,11 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--query-reps", type=int, default=3)
     ap.add_argument("--trials", type=int, default=3, help="alternating trials per level; min taken")
+    ap.add_argument(
+        "--summarize-only",
+        action="store_true",
+        help="skip new trials; rebuild the summary from the existing history",
+    )
     args = ap.parse_args()
 
     corpus = ensure_corpus(args.docs)
@@ -134,21 +139,32 @@ def main() -> None:
         ).stdout.strip()
     except Exception:
         rev = "unknown"
-    for trial in range(args.trials):
-        for cores in (args.low, args.high):
-            print(f"== trial {trial} local[{cores}] ==", flush=True)
-            r = run_level(cores, corpus, args.docs, zip_path, args.query_reps)
-            r["git"] = rev
-            r["ts"] = time.time()
-            print(json.dumps(r), flush=True)
-            with open(hist_path, "a") as f:
-                f.write(json.dumps(r) + "\n")
+    if not args.summarize_only:
+        for trial in range(args.trials):
+            for cores in (args.low, args.high):
+                print(f"== trial {trial} local[{cores}] ==", flush=True)
+                r = run_level(cores, corpus, args.docs, zip_path, args.query_reps)
+                r["git"] = rev
+                r["ts"] = time.time()
+                print(json.dumps(r), flush=True)
+                with open(hist_path, "a") as f:
+                    f.write(json.dumps(r) + "\n")
 
     # summarize across the history for this (docs, cores, git) setup —
     # rows from other revisions measured different code and would
     # poison the per-level minimum
+    with open(hist_path) as f:
+        mine = [
+            r
+            for r in (json.loads(ln) for ln in f if ln.strip())
+            if r.get("docs") == args.docs
+            and r.get("cores") in (args.low, args.high)
+            and r.get("git") == rev
+        ]
+    if not mine:
+        raise SystemExit(f"no history rows for docs={args.docs} git={rev}")
     best: dict[int, dict] = {}
-    nq = r.get("n_queries")  # current worker's query-batch size
+    nq = mine[-1].get("n_queries")  # current worker's query-batch size
     with open(hist_path) as f:
         for line in f:
             r = json.loads(line)
@@ -201,11 +217,13 @@ N-core executor host. Fresh JVM per measurement;
 {args.trials} alternating trials per level, minimum kept (the
 sandbox host's available throughput varies in multi-minute windows;
 the minimum is the least-throttled sample of identical work).
-N=2→4N=8 because the host's aggregate memory bandwidth saturates
-near ~10 hardware threads (measured: 32 procs deliver only 1.4x the
-throughput of 8 on a bandwidth-bound kernel with 0% steal) — a
-per-core-bandwidth plateau a real multi-node cluster does not have,
-since each executor node brings its own memory controllers.
+N={args.low}→4N={args.high}: levels sit on the linear part of the
+host's aggregate-memory-bandwidth curve (the shared VM plateaus near
+~10 concurrent memory-heavy threads — a per-core-bandwidth ceiling a
+real multi-node cluster does not have, since each executor node
+brings its own memory controllers; characterization and the pinned
+2→8 numbers in BENCH/NOTES.md). Per-core memory held constant at
+6 GiB/core across levels.
 
 | level | build sec | docs/sec | query-set sec | BM25 q/s |
 |---|---|---|---|---|

@@ -167,6 +167,49 @@ def test_vector_clauses(spark):
         tables.unpersist()
 
 
+def test_vector_should_no_match_set_collect(spark, monkeypatch):
+    """VECTOR_SHOULD must merge KNN scores via a broadcast join and
+    order+limit IN-PLAN: no driver-side collect may ever return more
+    than the requested page (r2 regression: the full match set was
+    collect()ed and merged in a Python loop — O(matches) driver
+    memory at scale)."""
+    import numpy as np
+
+    n = 300
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"u{i:04d}", "common filler text", [float(x) for x in rng.normal(size=4)])
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame(rows, columns=["uniqueId", "content", "vec"])
+    tables = build_index(spark.createDataFrame(pdf), _cfg("vbig"), stored_cols=("vec",)).persist()
+    try:
+        eng = SearchEngine(tables)
+        req = SearchRequest((C("SCORE_SHOULD", q="common", qf=("content",)),), amount=10)
+
+        # patch the CONCRETE DataFrame class (pyspark 4 dispatches
+        # pyspark.sql.DataFrame to a classic/connect subclass)
+        SparkDF = type(tables.doc_map)
+        sizes = []
+        orig = SparkDF.collect
+
+        def spy(self):
+            out = orig(self)
+            sizes.append(len(out))
+            return out
+
+        monkeypatch.setattr(SparkDF, "collect", spy)
+        res = eng.search_vector(req, [1.0, 0.0, 0.0, 0.0], "vec", k=10, should=True, amount=10)
+        monkeypatch.setattr(SparkDF, "collect", orig)
+
+        assert res["totalHits"] == n
+        assert len(res["topk"]) == 10
+        assert sizes, "expected at least the page collect"
+        assert max(sizes) <= 10, f"driver collected {max(sizes)} rows (match set leak)"
+    finally:
+        tables.unpersist()
+
+
 def test_get_terms_extras(engine):
     rows = {r["term"]: (r["df"], r["ttf"]) for r in engine.get_terms("content").collect()}
     assert rows["beta"] == (2, 3)

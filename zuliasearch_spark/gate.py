@@ -378,6 +378,26 @@ def q_vector_clause_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
+def q_vector_should_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR_SHOULD composed with a scored boolean query
+    (ZuliaIndex.java:802-805 — SHOULD-occur KNN clause): every doc
+    matching the BM25 query stays matched; the 10 nearest-by-cosine
+    among them get the cosine added to their BM25 score. Exercises
+    the distributed broadcast-join merge (no driver collect of the
+    match set)."""
+    eng = documents_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    req = SearchRequest(
+        (QueryClause("SCORE_SHOULD", q="spark query merge", qf=("text",)),), amount=10
+    )
+    res = eng.search_vector(req, qv, "embedding", k=10, should=True, amount=10)
+    rows = [(int(t["uniqueId"]), float(t["score"])) for t in res["topk"]]
+    rows.sort(key=lambda r: (-round(r[1], 7), r[0]))
+    rows = [(d, float(round(s, 4))) for d, s in rows]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
 def q_interval_ordered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval function fn:ordered(merge scan): docs where 'merge'
     occurs BEFORE 'scan' (ZuliaSyntaxParser Function state :193-215;
@@ -1101,6 +1121,7 @@ QUERIES = {
     "len_meta_count": q_len_meta_count,
     "interval_ordered_count": q_interval_ordered_count,
     "vector_clause_topk": q_vector_clause_topk,
+    "vector_should_topk": q_vector_should_topk,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
@@ -1235,6 +1256,33 @@ c AS (
 )
 SELECT doc_id, round(c, 4) AS score FROM c
 ORDER BY round(c, 7) DESC, doc_id ASC LIMIT 10""",
+    "vector_should_topk": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','query','merge') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT doc_id FROM scored)
+),
+knn AS (SELECT doc_id, c FROM c ORDER BY round(c, 7) DESC, doc_id ASC LIMIT 10)
+SELECT s.doc_id, round(s.s + coalesce(k.c, 0), 4) AS score
+FROM scored s LEFT JOIN knn k USING (doc_id)
+ORDER BY round(s.s + coalesce(k.c, 0), 7) DESC, s.doc_id ASC LIMIT 10""",
     "interval_ordered_count": """
 WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
 pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i))

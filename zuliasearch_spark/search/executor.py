@@ -1725,24 +1725,43 @@ class SearchEngine:
         )
         top = scored.orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id")).limit(k)
         if should:
-            knn = {(int(r["shard"]), int(r["doc_id"])): float(r["cosine"]) for r in top.collect()}
+            # SHOULD-occur KNN (ZuliaIndex.java:802-805 composes the knn
+            # query as a BooleanClause.Occur.SHOULD inside one Lucene
+            # query): the k-row top frame is broadcast-joined onto the
+            # match set and the merged ranking is ordered + limited
+            # IN-PLAN — no driver-side collect of the match set, so a
+            # broad boolean pre-filter at 100x stays distributed
+            # (TakeOrderedAndProject does the global top-amount).
             base = matches.select("shard", "doc_id", "score").join(
-                self.tables.doc_map.select("shard", "doc_id", "uniqueId"), ["shard", "doc_id"]
+                self.tables.doc_map.select("shard", "doc_id", "uniqueId"),
+                ["shard", "doc_id"],
             )
-            rows = base.collect()
-            out = []
-            for r in rows:
-                key = (int(r["shard"]), int(r["doc_id"]))
-                out.append(
-                    {
-                        "shard": key[0],
-                        "doc_id": key[1],
-                        "uniqueId": r["uniqueId"],
-                        "score": float(r["score"]) + knn.get(key, 0.0),
-                    }
-                )
-            out.sort(key=lambda t: (-t["score"], t["shard"], t["doc_id"]))
-            return {"totalHits": len(out), "topk": out[:amount], "hitsExact": True}
+            merged = base.join(
+                F.broadcast(top.select("shard", "doc_id", F.col("cosine").alias("_knn"))),
+                ["shard", "doc_id"],
+                "left",
+            ).select(
+                "shard",
+                "doc_id",
+                "uniqueId",
+                (F.col("score") + F.coalesce(F.col("_knn"), F.lit(0.0))).alias("score"),
+            )
+            total = merged.count()
+            rows = (
+                merged.orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))
+                .limit(amount)
+                .collect()
+            )
+            out = [
+                {
+                    "shard": int(r["shard"]),
+                    "doc_id": int(r["doc_id"]),
+                    "uniqueId": r["uniqueId"],
+                    "score": float(r["score"]),
+                }
+                for r in rows
+            ]
+            return {"totalHits": total, "topk": out, "hitsExact": True}
         rows = top.collect()
         out = [
             {

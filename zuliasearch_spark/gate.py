@@ -407,6 +407,27 @@ def q_interval_ordered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
 
 
+def q_interval_within_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested interval source: fn:within(sort 3 fn:ordered(merge
+    scan)) — docs where 'sort' falls within 3 positions of a MINIMAL
+    merge→scan ordered interval (IntervalWithin production,
+    ZuliaSyntaxParser.jj:676-691; Lucene Intervals.within =
+    containedBy(source, extend(reference, n, n)))."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.search_string("fn:within(sort 3 fn:ordered(merge scan))", qf=("text",), amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
+def q_interval_atleast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn:atLeast(2 merge scan sort) — minimal windows covering
+    intervals from ≥2 of the 3 sources (IntervalAtLeast production,
+    ZuliaSyntaxParser.jj:514-526; Lucene
+    MinimumShouldMatchIntervalsSource). Doc-level: ≥2 terms present."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.search_string("fn:atLeast(2 merge scan sort)", qf=("text",), amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
 def q_len_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-length meta query |text|:[150 TO 350] through the parser
     (CHAR_LENGTH_BAR syntax, FieldTypeUtil.getCharLengthWrap:108-110)
@@ -1120,6 +1141,8 @@ QUERIES = {
     "get_terms_fuzzy": q_get_terms_fuzzy,
     "len_meta_count": q_len_meta_count,
     "interval_ordered_count": q_interval_ordered_count,
+    "interval_within_count": q_interval_within_count,
+    "interval_atleast_count": q_interval_atleast_count,
     "vector_clause_topk": q_vector_clause_topk,
     "vector_should_topk": q_vector_should_topk,
     "terms_set_count": q_terms_set_count,
@@ -1290,6 +1313,37 @@ SELECT count(*)::BIGINT AS hits FROM (
   SELECT a.doc_id FROM pt a JOIN pt b USING (doc_id)
   WHERE a.term = 'merge' AND b.term = 'scan' AND a.i < b.i
   GROUP BY a.doc_id
+)""",
+    "interval_within_count": """
+WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
+pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i)),
+-- minimal merge->scan ordered intervals: per scan end, the greatest
+-- merge start before it, then drop intervals containing another
+cand AS (
+  SELECT b.doc_id,
+         (SELECT max(a.i) FROM pt a
+          WHERE a.doc_id = b.doc_id AND a.term = 'merge' AND a.i < b.i) AS s,
+         b.i AS e
+  FROM pt b WHERE b.term = 'scan'
+),
+ivs AS (SELECT doc_id, s, e FROM cand WHERE s IS NOT NULL),
+miv AS (
+  SELECT * FROM ivs x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ivs y
+    WHERE y.doc_id = x.doc_id AND y.s >= x.s AND y.e <= x.e
+      AND (y.s <> x.s OR y.e <> x.e))
+)
+SELECT count(*)::BIGINT AS hits FROM (
+  SELECT DISTINCT p.doc_id FROM pt p JOIN miv m ON m.doc_id = p.doc_id
+  WHERE p.term = 'sort' AND p.i BETWEEN m.s - 3 AND m.e + 3
+)""",
+    "interval_atleast_count": """
+WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
+pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i))
+SELECT count(*)::BIGINT AS hits FROM (
+  SELECT doc_id FROM pt WHERE term IN ('merge','scan','sort')
+  GROUP BY doc_id HAVING count(DISTINCT term) >= 2
 )""",
     "multi_index_topk": f"""
 WITH {_TOKS_CTE},

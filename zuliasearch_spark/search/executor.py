@@ -75,6 +75,8 @@ from zuliasearch_spark.analysis.analyzers import analyze_query_text
 from zuliasearch_spark.config import IndexConfig
 from zuliasearch_spark.indexing.builder import IndexTables
 from zuliasearch_spark.indexing.tombstones import load_tombstone_uids, save_tombstone_uids
+from zuliasearch_spark.search.intervals import doc_candidates as interval_doc_candidates
+from zuliasearch_spark.search.intervals import eval_tree as eval_interval_tree
 from zuliasearch_spark.search.matcher import combine_clauses, evaluate_tree
 from zuliasearch_spark.search.parser import ExistsSpec as _ExistsSpecT
 from zuliasearch_spark.search.parser import (
@@ -411,9 +413,58 @@ def _interval_match_doc(pos_by_term: list[np.ndarray], ordered: bool, max_gaps: 
     return best is not None and (best - k) <= max_gaps
 
 
+def _interval_postings_tree(store: PostingsStore, ispec: IntervalSpec):
+    """(docs, dls) for a NESTED interval source (fn:within,
+    fn:containing, fn:atLeast, … — intervals.eval_tree): candidate
+    docs come from the tree's presence algebra (intersections for
+    conjunctive sources, unions for or/atLeast, minuend-only for
+    not_*), then each candidate runs the minimal-interval evaluator
+    over its per-term position lists. Missing terms are empty
+    streams, not failures — or()/not_*() sources tolerate absence."""
+    streams = {}
+    for t in ispec.terms:
+        entry = store.decode_with_positions((ispec.field, t))
+        if entry is not None:
+            streams[t] = entry
+    empty = np.empty(0, np.int64)
+
+    def docs_of(t):
+        e = streams.get(t)
+        return e[0] if e is not None else empty
+
+    cand = interval_doc_candidates(ispec.tree, docs_of)
+    if cand.size == 0:
+        return (empty, np.empty(0, np.int64))
+    offs = {}
+    for t, (docs, tfs, _dls, _pos) in streams.items():
+        starts = np.zeros(tfs.size, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=starts[1:])
+        offs[t] = starts
+    out_docs: list[int] = []
+    out_dls: list[int] = []
+    for d in cand:
+        pos_of = {}
+        dl = 0
+        for t, (docs, tfs, dls, pos) in streams.items():
+            i = int(np.searchsorted(docs, d))
+            if i < docs.size and docs[i] == d:
+                st = int(offs[t][i])
+                pos_of[t] = pos[st : st + int(tfs[i])]
+                dl = int(dls[i])
+        if pos_of and eval_interval_tree(ispec.tree, pos_of):
+            out_docs.append(int(d))
+            out_dls.append(dl)
+    return (
+        np.array(out_docs, dtype=np.int64),
+        np.array(out_dls, dtype=np.int64),
+    )
+
+
 def _interval_postings(store: PostingsStore, ispec: IntervalSpec):
     """(docs, dls) of documents matching the interval function —
     per-doc checks run only over the terms' posting intersection."""
+    if ispec.tree is not None:
+        return _interval_postings_tree(store, ispec)
     streams = []
     for t in ispec.terms:
         entry = store.decode_with_positions((ispec.field, t))

@@ -21,9 +21,63 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field as dfield
 
+from zuliasearch_spark.search.intervals import ISrc
 from zuliasearch_spark.search.query import PhraseSpec, TermSpec
 
 MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
+
+# fn:NAME → ISrc.kind (both grammar spellings; token defs
+# ZuliaSyntaxParser.jj:190-211)
+_IFN_NAMES = {
+    "atleast": "atleast",
+    "maxwidth": "maxwidth",
+    "maxgaps": "maxgaps",
+    "ordered": "ordered",
+    "unordered": "unordered",
+    "unorderednooverlaps": "unordered_no_overlaps",
+    "or": "or",
+    "phrase": "phrase",
+    "before": "before",
+    "after": "after",
+    "containing": "containing",
+    "notcontaining": "not_containing",
+    "containedby": "contained_by",
+    "notcontainedby": "not_contained_by",
+    "within": "within",
+    "notwithin": "not_within",
+    "overlapping": "overlapping",
+    "nonoverlapping": "non_overlapping",
+    "extend": "extend",
+    "wildcard": "wildcard",
+    "fuzzyterm": "fuzzy",
+}
+
+
+def leaf_texts(node: ISrc) -> tuple[str, ...]:
+    """Raw leaf texts of a parse-time source tree (for display)."""
+    if node.kind in ("text", "wildcard", "fuzzy"):
+        return tuple(node.term.split())
+    out: list[str] = []
+    for c in node.children:
+        out.extend(leaf_texts(c))
+    return tuple(dict.fromkeys(out))
+
+
+def _flat_words(tree: ISrc):
+    """(kind, words) when the tree is one of the historical flat
+    shapes — a single-level ordered/unordered/phrase/or/before/after
+    over single-word text leaves — else None."""
+    if tree.kind not in ("ordered", "unordered", "phrase", "or", "before", "after"):
+        return None
+    words = []
+    for c in tree.children:
+        if c.kind != "text" or len(c.term.split()) != 1:
+            return None
+        words.append(c.term)
+    if tree.kind == "after":
+        # legacy shape: after(a b) = ordered(b a)
+        return ("before", [words[1], words[0]])
+    return (tree.kind, words)
 
 
 # ---------------------------------------------------------------------------
@@ -60,14 +114,19 @@ class Bool:
 
 @dataclass
 class Interval:
-    """fn:ordered(...) / fn:unordered(...) with optional ~maxgaps
-    (Function lexer state, ZuliaSyntaxParser.jj:193-215)."""
+    """Interval function node (Function lexer state,
+    ZuliaSyntaxParser.jj:193-215). Flat term-only
+    ordered/unordered carry ``words``; any nested composition
+    (fn:within, fn:containing, fn:atLeast, …) carries the full
+    ``ISrc`` source tree in ``tree`` (words then holds the leaf
+    texts for display)."""
 
     words: tuple[str, ...]
     ordered: bool
     max_gaps: int = -1
     field: str | None = None
     boost: float = 1.0
+    tree: object | None = None
 
 
 @dataclass
@@ -232,6 +291,25 @@ class _Parser:
             if nxt is not None and nxt.kind in ("colon", "cmp"):
                 fieldname = _unescape(t.text)
                 op = self.next()
+                if op.kind == "colon":
+                    # field-scoped interval: field:fn:ordered(...)
+                    # (IntervalExpr(field), ZuliaSyntaxParser.jj:477)
+                    ft = self.peek()
+                    if (
+                        ft is not None
+                        and ft.kind == "term"
+                        and ft.text == "fn"
+                        and self.i + 1 < len(self.toks)
+                        and self.toks[self.i + 1].kind == "colon"
+                    ):
+                        self.next()  # 'fn'
+                        self.next()  # ':'
+                        node = self._parse_interval_fn()
+                        if isinstance(node, Interval):
+                            node.field = fieldname
+                        else:
+                            _push_field(node, fieldname)
+                        return node
                 if op.kind == "cmp":
                     val = self.next()
                     if val.kind not in ("term", "quoted"):
@@ -273,50 +351,141 @@ class _Parser:
         raise ParseError(f"unexpected token {t.text!r}")
 
     def _parse_interval_fn(self):
-        """Interval functions (Function lexer state,
-        ZuliaSyntaxParser.jj:190-215). Flat-source slice of Lucene's
-        19 functions:
+        """Interval functions — the complete Function-state grammar
+        (ZuliaSyntaxParser.jj:190-215 token defs, :477-789
+        productions), including nested interval sources. Parses to an
+        ``ISrc`` tree (``search/intervals.py``); the historical flat
+        shapes (term-only ordered/unordered/phrase/or/before/after)
+        keep their legacy representation so the positional fast path
+        and ``~maxgaps`` suffix behavior are unchanged."""
+        tree = self._parse_isrc_fn()
+        flat = _flat_words(tree)
+        if flat is not None:
+            kind, words = flat
+            if kind == "or":
+                return self._suffixes(Bool([(SHOULD, Leaf(w)) for w in words], mm=1))
+            if kind == "before":
+                return self._suffixes(Interval(tuple(words), ordered=True))
+            if kind == "phrase":
+                return self._suffixes(Interval(tuple(words), ordered=True, max_gaps=0))
+            if kind in ("ordered", "unordered"):
+                return self._suffixes(Interval(tuple(words), ordered=kind == "ordered"))
+        node = Interval(leaf_texts(tree), ordered=True, tree=tree)
+        return self._suffixes(node)
 
-        - ``fn:ordered`` / ``fn:unordered`` (+ ``~maxgaps`` suffix)
-        - ``fn:phrase(a b c)`` = ordered with zero gaps (consecutive)
-        - ``fn:or(a b c)`` = any source present (rewrites to a SHOULD
-          group — interval-frequency scoring is simplified to the
-          boolean OR, consistent with the constant-score intervals)
-        - ``fn:before(a b)`` / ``fn:after(a b)`` = two-source order
-          constraint (doc matches iff a occurs before/after some b)
+    def _parse_inumber(self, ctx: str) -> int:
+        t = self.next()
+        if t.kind != "term" or not re.fullmatch(r"\d+", t.text):
+            raise ParseError(f"fn:{ctx} expects a number, got {t.text!r}")
+        return int(t.text)
 
-        Nested interval sources (fn:within, fn:containing, …) are not
-        supported — sources here are plain terms."""
+    def _parse_isrc(self):
+        """One interval source: nested fn:… call, quoted analyzed
+        text, or a bare term (IntervalFun/IntervalText productions,
+        ZuliaSyntaxParser.jj:486-512, 784-789)."""
+        t = self.next()
+        if t.kind == "quoted":
+            return ISrc("text", term=_unescape(t.text[1:-1]))
+        if t.kind != "term":
+            raise ParseError(f"bad interval source token {t.text!r}")
+        nxt = self.peek()
+        if t.text == "fn" and nxt is not None and nxt.kind == "colon":
+            self.next()  # ':'
+            return self._parse_isrc_fn()
+        w = _unescape(t.text).rstrip(",")
+        if not w:
+            raise ParseError("empty interval source term")
+        return ISrc("text", term=w)
+
+    def _parse_isrc_fn(self):
         name = self.next()
-        supported = ("ordered", "unordered", "phrase", "or", "before", "after")
-        if name.kind != "term" or name.text not in supported:
+        if name.kind != "term":
+            raise ParseError(f"bad interval function {name.text!r}")
+        kind = _IFN_NAMES.get(name.text.lower())
+        if kind is None:
             raise ParseError(f"unsupported interval function {name.text!r}")
         if self.next().kind != "lparen":
             raise ParseError(f"fn:{name.text} needs '(...)'")
-        words: list[str] = []
-        while True:
+
+        def until_rparen(min_n: int):
+            srcs = []
+            while True:
+                t = self.peek()
+                if t is None:
+                    raise ParseError(f"unterminated fn:{name.text}")
+                if t.kind == "rparen":
+                    self.next()
+                    break
+                srcs.append(self._parse_isrc())
+            if len(srcs) < min_n:
+                raise ParseError(f"fn:{name.text} needs ≥{min_n} sources")
+            return tuple(srcs)
+
+        def exactly(n: int):
+            srcs = tuple(self._parse_isrc() for _ in range(n))
+            if self.next().kind != "rparen":
+                raise ParseError(f"fn:{name.text} takes exactly {n} sources")
+            return srcs
+
+        if kind in ("ordered", "unordered", "or", "phrase"):
+            return ISrc(kind, until_rparen(1))
+        if kind == "atleast":
+            n = self._parse_inumber(name.text)
+            return ISrc(kind, until_rparen(1), n=n)
+        if kind in ("maxgaps", "maxwidth"):
+            n = self._parse_inumber(name.text)
+            return ISrc(kind, exactly(1), n=n)
+        if kind in (
+            "unordered_no_overlaps", "containing", "not_containing",
+            "contained_by", "not_contained_by", "overlapping",
+            "non_overlapping",
+        ):
+            return ISrc(kind, exactly(2))
+        if kind == "before":
+            return ISrc("before", exactly(2))
+        if kind == "after":
+            return ISrc("after", exactly(2))
+        if kind in ("within", "not_within"):
+            src = self._parse_isrc()
+            n = self._parse_inumber(name.text)
+            ref = self._parse_isrc()
+            if self.next().kind != "rparen":
+                raise ParseError(f"fn:{name.text} takes (source N reference)")
+            return ISrc(kind, (src, ref), n=n)
+        if kind == "extend":
+            src = self._parse_isrc()
+            before = self._parse_inumber(name.text)
+            after = self._parse_inumber(name.text)
+            if self.next().kind != "rparen":
+                raise ParseError("fn:extend takes (source N N)")
+            return ISrc("extend", (src,), n=before, n2=after)
+        if kind in ("wildcard", "fuzzy"):
             t = self.next()
-            if t.kind == "rparen":
-                break
-            if t.kind != "term":
-                raise ParseError(f"bad token {t.text!r} in fn:{name.text}")
-            w = _unescape(t.text).rstrip(",")
-            if w:
-                words.append(w)
-        if not words:
-            raise ParseError(f"fn:{name.text} needs at least one term")
-        if name.text == "or":
-            node = Bool([(SHOULD, Leaf(w)) for w in words], mm=1)
-        elif name.text in ("before", "after"):
-            if len(words) != 2:
-                raise ParseError(f"fn:{name.text} needs exactly two terms")
-            pair = tuple(words) if name.text == "before" else (words[1], words[0])
-            node = Interval(pair, ordered=True)
-        elif name.text == "phrase":
-            node = Interval(tuple(words), ordered=True, max_gaps=0)
-        else:
-            node = Interval(tuple(words), ordered=name.text == "ordered")
-        return self._suffixes(node)
+            if t.kind == "quoted":
+                pat = _unescape(t.text[1:-1])
+            elif t.kind == "term":
+                pat = _unescape(t.text)
+            else:
+                raise ParseError(f"fn:{name.text} needs a term")
+            nums = []
+            while True:
+                t = self.next()
+                if t.kind == "rparen":
+                    break
+                if t.kind == "term" and re.fullmatch(r"\d+", t.text):
+                    nums.append(int(t.text))
+                else:
+                    raise ParseError(f"bad token {t.text!r} in fn:{name.text}")
+            if kind == "wildcard":
+                # Wildcard(pattern, maxExpansions)
+                return ISrc("wildcard", term=pat, n=nums[0] if nums else 0)
+            # FuzzyTerm(term, maxEdits, maxExpansions)
+            return ISrc(
+                "fuzzy", term=pat,
+                n=nums[0] if nums else 2,
+                n2=nums[1] if len(nums) > 1 else 0,
+            )
+        raise ParseError(f"unsupported interval function {name.text!r}")
 
     def _parse_range(self, fieldname, incl_lo: bool) -> Range:
         # range body is re-read from the RAW string (the reference
@@ -381,8 +550,13 @@ class _Parser:
                 if isinstance(node, Bool):
                     node.mm = int(float(num)) if num else 1
                 elif isinstance(node, Interval):
-                    # ~N after fn:ordered/unordered = max gaps
-                    node.max_gaps = int(float(num)) if num else 0
+                    # ~N after fn:ordered/unordered = max gaps; on a
+                    # nested tree it wraps the root in fn:maxgaps
+                    gaps = int(float(num)) if num else 0
+                    if node.tree is not None:
+                        node.tree = ISrc("maxgaps", (node.tree,), n=gaps)
+                    else:
+                        node.max_gaps = gaps
                 elif isinstance(node, Leaf) and node.phrase:
                     node.slop = int(float(num)) if num else 0
                 elif isinstance(node, Leaf):
@@ -502,6 +676,7 @@ def resolve_tree(
             _meta_field(node.field), node.lo, node.hi, node.incl_lo, node.incl_hi
         )
     if isinstance(node, Interval):
+        from zuliasearch_spark.search.intervals import leaf_terms
         from zuliasearch_spark.search.query import IntervalSpec
 
         fields = field_targets(node.field)
@@ -509,6 +684,17 @@ def resolve_tree(
             raise ParseError("no default fields for interval function")
         ispecs = []
         for sub, f in enumerate(fields):
+            if node.tree is not None:
+                rtree = _resolve_isrc(node.tree, f, analyze, expand_wildcard, expand_fuzzy)
+                terms = leaf_terms(rtree)
+                if terms:
+                    ispecs.append(
+                        IntervalSpec(
+                            f, terms, ordered=True, max_gaps=-1, tree=rtree,
+                            required=True, group=0, subgroup=sub,
+                        )
+                    )
+                continue
             terms = tuple(analyze(f, " ".join(node.words)))
             if terms:
                 ispecs.append(
@@ -556,6 +742,47 @@ def resolve_tree(
     # a default-AND operator: mark disjunction by conj=False
     is_expansion = node.regex or node.fuzzy is not None or "*" in node.text or "?" in node.text
     return RLeaf(tuple(specs), conj=conj and not is_expansion and not node.phrase, boost=node.boost)
+
+
+def _resolve_isrc(node: ISrc, field: str, analyze, expand_wildcard, expand_fuzzy) -> ISrc:
+    """Parse-time source tree → eval-time tree: text leaves analyzed
+    (multi-token analysis becomes an adjacency block — Lucene
+    AnalyzedText → Intervals.phrase of the token stream); wildcard /
+    fuzzyTerm leaves expanded against the term dictionary into or()
+    sources. Expansion sets are capped (maxExpansions, default 128,
+    dictionary order) — Lucene throws past the cap; truncating keeps
+    huge dictionaries queryable and is documented here."""
+    if node.kind == "text":
+        toks = tuple(analyze(field, node.term))
+        if not toks:
+            return ISrc("none")
+        if len(toks) == 1:
+            return ISrc("term", term=toks[0])
+        return ISrc("phrase", tuple(ISrc("term", term=t) for t in toks))
+    if node.kind == "wildcard":
+        rx = "^" + re.escape(node.term).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+        cap = node.n or 128
+        terms = sorted(expand_wildcard(field, rx))[:cap]
+        if not terms:
+            return ISrc("none")
+        return ISrc("or", tuple(ISrc("term", term=t) for t in terms))
+    if node.kind == "fuzzy":
+        base = analyze(field, node.term)
+        seed = base[0] if base else node.term.lower()
+        cap = node.n2 or 128
+        terms = sorted(expand_fuzzy(field, seed, node.n))[:cap]
+        if not terms:
+            return ISrc("none")
+        return ISrc("or", tuple(ISrc("term", term=t) for t in terms))
+    return ISrc(
+        node.kind,
+        tuple(
+            _resolve_isrc(c, field, analyze, expand_wildcard, expand_fuzzy)
+            for c in node.children
+        ),
+        n=node.n,
+        n2=node.n2,
+    )
 
 
 def tree_stat_keys(node) -> set[tuple[str, str]]:

@@ -162,13 +162,16 @@ class PhraseSpec:
 
 @dataclass(frozen=True)
 class IntervalSpec:
-    """Interval function leaf (fn:ordered / fn:unordered,
-    ZuliaSyntaxParser.jj Function state :193-215): all terms must
-    occur in one document, in query order when ``ordered``;
-    ``max_gaps ≥ 0`` bounds the minimal covering interval's internal
-    gaps (width − k), Lucene Intervals.maxgaps semantics. Matches are
-    constant-scored (boost), a documented simplification of Lucene's
-    interval frequency scoring."""
+    """Interval function leaf (ZuliaSyntaxParser.jj Function state
+    :193-215). Flat form: all ``terms`` must occur in one document,
+    in query order when ``ordered``; ``max_gaps ≥ 0`` bounds the
+    minimal covering interval's internal gaps (width − k), Lucene
+    Intervals.maxgaps semantics. Nested form: ``tree`` holds a
+    resolved ``ISrc`` source tree (fn:within, fn:containing,
+    fn:atLeast, … — intervals.eval_tree evaluates it per doc) and
+    ``terms`` lists its leaf terms for stats/postings planning.
+    Matches are constant-scored (boost), a documented simplification
+    of Lucene's interval frequency scoring."""
 
     field: str
     terms: tuple[str, ...]
@@ -177,6 +180,7 @@ class IntervalSpec:
     required: bool = False
     group: int = 0
     subgroup: int = 0
+    tree: object = None  # intervals.ISrc when nested
 
     @property
     def stat_keys(self) -> tuple[tuple[str, str], ...]:

@@ -89,3 +89,49 @@ def test_empty_expansion_raises():
     )
     with pytest.raises(ValueError, match="matched no fields"):
         cfg.expand_field("ghost")
+
+
+def test_range_on_alias_expands(spark):
+    """A range on a field-mapping alias targets the expanded fields
+    (OR of per-field ranges), like FieldTypeUtil.expandFields applies
+    to all query-side fields — previously it hit the literal alias
+    column and errored."""
+    import dataclasses
+
+    import pandas as pd
+
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+
+    cfg = IndexConfig(
+        index_name="rng",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+        ),
+        field_mappings=(("nums", ("n1", "n2"), False),),
+    )
+    pdf = pd.DataFrame(
+        [
+            ("r0", "x", 1, 100),
+            ("r1", "x", 7, 100),
+            ("r2", "x", 100, 8),
+            ("r3", "x", 100, None),
+        ],
+        columns=["uniqueId", "content", "n1", "n2"],
+    )
+    pdf["n2"] = pdf["n2"].astype("Int64")
+    tables = build_index(
+        spark.createDataFrame(pdf), cfg, stored_cols=("n1", "n2")
+    ).persist()
+    try:
+        eng = SearchEngine(tables)
+        res = eng.search_string("content:x AND nums:[5 TO 10]", amount=10)
+        assert sorted(t["uniqueId"] for t in res["topk"]) == ["r1", "r2"]
+        # MUST_NOT keeps docs where neither expanded field is in range,
+        # including the NULL-n2 doc (Lucene MUST_NOT semantics)
+        res2 = eng.search_string("content:x AND NOT nums:[5 TO 10]", amount=10)
+        assert sorted(t["uniqueId"] for t in res2["topk"]) == ["r0", "r3"]
+    finally:
+        tables.unpersist()

@@ -311,3 +311,29 @@ def test_qs_matches_clause_model_scores(engine):
     sa = {t["uniqueId"]: t["score"] for t in a["topk"]}
     sb = {t["uniqueId"]: t["score"] for t in b["topk"]}
     assert sa == sb
+
+
+def test_zl_set_nodes_parse():
+    from zuliasearch_spark.search.parser import ParseError, ZlSet, parse_query
+
+    root = parse_query("n:zl:ns(1 2 3)")
+    _, node = root.children[0]
+    assert isinstance(node, ZlSet) and node.kind == "ns"
+    assert node.field == "n" and node.values == ("1", "2", "3")
+
+    root = parse_query('lang:zl:termQuery(en "de at")^2')
+    _, node = root.children[0]
+    assert node.kind == "tq" and node.values == ("en", "de at") and node.boost == 2.0
+
+    root = parse_query("n:zl:numericSet(-5 7)")
+    _, node = root.children[0]
+    assert node.values == ("-5", "7")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ParseError):
+        parse_query("zl:ns(1 2)")  # field required
+    with _pytest.raises(ParseError):
+        parse_query("n:zl:bogus(1)")
+    with _pytest.raises(ParseError):
+        parse_query("n:zl:ns()")

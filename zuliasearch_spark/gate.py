@@ -428,6 +428,25 @@ def q_interval_atleast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
 
 
+def q_qs_zl_ns_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded numeric-set node n_chars:zl:ns(132 218 246) AND a
+    scored term, through the query-string grammar (ZL_PREFIX state,
+    ZuliaSyntaxParser.jj:159 + NumericsSetQuery production :398-408;
+    ZuliaNumericSetQueryNode → SetQueryHelper.getNumericSetQuery)."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.search_string("text:merge AND n_chars:zl:ns(132 218 246)", amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
+def q_qs_zl_tq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded term-set node lang:zl:tq(en de) AND a scored term
+    (TermsInSetQuery production, ZuliaSyntaxParser.jj:411-422;
+    ZuliaTermsInSetQueryNode → constant-score TermInSetQuery)."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.search_string("text:merge AND lang:zl:tq(en de)", amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
 def q_len_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-length meta query |text|:[150 TO 350] through the parser
     (CHAR_LENGTH_BAR syntax, FieldTypeUtil.getCharLengthWrap:108-110)
@@ -1143,6 +1162,8 @@ QUERIES = {
     "interval_ordered_count": q_interval_ordered_count,
     "interval_within_count": q_interval_within_count,
     "interval_atleast_count": q_interval_atleast_count,
+    "qs_zl_ns_count": q_qs_zl_ns_count,
+    "qs_zl_tq_count": q_qs_zl_tq_count,
     "vector_clause_topk": q_vector_clause_topk,
     "vector_should_topk": q_vector_should_topk,
     "terms_set_count": q_terms_set_count,
@@ -1345,6 +1366,14 @@ SELECT count(*)::BIGINT AS hits FROM (
   SELECT doc_id FROM pt WHERE term IN ('merge','scan','sort')
   GROUP BY doc_id HAVING count(DISTINCT term) >= 2
 )""",
+    "qs_zl_ns_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE doc_id IN {_MATCH_MERGE} AND n_chars IN (132, 218, 246)""",
+    "qs_zl_tq_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE doc_id IN {_MATCH_MERGE} AND lower(lang) IN ('en', 'de')""",
     "multi_index_topk": f"""
 WITH {_TOKS_CTE},
 half AS (SELECT doc_id, CASE WHEN source < 'src5' THEN 0 ELSE 1 END AS h FROM documents),

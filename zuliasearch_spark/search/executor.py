@@ -79,6 +79,7 @@ from zuliasearch_spark.search.intervals import doc_candidates as interval_doc_ca
 from zuliasearch_spark.search.intervals import eval_tree as eval_interval_tree
 from zuliasearch_spark.search.matcher import combine_clauses, evaluate_tree
 from zuliasearch_spark.search.parser import ExistsSpec as _ExistsSpecT
+from zuliasearch_spark.search.parser import RNumericSet as _RNumericSetT
 from zuliasearch_spark.search.parser import (
     RBool,
     parse_query,
@@ -95,6 +96,7 @@ from zuliasearch_spark.search.query import (
     PhraseSpec,
     ResolvedClause,
     SearchRequest,
+    TermSetSpec,
     TermSpec,
     iter_stat_keys,
     resolve_clause,
@@ -537,6 +539,19 @@ def _subset_term_vectors(store, n_sub, shard, idf_by_key, avgdl_by_key, params, 
             mask[ok] = True
             score[ok] = np.float32(boost) if params.lucene_parity else boost
             return mask, score
+        if isinstance(spec, TermSetSpec):
+            for t in spec.terms:
+                entry = store.decode((spec.field, t))
+                if entry is None:
+                    continue
+                docs = entry[0]
+                pos = np.searchsorted(docs, cand_sorted)
+                ok = (pos < docs.size) & (
+                    docs[np.minimum(pos, max(docs.size - 1, 0))] == cand_sorted
+                )
+                mask[ok] = True
+            score[mask] = np.float32(boost) if params.lucene_parity else boost
+            return mask, score
         if isinstance(spec, PhraseSpec):
             got = _phrase_postings(store, spec)
             if got is None:
@@ -595,6 +610,15 @@ def _dense_term_vectors(store, n, shard, idf_by_key, avgdl_by_key, params, sims=
             docs, _dls = got
             mask[docs] = True
             score[docs] = np.float32(boost) if params.lucene_parity else boost
+            return mask, score
+        if isinstance(spec, TermSetSpec):
+            # zl:tq — constant-score union of exact terms
+            # (TermInSetQuery semantics)
+            for t in spec.terms:
+                entry = store.decode((spec.field, t))
+                if entry is not None:
+                    mask[entry[0]] = True
+            score[mask] = np.float32(boost) if params.lucene_parity else boost
             return mask, score
         if isinstance(spec, PhraseSpec):
             got = _phrase_postings(store, spec)
@@ -1432,27 +1456,40 @@ class SearchEngine:
         return self.search_docvalues(sreq, pred, amount=amount)
 
     def _range_predicate(self, ranges) -> str:
-        """RRange conjuncts → one SQL predicate over doc_map columns
-        (numeric when the column is numeric, else string compare)."""
+        """RRange / RNumericSet conjuncts → one SQL predicate over
+        doc_map columns (numeric when the column is numeric, else
+        string compare). Field-mapping aliases OR their expanded
+        targets; every sub-predicate is coalesced to FALSE so MUST_NOT
+        keeps docs without the field — Lucene MUST_NOT semantics."""
         dtypes = dict(self.tables.doc_map.dtypes)
+        numeric_types = ("int", "bigint", "float", "double", "smallint", "tinyint", "decimal")
         parts = []
         for occur, r in ranges:
-            if r.field not in dtypes:
-                raise ValueError(f"range field {r.field!r} is not a stored column")
-            numeric = dtypes[r.field] in ("int", "bigint", "float", "double", "smallint", "tinyint", "decimal")
+            alts = []
+            for fld in r.fields:
+                if fld not in dtypes:
+                    raise ValueError(f"range field {fld!r} is not a stored column")
+                numeric = dtypes[fld] in numeric_types
 
-            def lit(v):
-                if numeric:
-                    float(v)  # validates
-                    return v
-                return "'" + str(v).replace("'", "''") + "'"
+                def lit(v):
+                    if numeric:
+                        float(v)  # validates
+                        return v
+                    return "'" + str(v).replace("'", "''") + "'"
 
-            sub = []
-            if r.lo is not None:
-                sub.append(f"`{r.field}` {'>=' if r.incl_lo else '>'} {lit(r.lo)}")
-            if r.hi is not None:
-                sub.append(f"`{r.field}` {'<=' if r.incl_hi else '<'} {lit(r.hi)}")
-            p = "(" + " AND ".join(sub) + ")" if sub else "(1=1)"
+                if isinstance(r, _RNumericSetT):
+                    vals = ", ".join(lit(v) for v in r.values)
+                    alts.append(f"coalesce(`{fld}` IN ({vals}), false)")
+                    continue
+                sub = []
+                if r.lo is not None:
+                    sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} {lit(r.lo)}")
+                if r.hi is not None:
+                    sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} {lit(r.hi)}")
+                alts.append(
+                    "coalesce(" + " AND ".join(sub) + ", false)" if sub else "(1=1)"
+                )
+            p = "(" + " OR ".join(alts) + ")"
             parts.append(f"NOT {p}" if occur == "MUST_NOT" else p)
         return " AND ".join(parts)
 

@@ -130,6 +130,21 @@ class Interval:
 
 
 @dataclass
+class ZlSet:
+    """field:zl:ns(v1 v2 …) / field:zl:tq(t1 t2 …) — Zulia's embedded
+    typed-set query nodes (ZL_PREFIX grammar state,
+    ZuliaSyntaxParser.jj:159,184-185 + NumericsSetQuery/TermsInSetQuery
+    productions :398-422). ``ns`` = numeric doc-values set
+    (ZuliaNumericSetQueryNode), ``tq`` = constant-score indexed
+    term-in-set (ZuliaTermsInSetQueryNode)."""
+
+    kind: str  # "ns" | "tq"
+    field: str
+    values: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass
 class ExistsSpec:
     """field:* — FieldExistsQuery (ZuliaPureWildcardNodeProcessor
     .java:24-39): constant-score match of every doc with ≥1 indexed
@@ -288,22 +303,30 @@ class _Parser:
             if t.text == "fn" and nxt is not None and nxt.kind == "colon":
                 self.next()  # consume ':'
                 return self._parse_interval_fn()
+            if t.text == "zl" and nxt is not None and nxt.kind == "colon":
+                # ZuliaFieldableQueryNode requires a field
+                # (ZuliaNumericSetQueryNode.getQuery Objects.requireNonNull)
+                raise ParseError("zl: nodes need a field prefix — field:zl:ns(...)")
             if nxt is not None and nxt.kind in ("colon", "cmp"):
                 fieldname = _unescape(t.text)
                 op = self.next()
                 if op.kind == "colon":
                     # field-scoped interval: field:fn:ordered(...)
                     # (IntervalExpr(field), ZuliaSyntaxParser.jj:477)
+                    # and field:zl:ns(...) / field:zl:tq(...)
+                    # (ZuliaExpr(field), :388-396)
                     ft = self.peek()
                     if (
                         ft is not None
                         and ft.kind == "term"
-                        and ft.text == "fn"
+                        and ft.text in ("fn", "zl")
                         and self.i + 1 < len(self.toks)
                         and self.toks[self.i + 1].kind == "colon"
                     ):
-                        self.next()  # 'fn'
+                        self.next()  # 'fn' / 'zl'
                         self.next()  # ':'
+                        if ft.text == "zl":
+                            return self._parse_zl(fieldname)
                         node = self._parse_interval_fn()
                         if isinstance(node, Interval):
                             node.field = fieldname
@@ -372,6 +395,40 @@ class _Parser:
                 return self._suffixes(Interval(tuple(words), ordered=kind == "ordered"))
         node = Interval(leaf_texts(tree), ordered=True, tree=tree)
         return self._suffixes(node)
+
+    def _parse_zl(self, fieldname: str):
+        """zl:ns / zl:tq typed-set nodes (NumericsSetQuery /
+        TermsInSetQuery productions, ZuliaSyntaxParser.jj:398-422).
+        Values are TermText (bare term or quoted); a leading '-'
+        merges into the value so negative numerics parse."""
+        name = self.next()
+        kinds = {"ns": "ns", "numericset": "ns", "tq": "tq", "termquery": "tq"}
+        kind = kinds.get(name.text.lower()) if name.kind == "term" else None
+        if kind is None:
+            raise ParseError(f"unsupported zl node {name.text!r}")
+        if self.next().kind != "lparen":
+            raise ParseError(f"zl:{name.text} needs '(...)'")
+        values: list[str] = []
+        neg = False
+        while True:
+            t = self.next()
+            if t.kind == "rparen":
+                break
+            if t.kind == "minus":
+                neg = True
+                continue
+            if t.kind == "quoted":
+                v = _unescape(t.text[1:-1])
+            elif t.kind == "term":
+                v = _unescape(t.text).rstrip(",")
+            else:
+                raise ParseError(f"bad token {t.text!r} in zl:{name.text}")
+            if v:
+                values.append("-" + v if neg else v)
+            neg = False
+        if not values:
+            raise ParseError(f"zl:{name.text} needs at least one value")
+        return self._suffixes(ZlSet(kind, fieldname, tuple(values)))
 
     def _parse_inumber(self, ctx: str) -> int:
         t = self.next()
@@ -615,13 +672,27 @@ class RRange:
     """Doc-values range (field:[a TO b], IndexOrDocValuesQuery path,
     SetQueryHelper.java:45-106): evaluated against doc_map columns by
     a Catalyst-pushed predicate, not in the postings kernel. Only
-    valid as a top-level conjunct (MUST / MUST_NOT)."""
+    valid as a top-level conjunct (MUST / MUST_NOT). ``fields`` is
+    the expanded field-mapping target list (FieldTypeUtil
+    .expandFields applies to query-side range fields too) — >1 field
+    ORs the per-field predicates."""
 
-    field: str
+    fields: tuple[str, ...]
     lo: str | None
     hi: str | None
     incl_lo: bool
     incl_hi: bool
+
+
+@dataclass
+class RNumericSet:
+    """zl:ns(...) — ZuliaNumericSetQueryNode (SetQueryHelper
+    .getNumericSetQuery:24-89): ``field ∈ {values}`` over numeric doc
+    values, evaluated as a Catalyst predicate like RRange. MUST_NOT
+    follows Lucene semantics (docs without the field are kept)."""
+
+    fields: tuple[str, ...]
+    values: tuple[str, ...]
 
 
 def _meta_field(name: str) -> str:
@@ -672,9 +743,25 @@ def resolve_tree(
     if isinstance(node, Range):
         if node.field is None:
             raise ParseError("range needs a field")
-        return RRange(
-            _meta_field(node.field), node.lo, node.hi, node.incl_lo, node.incl_hi
+        meta = _meta_field(node.field)
+        if meta != node.field:
+            targets = (meta,)  # |field| meta columns never alias-expand
+        else:
+            targets = tuple(dict.fromkeys(expand_field(node.field)))
+        return RRange(targets, node.lo, node.hi, node.incl_lo, node.incl_hi)
+    if isinstance(node, ZlSet):
+        if node.kind == "ns":
+            return RNumericSet(
+                tuple(dict.fromkeys(expand_field(node.field))), node.values
+            )
+        from zuliasearch_spark.search.query import TermSetSpec
+
+        fields = field_targets(node.field)
+        specs = tuple(
+            TermSetSpec(f, node.values, required=False, group=0, subgroup=sub)
+            for sub, f in enumerate(fields)
         )
+        return RLeaf(specs, conj=False, boost=node.boost)
     if isinstance(node, Interval):
         from zuliasearch_spark.search.intervals import leaf_terms
         from zuliasearch_spark.search.query import IntervalSpec
@@ -793,10 +880,10 @@ def tree_stat_keys(node) -> set[tuple[str, str]]:
         for _, c in node.children:
             out |= tree_stat_keys(c)
     elif isinstance(node, RLeaf):
-        from zuliasearch_spark.search.query import IntervalSpec
+        from zuliasearch_spark.search.query import IntervalSpec, TermSetSpec
 
         for s in node.specs:
-            if isinstance(s, (PhraseSpec, IntervalSpec)):
+            if isinstance(s, (PhraseSpec, IntervalSpec, TermSetSpec)):
                 out.update(s.stat_keys)
             elif isinstance(s, ExistsSpec):
                 out.add((s.field, None))
@@ -806,12 +893,12 @@ def tree_stat_keys(node) -> set[tuple[str, str]]:
 
 
 def tree_ranges(node, top=True):
-    """Collect RRange leaves; raise if any sits below the top level
-    (the doc-values join can only apply conjunctively)."""
+    """Collect RRange / RNumericSet leaves; raise if any sits below
+    the top level (the doc-values join can only apply conjunctively)."""
     out = []
     if isinstance(node, RBool):
         for occur, c in node.children:
-            if isinstance(c, RRange):
+            if isinstance(c, (RRange, RNumericSet)):
                 if not top:
                     raise ParseError("ranges are only supported as top-level conjuncts")
                 if occur == SHOULD and len(node.children) > 1:
@@ -823,11 +910,14 @@ def tree_ranges(node, top=True):
 
 
 def strip_ranges(node):
-    """Copy of the tree without its top-level RRange children
-    (they become a doc-values predicate); None if nothing remains."""
+    """Copy of the tree without its top-level RRange / RNumericSet
+    children (they become a doc-values predicate); None if nothing
+    remains."""
     if not isinstance(node, RBool):
         return node
-    kept = tuple((o, c) for o, c in node.children if not isinstance(c, RRange))
+    kept = tuple(
+        (o, c) for o, c in node.children if not isinstance(c, (RRange, RNumericSet))
+    )
     if not kept:
         return None
     return RBool(kept, node.mm, node.boost)

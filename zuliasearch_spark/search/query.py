@@ -161,6 +161,24 @@ class PhraseSpec:
 
 
 @dataclass(frozen=True)
+class TermSetSpec:
+    """zl:tq(...) — TermInSetQuery (ZuliaTermsInSetQueryNode.java:29-58,
+    SetQueryHelper.getTermInSetQuery): constant-score match of docs
+    whose field contains ANY of the exact indexed terms (no analysis,
+    like Lucene's TermInSetQuery over raw bytes)."""
+
+    field: str
+    terms: tuple[str, ...]
+    required: bool = False
+    group: int = 0
+    subgroup: int = 0
+
+    @property
+    def stat_keys(self) -> tuple[tuple[str, str], ...]:
+        return tuple((self.field, t) for t in self.terms)
+
+
+@dataclass(frozen=True)
 class IntervalSpec:
     """Interval function leaf (ZuliaSyntaxParser.jj Function state
     :193-215). Flat form: all ``terms`` must occur in one document,

@@ -114,3 +114,71 @@ def test_doc_terms_per_doc_topn(engine, spark, corpus_t1):
         )
         assert [(t, int(c)) for t, c in got] == exp
         assert len(grp) <= 3
+
+
+def test_sort_search_after_pages_equal_unpaged(engine):
+    """Field-sort searchAfter (LastResult sortValues → Lucene
+    searchAfter(FieldDoc), ZuliaIndex.java:1034-1104): walking a
+    sorted scan in 3 cursor pages must reproduce the unpaged global
+    sort exactly — including a null-bearing sort key and a MAX
+    selector key."""
+    eng, df = engine
+    req = SearchRequest((C("FILTER", q="content:def"),), amount=1)
+    sort_keys = (("lang", True, True), ("sizes", False, True, "MAX"))
+    tb = ("uniqueId",)
+    full = eng.sort_search(req, sort_keys=sort_keys, amount=1000, tiebreak=tb).collect()
+    assert len(full) > 9, "fixture too small for 3 pages"
+    page = max(3, len(full) // 3 + 1)
+    got = []
+    after = None
+    while True:
+        rows = eng.sort_search(
+            req, sort_keys=sort_keys, amount=page, tiebreak=tb, after=after
+        ).collect()
+        if not rows:
+            break
+        got.extend(rows)
+        if len(rows) < page:
+            break
+        after = eng.sort_cursor(rows[-1], sort_keys, tb)
+    assert [r["uniqueId"] for r in got] == [r["uniqueId"] for r in full]
+
+
+def test_sort_search_after_null_key_pages(spark):
+    """Cursor stepping across a null sort value (missingLast) and
+    into/out of the null region."""
+    import pandas as pd
+
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+
+    cfg = IndexConfig(
+        index_name="pg",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+        ),
+    )
+    rows = [(f"p{i}", "x", None if i % 3 == 0 else i % 5) for i in range(12)]
+    pdf = pd.DataFrame(rows, columns=["uniqueId", "content", "k"])
+    pdf["k"] = pdf["k"].astype("Int64")
+    tables = build_index(spark.createDataFrame(pdf), cfg, stored_cols=("k",)).persist()
+    try:
+        eng = SearchEngine(tables)
+        req = SearchRequest((C("FILTER", q="content:x"),), amount=1)
+        sk = (("k", True, True),)
+        full = eng.sort_search(req, sort_keys=sk, amount=100).collect()
+        assert len(full) == 12
+        got, after = [], None
+        for _ in range(6):
+            rows = eng.sort_search(req, sort_keys=sk, amount=3, after=after).collect()
+            if not rows:
+                break
+            got.extend(rows)
+            after = eng.sort_cursor(rows[-1], sk)
+        assert [(r["uniqueId"], r["k"]) for r in got] == [
+            (r["uniqueId"], r["k"]) for r in full
+        ]
+    finally:
+        tables.unpersist()

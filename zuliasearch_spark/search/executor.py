@@ -661,6 +661,37 @@ def _has_phrase(tree, resolved) -> bool:
     return any(isinstance(s, positional) for rc in resolved for s in rc.specs)
 
 
+def _sort_after_predicate(exprs, tiebreak: tuple[str, ...], after: tuple):
+    """Lexicographic strictly-after predicate for field-sort paging
+    (Lucene searchAfter(FieldDoc) semantics over (sort keys…,
+    tiebreak…)). ``exprs`` is [(col_expr, asc, nulls_last)]; the
+    cursor values are literals, so null placement resolves at plan
+    build time and the predicate stays Catalyst-pushable."""
+    n_sort = len(exprs)
+
+    def strictly_after(c, asc: bool, nulls_last: bool, a):
+        if a is None:
+            # after a null: with nulls last nothing follows on this
+            # key; with nulls first every non-null does
+            return F.lit(False) if nulls_last else c.isNotNull()
+        base = (c > F.lit(a)) if asc else (c < F.lit(a))
+        return (base | c.isNull()) if nulls_last else base
+
+    conds = []
+    prefix = F.lit(True)
+    for i, (c, asc, mlast) in enumerate(exprs):
+        conds.append(prefix & strictly_after(c, asc, mlast, after[i]))
+        prefix = prefix & c.eqNullSafe(F.lit(after[i]))
+    for t_i, t in enumerate(tiebreak):
+        a = after[n_sort + t_i]
+        conds.append(prefix & (F.col(t) > F.lit(a)))
+        prefix = prefix & (F.col(t) == F.lit(a))
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred | c
+    return pred
+
+
 def _rank_and_page(idx: np.ndarray, scores: np.ndarray, after, per_shard_amount: int):
     """Sort candidate docs by (score desc, doc_id asc), apply the
     search-after cursor, and cut to per_shard_amount (+ sentinel)."""
@@ -1872,6 +1903,7 @@ class SearchEngine:
         tiebreak: tuple[str, ...] = ("shard", "doc_id"),
         missing_last: bool = True,
         sort_keys: tuple[tuple, ...] | None = None,
+        after: tuple | None = None,
     ):
         """Field-sorted results (SortTest semantics, ShardReader
         .buildSortFromSortRequest:605-697): typed sort on stored
@@ -1883,7 +1915,17 @@ class SearchEngine:
         selector])`` applied in order. ``selector`` — "MIN" | "MAX" —
         picks the sort value out of a multivalued (array) stored
         column, Lucene's SortedNumericSelector/SortedSetSelector
-        semantics for multivalued fields."""
+        semantics for multivalued fields.
+
+        ``after`` is the field-sort searchAfter cursor (the
+        reference's LastResult sortValues → Lucene
+        searchAfter(FieldDoc), ZuliaIndex.java:1034-1104;
+        ShardReader.java:289-307): the previous page's last row as
+        ``(sort values…, tiebreak values…)`` — build it with
+        :meth:`sort_cursor`. It compiles to a lexicographic
+        strictly-after predicate FILTERED BEFORE the top-k, so deep
+        pages prune in-scan instead of re-sorting everything Spark
+        already returned."""
         matches = self.match_ids(req).select("shard", "doc_id")
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         if sort_keys is None:
@@ -1891,6 +1933,7 @@ class SearchEngine:
                 raise ValueError("sort_search needs sort_col or sort_keys")
             sort_keys = ((sort_col, ascending, missing_last),)
         keys = []
+        exprs = []  # (col_expr, asc, nulls_last) per sort key
         for spec in sort_keys:
             col, asc, mlast = spec[0], spec[1], spec[2]
             selector = spec[3] if len(spec) > 3 else None
@@ -1903,11 +1946,35 @@ class SearchEngine:
                     c = F.array_max(c)
                 else:
                     raise ValueError(f"unknown multivalued selector {selector!r}")
+            exprs.append((c, asc, mlast))
             if asc:
                 keys.append(c.asc_nulls_last() if mlast else c.asc_nulls_first())
             else:
                 keys.append(c.desc_nulls_last() if mlast else c.desc_nulls_first())
+        if after is not None:
+            expect = len(sort_keys) + len(tiebreak)
+            if len(after) != expect:
+                raise ValueError(
+                    f"after cursor needs {expect} values (sort keys + tiebreak)"
+                )
+            j = j.filter(_sort_after_predicate(exprs, tiebreak, tuple(after)))
         return j.orderBy(*keys, *[F.asc(t) for t in tiebreak]).limit(amount)
+
+    @staticmethod
+    def sort_cursor(row, sort_keys, tiebreak: tuple[str, ...] = ("shard", "doc_id")):
+        """Build the ``after`` cursor for :meth:`sort_search` from the
+        previous page's last Row — the LastResult.sortValues
+        equivalent (zulia_query.proto LastResult; selectors re-apply
+        so the cursor holds the COMPARED value, like Lucene FieldDoc
+        .fields)."""
+        vals = []
+        for spec in sort_keys:
+            v = row[spec[0]]
+            selector = spec[3] if len(spec) > 3 else None
+            if selector is not None and v is not None:
+                v = min(v) if selector.upper() == "MIN" else max(v)
+            vals.append(v)
+        return tuple(vals) + tuple(row[t] for t in tiebreak)
 
     def search_score_function(self, req: SearchRequest, expr: str, amount: int = 10):
         """Score-function search (handleScoreFunction:837-903): an

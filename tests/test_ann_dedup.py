@@ -134,3 +134,37 @@ def test_hyperplanes_deterministic():
     b = P.hyperplanes(4, 64)
     assert np.array_equal(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_neardup_auto_planes_bounded_occupancy(spark):
+    """Default near-dup bucketing auto-derives n_planes from a count
+    (max(6, ceil(log2 n))), keeping expected bucket occupancy O(1) as
+    the corpus grows — with the old fixed 64-bucket layout mean
+    occupancy is n/64 and the self-join grows quadratically."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from zuliasearch_spark import pipeline as P
+
+    dims = 8
+    for n in (256, 2048):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(n, dims))
+        n_planes = max(6, math.ceil(math.log2(n)))
+        h = P.hyperplanes(n_planes, dims)
+        sig = (x @ h.T >= 0)
+        occ = Counter(map(tuple, sig.tolist()))
+        mean_occ = n / len(occ)
+        assert mean_occ <= 4.0, f"n={n}: mean occupancy {mean_occ:.1f}"
+        assert max(occ.values()) <= 48, f"n={n}: max occupancy {max(occ.values())}"
+
+    # the DataFrame path actually uses the derived planes and stays
+    # exact-precision: every returned pair clears the threshold
+    rows = [(i, [float(v) for v in np.random.default_rng(i).normal(size=dims)]) for i in range(64)]
+    rows.append((64, rows[0][1]))  # exact dup pair (0, 64)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = P.neardup_cosine_pairs(emb, threshold=0.9).collect()
+    assert all(r["cosine"] >= 0.9 for r in got)
+    assert (0, 64) in {(r["a"], r["b"]) for r in got}

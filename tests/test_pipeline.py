@@ -34,12 +34,48 @@ def test_minhash_dups_collide(docs):
     assert (0, 5) not in pairs and (3, 4) not in pairs
 
 
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
 def test_simhash_dups_equal(docs):
     fp = {r["doc_id"]: r["simhash"] for r in P.simhash(docs).collect()}
     assert fp[0] == fp[1]
-    ham02 = bin(fp[0] ^ fp[2]).count("1")
-    ham05 = bin(fp[0] ^ fp[5]).count("1")
-    assert ham02 < ham05  # near-dup closer than unrelated
+    assert _ham(fp[0], fp[2]) < _ham(fp[0], fp[5])  # near-dup closer
+
+
+def test_simhash_pairs_complete_under_budget(spark):
+    """Contract: EVERY pair within the Hamming budget is returned —
+    the derived max_hamming+1 bands make pigeonhole cover the full
+    budget (the old fixed 4×8-bit layout guaranteed only ≤3 while
+    filtering at ≤6)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    base = list(rng.choice(vocab, size=30))
+    for i in range(40):
+        doc = list(base)
+        # perturb a few tokens so fingerprints cluster at small
+        # Hamming distances
+        for _ in range(int(rng.integers(0, 4))):
+            doc[int(rng.integers(0, len(doc)))] = vocab[int(rng.integers(0, len(vocab)))]
+        rows.append((i, " ".join(doc)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for budget in (2, 6):
+        fp = {r["doc_id"]: r["simhash"] for r in P.simhash(docs).collect()}
+        want = {
+            (a, b)
+            for a in fp
+            for b in fp
+            if a < b and _ham(fp[a], fp[b]) <= budget
+        }
+        got = {
+            (r["a"], r["b"])
+            for r in P.simhash_pairs(docs, max_hamming=budget).collect()
+        }
+        assert got == want, f"budget {budget}: missing {want - got}, extra {got - want}"
 
 
 def test_ngram_jaccard(docs):

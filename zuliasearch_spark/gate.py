@@ -912,7 +912,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_neardup_cosine(spark, sf_dir):
-    return P.neardup_cosine_pairs(_emb(spark, sf_dir))
+    # oracle_mode pins the fixed 6-dim-sign bucket layout the DuckDB
+    # oracle replicates; production default auto-scales n_planes
+    return P.neardup_cosine_pairs(_emb(spark, sf_dir), oracle_mode=True)
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -990,15 +992,28 @@ SELECT p.a, p.b, ({_MH_MATCH})::BIGINT AS n_match
 FROM pairs p JOIN mh sa ON sa.doc_id = p.a JOIN mh sb ON sb.doc_id = p.b
 """
 
+# 64-bit simhash: two md5 words; bit 63 added as the negative long
+# literal (1<<63 overflows DuckDB's signed left shift); sum() runs in
+# HUGEINT so the mixed-sign accumulation is exact before the cast
+_H32D9 = "('0x'||substr(md5({x}),9,8))::BIGINT"
+_SIMHASH_BODY = f"""t AS (SELECT doc_id, unnest(l) AS term FROM lst),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+x AS (SELECT doc_id, tf, {_H32D.format(x='term')} AS x1, {_H32D9.format(x='term')} AS x2 FROM tf),
+b AS (SELECT doc_id, j,
+        sum(CASE WHEN ((CASE WHEN j < 32 THEN x1 ELSE x2 END) >> (j % 32)) & 1 = 1
+            THEN tf ELSE -tf END) AS s
+      FROM x, unnest(generate_series(0, {P.SIMHASH_BITS - 1})) AS g(j) GROUP BY doc_id, j),
+f AS (SELECT doc_id,
+        sum(CASE WHEN s > 0 THEN
+              (CASE WHEN j = 63 THEN (-9223372036854775808)::HUGEINT
+                    ELSE (1::BIGINT << j)::HUGEINT END)
+            ELSE 0::HUGEINT END)::BIGINT AS fp
+      FROM b GROUP BY doc_id)"""
+
 _SIMHASH_SQL = f"""
 WITH {_LST},
-t AS (SELECT doc_id, unnest(l) AS term FROM lst),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
-x AS (SELECT doc_id, tf, {_H32D.format(x='term')} AS x FROM tf),
-b AS (SELECT doc_id, j, sum(CASE WHEN (x >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
-      FROM x, unnest(generate_series(0, {P.SIMHASH_BITS - 1})) AS g(j) GROUP BY doc_id, j)
-SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
-FROM b GROUP BY doc_id
+{_SIMHASH_BODY}
+SELECT doc_id, fp AS simhash FROM f
 """
 
 _NGRAM_SQL = """
@@ -1037,17 +1052,18 @@ SELECT vec_id, round(c, 4) AS cosine FROM c
 ORDER BY c DESC, vec_id ASC LIMIT 10
 """
 
+# derived band layout (max_hamming + 1 bands over 64 bits) — kept in
+# lockstep with pipeline.simhash_band_layout via the VALUES list
+_SIMHASH_BAND_VALUES = ", ".join(
+    f"({b}, {off}, {(1 << w) - 1})"
+    for b, (off, w) in enumerate(P.simhash_band_layout(6))
+)
+
 _SIMHASH_PAIRS_SQL = f"""
 WITH {_LST},
-t AS (SELECT doc_id, unnest(l) AS term FROM lst),
-tfx AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
-x AS (SELECT doc_id, tf, {_H32D.format(x='term')} AS x FROM tfx),
-bsum AS (SELECT doc_id, j, sum(CASE WHEN (x >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
-         FROM x, unnest(generate_series(0, {P.SIMHASH_BITS - 1})) AS g(j) GROUP BY doc_id, j),
-f AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fp
-      FROM bsum GROUP BY doc_id),
-bands AS (SELECT doc_id, fp, g.b AS band, (fp >> (g.b * 8)) & 255 AS bv
-          FROM f, unnest(generate_series(0, 3)) AS g(b))
+{_SIMHASH_BODY},
+layout(band, off, mask) AS (VALUES {_SIMHASH_BAND_VALUES}),
+bands AS (SELECT doc_id, fp, band, (fp >> off) & mask AS bv FROM f, layout)
 SELECT DISTINCT a.doc_id AS a, b2.doc_id AS b,
        bit_count(xor(a.fp, b2.fp))::BIGINT AS hamming
 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id

@@ -46,7 +46,24 @@ MINHASH_AB = [
 ]
 MINHASH_PERMS = len(MINHASH_AB)
 MINHASH_BAND_ROWS = 4
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # 32 bits collides heavily at 1e9+ docs
+
+
+def simhash_band_layout(max_hamming: int, bits: int = SIMHASH_BITS):
+    """[(offset, width)] for ``max_hamming + 1`` bands — pigeonhole
+    then GUARANTEES two fingerprints within the distance budget share
+    at least one exact band (the r2 contract bug: 4 fixed 8-bit bands
+    only covered Hamming ≤ 3 while the default filter promised 6)."""
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"max_hamming {max_hamming} needs more bands than {bits} bits")
+    base, rem = divmod(bits, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
 WINNOW_K = 5  # tokens per k-gram
 WINNOW_W = 4  # k-grams per window
 
@@ -54,13 +71,15 @@ LANG_LEX = {
     "de": "der die und das von zu mit den auf ist".split(),
     "en": "the and of to in is for with on as".split(),
     "es": "el la de que y en un por con los".split(),
-    "fr": "le ls et les des en un du que ou".split(),
+    "fr": "le la et les des en un du que ou".split(),
 }
 STOPWORDS_10 = LANG_LEX["en"]
 
 TOKS = "filter(split(lower(text), ' '), x -> x <> '')"
 # 32-bit md5-derived token/shingle hash — identical in Spark and DuckDB
 H32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint)"
+# second independent 32-bit word (md5 chars 9-16) for 64-bit simhash
+H32B = "cast(conv(substr(md5({x}), 9, 8), 16, 10) as bigint)"
 
 
 def _toks(df: DataFrame) -> DataFrame:
@@ -130,51 +149,61 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit tf-weighted SimHash fingerprint.
+    """(doc_id, simhash): 64-bit tf-weighted SimHash fingerprint.
 
-    The per-bit ±tf sums run as 32 conditional-sum AGGREGATE
-    EXPRESSIONS in one groupBy — no 32× row explosion (the round-1
-    version inflated the shuffle 32× by exploding a row per bit),
-    so shuffle bytes stay proportional to distinct (doc, term)."""
+    The per-bit ±tf sums run as 64 conditional-sum AGGREGATE
+    EXPRESSIONS in one groupBy — no 64× row explosion (the round-1
+    version inflated the shuffle by exploding a row per bit), so
+    shuffle bytes stay proportional to distinct (doc, term). The
+    64-bit hash comes from two md5 words (chars 1-8 and 9-16); bit 63
+    is the sign bit, added as the negative long literal."""
     tf = (
         _toks(docs)
         .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("x", F.expr(H32.format(x="term")))
+        .withColumn("x1", F.expr(H32.format(x="term")))
+        .withColumn("x2", F.expr(H32B.format(x="term")))
     )
     bit_sums = [
         F.sum(
-            F.expr(f"CASE WHEN (shiftright(x, {j}) & 1) = 1 THEN tf ELSE -tf END")
+            F.expr(
+                f"CASE WHEN (shiftright({'x1' if j < 32 else 'x2'}, {j % 32}) & 1) = 1 "
+                "THEN tf ELSE -tf END"
+            )
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     per_doc = tf.groupBy("doc_id").agg(*bit_sums)
     fp = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = -(1 << 63) if j == 63 else (1 << j)
+        term = F.when(F.col(f"s{j}") > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6, band_bits: int = 8) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate candidate pairs by SimHash Hamming distance.
 
-    Banding makes this scale-safe: the 32-bit fingerprint splits into
-    ``32/band_bits`` bands; by pigeonhole, two fingerprints within
-    Hamming distance (bands−1) share ≥1 exact band, so the self-join
-    runs per (band index, band value) bucket — never all-pairs.
-    Survivors are filtered by exact popcount(xor) ≤ max_hamming.
+    Banding makes this scale-safe AND complete: the 64-bit
+    fingerprint splits into ``max_hamming + 1`` bands
+    (simhash_band_layout), so by pigeonhole two fingerprints within
+    the distance budget share ≥1 exact band and the self-join runs
+    per (band index, band value) bucket — never all-pairs, and no
+    silently missed in-contract pair. Survivors are filtered by
+    exact popcount(xor) ≤ max_hamming.
     """
-    n_bands = SIMHASH_BITS // band_bits
     fp = simhash(docs)
     bands = None
-    for b in range(n_bands):
+    for b, (off, width) in enumerate(simhash_band_layout(max_hamming)):
+        # arithmetic shift is fine: sign-extension bits land above
+        # the mask for every band, including the one holding bit 63
         part = fp.select(
             "doc_id",
             "simhash",
             F.lit(b).alias("band"),
-            F.expr(f"(shiftright(simhash, {b * band_bits}) & {(1 << band_bits) - 1})").alias("bv"),
+            F.expr(f"(shiftright(simhash, {off}) & {(1 << width) - 1})").alias("bv"),
         )
         bands = part if bands is None else bands.unionByName(part)
     left = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "band", "bv")
@@ -310,20 +339,29 @@ def hyperplanes(n_planes: int, dims: int):
 
 
 def neardup_cosine_pairs(
-    emb: DataFrame, threshold: float = 0.4, n_planes: int | None = None
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    oracle_mode: bool = False,
 ) -> DataFrame:
     """Sign-LSH bucketing then exact cosine within buckets; pairs
     above threshold.
 
-    Default (n_planes=None): signs of dims 0..5 → 64 fixed buckets —
-    the oracle-reproducible configuration. At scale pass
-    ``n_planes ≈ log2(n_docs)``: deterministic pseudo-random
-    hyperplanes (``hyperplanes``) keep expected bucket size O(1), so
-    the within-bucket self-join stays quadratic only in a constant.
-    Precision is exact either way (every candidate is cosine-verified);
-    bucketing only affects recall.
+    The scale path is the DEFAULT: ``n_planes`` auto-derives from a
+    one-time count — ``max(6, ceil(log2(n)))`` deterministic
+    pseudo-random hyperplanes (``hyperplanes``) keep expected bucket
+    occupancy O(1), so the within-bucket self-join stays quadratic
+    only in a constant instead of O(n²/2^planes) with a fixed plane
+    count. ``oracle_mode=True`` pins the SQL-reproducible fixed
+    configuration (signs of dims 0..5 → 64 buckets) for the DuckDB
+    correctness gate. Precision is exact either way (every candidate
+    is cosine-verified); bucketing only affects recall.
     """
-    if n_planes is not None:
+    if not oracle_mode:
+        if n_planes is None:
+            import math
+
+            n_planes = max(6, math.ceil(math.log2(max(2, emb.count()))))
         dims = len(emb.select("embedding").head()[0])
         planes = hyperplanes(n_planes, dims)
         bits = [

@@ -188,6 +188,12 @@ def main() -> None:
                 cur["query_sec"] = min(cur["query_sec"], r["query_sec"])
                 cur["qps"] = max(cur["qps"], r["qps"])
 
+    missing = [lvl for lvl in (args.low, args.high) if lvl not in best]
+    if missing:
+        raise SystemExit(
+            f"no history rows at cores={missing} for git={rev}, docs={args.docs}, "
+            f"n_queries={nq} — run the measurement at the missing level(s) first"
+        )
     lo, hi = best[args.low], best[args.high]
     ratio = args.high / args.low
     eff_build = (lo["build_sec"] / hi["build_sec"]) / ratio

@@ -834,6 +834,12 @@ def _pruned_search(resolved, store, shard, n, idf_by_key, avgdl_by_key, params, 
     pruned_any = cands.size < universe.size
     top, tscores, has_next, next_score = _rank_and_page(docs, scores, after, k)
     total_hits = int(docs.size)  # lower bound when pruned_any
+    if not has_next and pruned_any and tscores.size:
+        # pruned shard whose page was NOT truncated by ranking: the
+        # oversample combiner needs a displacement bound, and NaN rows
+        # are dropped there — use the shard's last returned score,
+        # mirroring QueryCombiner's use of the shard's last result
+        next_score = float(tscores[-1])
     return top, tscores, total_hits, has_next or pruned_any, next_score, not pruned_any
 
 
@@ -1128,6 +1134,7 @@ class SearchEngine:
         from the resident copy — the largest per-posting payload,
         read only by phrase/interval queries, which transparently
         fall back to the parquet scan path."""
+        self.unpin()  # re-pinning must release the previous resident copy
         base = self.tables.postings
         if not need_positions and "pos_bytes" in base.columns:
             base = base.select(*[c for c in base.columns if c != "pos_bytes"])

@@ -43,6 +43,7 @@ class MultiIndexSearcher:
         in exactly the sense the reference's are: each computed from
         its own index's statistics.
         """
+        from concurrent.futures import ThreadPoolExecutor
         from dataclasses import replace
 
         names = sorted({self.resolve(n) for n in (indexes or tuple(self.engines))})
@@ -53,8 +54,13 @@ class MultiIndexSearcher:
         # shard does in the single-index scatter (start folds into the
         # per-index amount; the page cut happens at the merge)
         sub = replace(req, start=0, amount=req.start + req.amount)
-        for name in names:
-            res = self.engines[name].search(sub)
+        # per-index searches submit CONCURRENTLY — Spark's scheduler
+        # interleaves the jobs, so multi-index wall time tracks the
+        # slowest index, not the sum (the reference federates the
+        # per-index requests the same way, QueryRequestFederator)
+        with ThreadPoolExecutor(max_workers=min(8, len(names)) or 1) as pool:
+            results = list(pool.map(lambda n: (n, self.engines[n].search(sub)), names))
+        for name, res in results:
             total_hits += res["totalHits"]
             hits_exact = hits_exact and res.get("hitsExact", True)
             for t in res["topk"]:

@@ -428,6 +428,71 @@ def q_interval_atleast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
 
 
+_GEO_ENGINE_CACHE: dict = {}
+
+
+def geo_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Index over documents with a deterministic GEO_POINT column —
+    ``geo = [((doc_id*37) % 180) - 89.75, ((doc_id*73) % 360) - 179.75]``
+    (exact binary doubles; the DuckDB oracles derive identically)."""
+    eng = _GEO_ENGINE_CACHE.get(sf_dir)
+    if eng is not None:
+        return eng
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("uid"),
+        F.col("doc_id").alias("orig_doc_id"),
+        "text",
+        F.array(
+            ((F.col("doc_id") * 37 % 180) - F.lit(89.75)).cast("double"),
+            ((F.col("doc_id") * 73 % 360) - F.lit(179.75)).cast("double"),
+        ).alias("geo"),
+    )
+    cfg = IndexConfig(
+        index_name="documents_geo",
+        unique_id_col="uid",
+        number_of_shards=4,
+        default_search_fields=("text",),
+        field_configs=(FieldConfig("text", index_as=(IndexAs("text", "whitespace_lc"),)),),
+        per_shard_stats=False,
+        quantize_norms=False,
+    )
+    tables = build_index(corpus, cfg, stored_cols=("orig_doc_id", "geo")).persist()
+    eng = SearchEngine(tables)
+    _GEO_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def q_geo_bbox_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zl:geoBbox box query ANDed with a scored term (GeoBboxQuery
+    production, ZuliaSyntaxParser.jj:441-453; ZuliaGeoBboxQueryNode →
+    LatLonPoint.newBoxQuery) over the stored [lat, lon] column."""
+    eng = geo_engine(spark, sf_dir)
+    res = eng.search_string("text:merge AND zl:geoBbox(geo -45 45 -90 90)", amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
+def q_geo_dist_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zl:geo haversine distance query (GeoDistanceQuery production,
+    :424-439; LatLonPoint.newDistanceQuery, mean earth radius)."""
+    eng = geo_engine(spark, sf_dir)
+    res = eng.search_string("text:merge AND zl:geo(geo 20 40 3000)", amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
+def q_geo_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodist sort (ShardReader geo sort branch :618-640 →
+    LatLonDocValuesField.newDistanceSort): nearest 10 matches of
+    text:merge to (0, 0), distance in whole meters."""
+    eng = geo_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=10)
+    # tiebreak on uid (zero-padded doc_id) so coordinate-grid ties
+    # cut the page exactly like the oracle's ORDER BY m, doc_id
+    rows = eng.geo_sort(req, "geo", 0.0, 0.0, amount=10, tiebreak=("uniqueId",)).collect()
+    out = [(int(r["orig_doc_id"]), int(round(r["geo_dist_m"]))) for r in rows]
+    return spark.createDataFrame(out, "doc_id bigint, dist_m bigint")
+
+
 def q_qs_zl_ns_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedded numeric-set node n_chars:zl:ns(132 218 246) AND a
     scored term, through the query-string grammar (ZL_PREFIX state,
@@ -1180,6 +1245,9 @@ QUERIES = {
     "interval_atleast_count": q_interval_atleast_count,
     "qs_zl_ns_count": q_qs_zl_ns_count,
     "qs_zl_tq_count": q_qs_zl_tq_count,
+    "geo_bbox_count": q_geo_bbox_count,
+    "geo_dist_count": q_geo_dist_count,
+    "geo_sort_topk": q_geo_sort_topk,
     "vector_clause_topk": q_vector_clause_topk,
     "vector_should_topk": q_vector_should_topk,
     "terms_set_count": q_terms_set_count,
@@ -1390,6 +1458,35 @@ WHERE doc_id IN {_MATCH_MERGE} AND n_chars IN (132, 218, 246)""",
 WITH {_TOKS_CTE}
 SELECT count(*)::BIGINT AS hits FROM documents
 WHERE doc_id IN {_MATCH_MERGE} AND lower(lang) IN ('en', 'de')""",
+    "geo_bbox_count": f"""
+WITH {_TOKS_CTE},
+geo AS (SELECT doc_id, ((doc_id * 37) % 180) - 89.75 AS lat,
+               ((doc_id * 73) % 360) - 179.75 AS lon FROM documents)
+SELECT count(*)::BIGINT AS hits FROM geo
+WHERE doc_id IN {_MATCH_MERGE}
+  AND lat BETWEEN -45 AND 45 AND lon BETWEEN -90 AND 90""",
+    "geo_dist_count": f"""
+WITH {_TOKS_CTE},
+geo AS (SELECT doc_id, ((doc_id * 37) % 180) - 89.75 AS lat,
+               ((doc_id * 73) % 360) - 179.75 AS lon FROM documents)
+SELECT count(*)::BIGINT AS hits FROM geo
+WHERE doc_id IN {_MATCH_MERGE}
+  AND 2.0 * 6371008.7714 * asin(sqrt(
+        pow(sin(radians(lat - 20) / 2), 2)
+        + cos(radians(20)) * cos(radians(lat)) * pow(sin(radians(lon - 40) / 2), 2)
+      )) <= 3000000.0""",
+    "geo_sort_topk": f"""
+WITH {_TOKS_CTE},
+geo AS (SELECT doc_id, ((doc_id * 37) % 180) - 89.75 AS lat,
+               ((doc_id * 73) % 360) - 179.75 AS lon FROM documents),
+d AS (SELECT doc_id,
+        2.0 * 6371008.7714 * asin(sqrt(
+          pow(sin(radians(lat - 0) / 2), 2)
+          + cos(radians(0)) * cos(radians(lat)) * pow(sin(radians(lon - 0) / 2), 2)
+        )) AS m
+      FROM geo WHERE doc_id IN {_MATCH_MERGE})
+SELECT doc_id, round(m)::BIGINT AS dist_m FROM d
+ORDER BY m ASC, doc_id ASC LIMIT 10""",
     "multi_index_topk": f"""
 WITH {_TOKS_CTE},
 half AS (SELECT doc_id, CASE WHEN source < 'src5' THEN 0 ELSE 1 END AS h FROM documents),

@@ -79,6 +79,7 @@ from zuliasearch_spark.search.intervals import doc_candidates as interval_doc_ca
 from zuliasearch_spark.search.intervals import eval_tree as eval_interval_tree
 from zuliasearch_spark.search.matcher import combine_clauses, evaluate_tree
 from zuliasearch_spark.search.parser import ExistsSpec as _ExistsSpecT
+from zuliasearch_spark.search.parser import RGeo as _RGeoT
 from zuliasearch_spark.search.parser import RNumericSet as _RNumericSetT
 from zuliasearch_spark.search.parser import (
     RBool,
@@ -659,6 +660,38 @@ def _has_phrase(tree, resolved) -> bool:
 
         return walk(tree)
     return any(isinstance(s, positional) for rc in resolved for s in rc.specs)
+
+
+_EARTH_RADIUS_M = 6371008.7714  # Lucene GeoUtils.EARTH_MEAN_RADIUS_METERS
+
+
+def _haversine_sql(fld: str, lat: float, lon: float) -> str:
+    """Haversine meters between the stored ``array<double> [lat,lon]``
+    column and a query point — the distance LatLonPoint.newDistanceQuery
+    compares (Lucene SloppyMath.haversinMeters, mean earth radius)."""
+    return (
+        f"(2.0 * {_EARTH_RADIUS_M} * asin(sqrt("
+        f"pow(sin(radians(`{fld}`[0] - ({lat})) / 2), 2)"
+        f" + cos(radians({lat})) * cos(radians(`{fld}`[0]))"
+        f" * pow(sin(radians(`{fld}`[1] - ({lon})) / 2), 2)"
+        f")))"
+    )
+
+
+def _geo_predicate_sql(fld: str, r) -> str:
+    """zl:geo → haversine ≤ km*1000; zl:geoBbox → lat/lon box with
+    dateline-crossing OR when minLon > maxLon (LatLonPoint
+    .newDistanceQuery / newBoxQuery semantics)."""
+    if r.kind == "geo":
+        lat, lon, km = r.args
+        return f"({_haversine_sql(fld, lat, lon)} <= {km * 1000.0})"
+    min_lat, max_lat, min_lon, max_lon = r.args
+    lat_p = f"`{fld}`[0] BETWEEN {min_lat} AND {max_lat}"
+    if min_lon <= max_lon:
+        lon_p = f"`{fld}`[1] BETWEEN {min_lon} AND {max_lon}"
+    else:  # crosses the antimeridian
+        lon_p = f"(`{fld}`[1] >= {min_lon} OR `{fld}`[1] <= {max_lon})"
+    return f"(({lat_p}) AND ({lon_p}))"
 
 
 def _sort_after_predicate(exprs, tiebreak: tuple[str, ...], after: tuple):
@@ -1507,6 +1540,9 @@ class SearchEngine:
             for fld in r.fields:
                 if fld not in dtypes:
                     raise ValueError(f"range field {fld!r} is not a stored column")
+                if isinstance(r, _RGeoT):
+                    alts.append(f"coalesce({_geo_predicate_sql(fld, r)}, false)")
+                    continue
                 numeric = dtypes[fld] in numeric_types
 
                 def lit(v):
@@ -1982,6 +2018,33 @@ class SearchEngine:
                 v = min(v) if selector.upper() == "MIN" else max(v)
             vals.append(v)
         return tuple(vals) + tuple(row[t] for t in tiebreak)
+
+    def geo_sort(
+        self,
+        req: SearchRequest,
+        geo_field: str,
+        lat: float,
+        lon: float,
+        amount: int = 10,
+        ascending: bool = True,
+        tiebreak: tuple[str, ...] = ("shard", "doc_id"),
+    ):
+        """Distance sort from a query point (geodist sort,
+        ShardReader.buildSortFromSortRequest geo branch :618-640 →
+        LatLonDocValuesField.newDistanceSort): haversine meters over
+        the stored [lat, lon] doc-values column, Catalyst
+        TakeOrderedAndProject for the distributed top-k. Docs without
+        the field sort last."""
+        matches = self.match_ids(req).select("shard", "doc_id")
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        dist = F.expr(_haversine_sql(geo_field, lat, lon))
+        j = j.withColumn("geo_dist_m", F.round(dist, 3))
+        key = (
+            F.col("geo_dist_m").asc_nulls_last()
+            if ascending
+            else F.col("geo_dist_m").desc_nulls_last()
+        )
+        return j.orderBy(key, *[F.asc(t) for t in tiebreak]).limit(amount)
 
     def search_score_function(self, req: SearchRequest, expr: str, amount: int = 10):
         """Score-function search (handleScoreFunction:837-903): an

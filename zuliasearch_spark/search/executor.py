@@ -2062,7 +2062,25 @@ class SearchEngine:
         arithmetic expression over `score` and numeric doc-value
         columns re-ranks the match set — the reference compiles the
         expression with Lucene's JavascriptCompiler; Catalyst's
-        `F.expr` is the same sandboxed scalar language for free."""
+        `F.expr` is the same sandboxed scalar language for free.
+
+        ``geodist(field, lat, lon)`` terms are rewritten to the
+        haversine SQL in KILOMETERS, mirroring the reference's
+        pre-processing of geodist() into GeoDistanceValuesSource
+        bindings divided by 1000 (ZuliaIndex.java:841-864)."""
+        import re as _re
+
+        def _geodist_sub(m: "._re.Match") -> str:
+            fld = m.group(1).strip()
+            lat = float(m.group(2))
+            lon = float(m.group(3))
+            return f"({_haversine_sql(fld, lat, lon)} / 1000.0)"
+
+        expr = _re.sub(
+            r"geodist\(\s*([A-Za-z_][\w.]*)\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\)",
+            _geodist_sub,
+            expr,
+        )
         matches = self.match_ids(req)
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         return (

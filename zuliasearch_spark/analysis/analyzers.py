@@ -54,11 +54,24 @@ import pyarrow.compute as pc
 
 from zuliasearch_spark.config import (
     ASCII_FOLDING,
+    BRITISH_US,
+    CASE_PROTECTED_WORDS,
     CODE_SPLIT,
+    CONCAT_ALL,
+    ENGLISH_MIN_STEM,
+    ENGLISH_POSSESSIVE,
+    FIVE_FIVE_SHINGLE,
+    FOUR_FOUR_SHINGLE,
+    GERMAN_NORMALIZATION,
     KEYWORD,
+    KSTEM,
     LOWERCASE,
+    MINHASH,
+    SNOWBALL_STEM,
     STANDARD,
     STOPWORDS,
+    THREE_THREE_SHINGLE,
+    TWO_TWO_SHINGLE,
     UPPERCASE,
     WHITESPACE,
     AnalyzerSettings,
@@ -167,8 +180,28 @@ def _as_arrow(texts) -> pa.Array:
     return pa.array(texts.fillna("").astype(str), type=pa.string())
 
 
+_HTML_ENTITIES = (
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&nbsp;", " "),
+)
+
+
+def _strip_html(arr: pa.Array) -> pa.Array:
+    """HTMLStripCharFilter analogue (AnalyzerSettings.stripHTML,
+    zulia_index.proto:311): tags → spaces, common entities decoded —
+    an approximation of Lucene's full character filter (scripts /
+    numeric entities are left as text), Arrow-side regex so the byte
+    kernel still sees a plain string column."""
+    arr = pc.replace_substring_regex(arr, pattern="<[^>]*>", replacement=" ")
+    for ent, rep in _HTML_ENTITIES:
+        arr = pc.replace_substring(arr, pattern=ent, replacement=rep)
+    return arr
+
+
 def _tokenize_encode(texts, settings: AnalyzerSettings) -> TokenStream:
     arr = _as_arrow(texts)
+    if getattr(settings, "strip_html", False):
+        arr = _strip_html(arr)
 
     # CODE_SPLIT applies only under the STANDARD tokenizer (the
     # WHITESPACE/KEYWORD chains keep raw tokens intact, matching the
@@ -314,22 +347,208 @@ def _ranges_within(lens: np.ndarray) -> np.ndarray:
     return np.cumsum(out, dtype=np.int32)
 
 
-def _apply_vocab_filters(ts: TokenStream, settings: AnalyzerSettings) -> TokenStream:
-    """Filters that act on the dictionary: ASCII_FOLDING, STOPWORDS."""
-    if ASCII_FOLDING in settings.filters and len(ts.vocab):
-        folded = pd.Series(ts.vocab.to_pandas()).str.translate(_ASCII_FOLD_TABLE)
-        dict2 = pc.dictionary_encode(pa.array(folded, type=pa.string()))
-        remap = dict2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = TokenStream(ts.doc_idx, remap[ts.codes], dict2.dictionary, ts.pos)
-    if STOPWORDS in settings.filters and len(ts.vocab):
-        stop = pa.array(sorted(ENGLISH_STOPWORDS), type=pa.string())
-        is_stop = pc.is_in(ts.vocab, value_set=stop).to_numpy(zero_copy_only=False)
-        keep = ~is_stop[ts.codes]
-        # positions keep their pre-filter values: removed stopwords
-        # leave gaps (Lucene StopFilter position increments)
-        ts = TokenStream(
-            ts.doc_idx[keep], ts.codes[keep], ts.vocab, None if ts.pos is None else ts.pos[keep]
+_SHINGLE_SIZES = {
+    TWO_TWO_SHINGLE: 2,
+    THREE_THREE_SHINGLE: 3,
+    FOUR_FOUR_SHINGLE: 4,
+    FIVE_FIVE_SHINGLE: 5,
+}
+
+
+def _remap_vocab(ts: TokenStream, new_terms: pd.Series, protected: set[int]) -> tuple[TokenStream, set[int]]:
+    """Re-encode the stream after a per-term vocab transform; drop
+    tokens whose term became empty. Re-derives the protected code set
+    through the remap."""
+    dict2 = pc.dictionary_encode(pa.array(new_terms, type=pa.string()))
+    remap = dict2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = remap[ts.codes]
+    new_protected = {int(remap[c]) for c in protected if c < remap.size}
+    nonempty = pc.utf8_length(dict2.dictionary).to_numpy(zero_copy_only=False) > 0
+    keep = nonempty[codes]
+    if keep.all():
+        return (
+            TokenStream(ts.doc_idx, codes, dict2.dictionary, ts.pos),
+            new_protected,
         )
+    return (
+        TokenStream(
+            ts.doc_idx[keep],
+            codes[keep],
+            dict2.dictionary,
+            None if ts.pos is None else ts.pos[keep],
+        ),
+        new_protected,
+    )
+
+
+def _map_terms(
+    ts: TokenStream, protected: set[int], fn, honor_protected: bool = True
+) -> tuple[TokenStream, set[int]]:
+    """Apply a per-term function over the vocab. Stemmers honor the
+    CASE_PROTECTED_WORDS keyword-marker set (KeywordMarkerFilter
+    semantics: marked terms skip stemming); normalizers don't, but
+    the marker set is carried through the re-encode either way."""
+    vocab = ts.vocab.to_pylist()
+    out = [
+        t if (honor_protected and i in protected) else fn(t)
+        for i, t in enumerate(vocab)
+    ]
+    return _remap_vocab(ts, pd.Series(out, dtype=object), protected)
+
+
+def _shingle(ts: TokenStream, k: int) -> TokenStream:
+    """Word shingles of exactly size k, outputUnigrams=false (Lucene
+    ShingleFilter as wired at ZuliaFieldAnalyzer.java:92-113). Holes
+    left by stopword removal are filled with Lucene's "_" token;
+    shingles start at real (non-filler) tokens."""
+    if len(ts) == 0:
+        return ts
+    # densify: one slot per position, "_" for holes
+    order = np.lexsort((ts.pos, ts.doc_idx))
+    doc = ts.doc_idx[order]
+    pos = ts.pos[order]
+    codes = ts.codes[order]
+    new_doc = np.ones(doc.size, dtype=bool)
+    new_doc[1:] = doc[1:] != doc[:-1]
+    doc_ids = doc[new_doc]
+    max_pos = np.maximum.reduceat(pos, np.flatnonzero(new_doc))
+    dense_lens = max_pos + 1
+    starts = np.zeros(doc_ids.size, dtype=np.int64)
+    np.cumsum(dense_lens[:-1], out=starts[1:])
+    total = int(dense_lens.sum())
+    filler_code = len(ts.vocab)
+    dense = np.full(total, filler_code, dtype=np.int64)
+    doc_rank = np.cumsum(new_doc) - 1
+    dense[starts[doc_rank] + pos] = codes
+    vocab_f = pa.concat_arrays([ts.vocab, pa.array(["_"], type=pa.string())])
+    # windows fully inside one document
+    ends = starts + dense_lens
+    win_start = np.arange(total - k + 1, dtype=np.int64) if total >= k else np.empty(0, np.int64)
+    if win_start.size:
+        win_doc = np.searchsorted(ends, win_start, side="right")
+        ok = (win_start + k) <= ends[win_doc]
+        # start at a real token (not a filler slot)
+        ok &= dense[win_start] != filler_code
+        win_start = win_start[ok]
+        win_doc = win_doc[ok]
+    else:
+        win_doc = np.empty(0, np.int64)
+    if win_start.size == 0:
+        return TokenStream(
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            pa.array([], type=pa.string()), np.empty(0, np.int64),
+        )
+    parts = [
+        pc.take(vocab_f, pa.array(dense[win_start + j], type=pa.int64()))
+        for j in range(k)
+    ]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p, " ")
+    dict2 = pc.dictionary_encode(joined)
+    return TokenStream(
+        doc_ids[win_doc],
+        dict2.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        dict2.dictionary,
+        (win_start - starts[win_doc]).astype(np.int64),
+    )
+
+
+_MINHASH_BUCKETS = 512
+
+
+def _minhash_stream(ts: TokenStream) -> TokenStream:
+    """MINHASH filter: per document, bucketed min-hash fingerprint
+    tokens over the incoming stream (Lucene MinHashFilter defaults —
+    one hash, 512 buckets, set size 1). DOCUMENTED DEVIATION: Lucene
+    hashes with murmur3-128; this uses the engine's md5-derived 64-bit
+    hash (util/hashing-compatible, reproducible in SQL) and emits only
+    non-empty buckets (no rotation fill). Retrieval is consistent —
+    both index and query sides run the same chain."""
+    import hashlib
+
+    if len(ts) == 0:
+        return ts
+    vocab = ts.vocab.to_pylist()
+    hv = np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in vocab],
+        dtype=np.uint64,
+    )
+    h = hv[ts.codes]
+    bucket = (h % _MINHASH_BUCKETS).astype(np.int64)
+    key = ts.doc_idx * _MINHASH_BUCKETS + bucket
+    order = np.lexsort((h, key))
+    ks = key[order]
+    first = np.ones(ks.size, dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    sel = order[first]
+    doc = ts.doc_idx[sel]
+    toks = [f"{int(b)}:{int(v):016x}" for b, v in zip(bucket[sel], h[sel])]
+    dict2 = pc.dictionary_encode(pa.array(toks, type=pa.string()))
+    return TokenStream(
+        doc,
+        dict2.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        dict2.dictionary,
+        np.zeros(doc.size, dtype=np.int64),
+    )
+
+
+def _apply_vocab_filters(ts: TokenStream, settings: AnalyzerSettings) -> TokenStream:
+    """Post-tokenize filters, applied IN DECLARED ORDER like
+    ZuliaFieldAnalyzer.java:76-160 chains Lucene filters. Per-term
+    transforms act on the dictionary (O(distinct terms)); shingles /
+    minhash transform the stream."""
+    from zuliasearch_spark.analysis import stem as _stem
+
+    protected: set[int] = set()
+    for f in settings.filters:
+        if len(ts.vocab) == 0:
+            break
+        if f == ASCII_FOLDING:
+            folded = pd.Series(ts.vocab.to_pandas()).str.translate(_ASCII_FOLD_TABLE)
+            ts, protected = _remap_vocab(ts, folded, protected)
+        elif f == STOPWORDS:
+            stop = pa.array(sorted(ENGLISH_STOPWORDS), type=pa.string())
+            is_stop = pc.is_in(ts.vocab, value_set=stop).to_numpy(zero_copy_only=False)
+            keep = ~is_stop[ts.codes]
+            # positions keep their pre-filter values: removed stopwords
+            # leave gaps (Lucene StopFilter position increments)
+            ts = TokenStream(
+                ts.doc_idx[keep], ts.codes[keep], ts.vocab,
+                None if ts.pos is None else ts.pos[keep],
+            )
+        elif f == ENGLISH_POSSESSIVE:
+            ts, protected = _map_terms(ts, protected, _stem.english_possessive, honor_protected=False)
+        elif f == ENGLISH_MIN_STEM:
+            ts, protected = _map_terms(ts, protected, _stem.english_minimal_stem)
+        elif f in (SNOWBALL_STEM, KSTEM):
+            # KSTEM → Porter2 is a documented deviation (stem.py)
+            ts, protected = _map_terms(ts, protected, _stem.porter2_stem)
+        elif f == GERMAN_NORMALIZATION:
+            ts, protected = _map_terms(ts, protected, _stem.german_normalize, honor_protected=False)
+        elif f == BRITISH_US:
+            m = _stem.BRITISH_US_MAP
+            ts, protected = _map_terms(ts, protected, lambda t: m.get(t, t), honor_protected=False)
+        elif f == CASE_PROTECTED_WORDS:
+            # KeywordMarkerFilter: mark terms so later stemmers skip them
+            prot = pa.array(sorted(_stem.CASE_PROTECTED_WORDS), type=pa.string())
+            mask = pc.is_in(ts.vocab, value_set=prot).to_numpy(zero_copy_only=False)
+            protected |= set(np.flatnonzero(mask).tolist())
+        elif f == CONCAT_ALL:
+            # WordDelimiterGraphFilter(CATENATE_ALL): each token's
+            # alphanumeric subwords catenated — delimiters removed
+            joined = pd.Series(ts.vocab.to_pandas()).str.replace(
+                r"[\W_]+", "", regex=True
+            )
+            ts, protected = _remap_vocab(ts, joined, protected)
+        elif f in _SHINGLE_SIZES:
+            ts = _shingle(ts, _SHINGLE_SIZES[f])
+            protected = set()
+        elif f == MINHASH:
+            ts = _minhash_stream(ts)
+            protected = set()
+        # LOWERCASE / UPPERCASE / CODE_SPLIT are fused into the
+        # tokenizer kernel; unknown names were validated at config time
     return ts
 
 

@@ -18,17 +18,27 @@ STANDARD = "STANDARD"
 KEYWORD = "KEYWORD"
 WHITESPACE = "WHITESPACE"
 
-# Filters (subset of zulia_index.proto:289-309 + our code-aware CODE_SPLIT,
-# the Spark analogue of the WordDelimiter/CONCAT_ALL family,
+# Filters (the full zulia_index.proto:289-309 enum + our code-aware
+# CODE_SPLIT, the Spark analogue of the WordDelimiter family,
 # ZuliaFieldAnalyzer.java:145-147)
 LOWERCASE = "LOWERCASE"
 UPPERCASE = "UPPERCASE"
 STOPWORDS = "STOPWORDS"
 ASCII_FOLDING = "ASCII_FOLDING"
 CODE_SPLIT = "CODE_SPLIT"
+KSTEM = "KSTEM"
+ENGLISH_MIN_STEM = "ENGLISH_MIN_STEM"
+SNOWBALL_STEM = "SNOWBALL_STEM"
+ENGLISH_POSSESSIVE = "ENGLISH_POSSESSIVE"
 MINHASH = "MINHASH"
 TWO_TWO_SHINGLE = "TWO_TWO_SHINGLE"
 THREE_THREE_SHINGLE = "THREE_THREE_SHINGLE"
+FOUR_FOUR_SHINGLE = "FOUR_FOUR_SHINGLE"
+FIVE_FIVE_SHINGLE = "FIVE_FIVE_SHINGLE"
+BRITISH_US = "BRITISH_US"
+CONCAT_ALL = "CONCAT_ALL"
+CASE_PROTECTED_WORDS = "CASE_PROTECTED_WORDS"
+GERMAN_NORMALIZATION = "GERMAN_NORMALIZATION"
 
 # Similarities (zulia_base.proto:81-86)
 BM25 = "BM25"
@@ -49,14 +59,37 @@ class AnalyzerSettings:
     tokenizer: str = STANDARD
     filters: tuple[str, ...] = ()
     similarity: str = BM25
+    # HTMLStripCharFilter analogue (AnalyzerSettings.stripHTML,
+    # zulia_index.proto:311): strip tags + common entities pre-tokenize
+    strip_html: bool = False
 
 
-# Built-in analyzers, mirroring DefaultAnalyzers.java:10-22.
+# Built-in analyzers, mirroring ServerIndexConfigData.getAnalyzerMap
+# (ServerIndexConfigData.java:197-224) / DefaultAnalyzers.java:10-22.
+# KSTEM maps to Porter2 (documented deviation — analysis/stem.py).
 DEFAULT_ANALYZERS: dict[str, AnalyzerSettings] = {
     "standard": AnalyzerSettings("standard", STANDARD, (LOWERCASE, STOPWORDS)),
+    "standardHtml": AnalyzerSettings(
+        "standardHtml", STANDARD, (LOWERCASE, STOPWORDS), strip_html=True
+    ),
     "keyword": AnalyzerSettings("keyword", KEYWORD, ()),
     "lcKeyword": AnalyzerSettings("lcKeyword", KEYWORD, (LOWERCASE,)),
-    "minStem": AnalyzerSettings("minStem", STANDARD, (LOWERCASE, STOPWORDS)),
+    "lcConcatAll": AnalyzerSettings("lcConcatAll", KEYWORD, (LOWERCASE, CONCAT_ALL)),
+    "minStem": AnalyzerSettings(
+        "minStem", STANDARD, (LOWERCASE, STOPWORDS, ENGLISH_MIN_STEM)
+    ),
+    "kstem": AnalyzerSettings("kstem", STANDARD, (LOWERCASE, STOPWORDS, KSTEM)),
+    "lsh": AnalyzerSettings(
+        "lsh",
+        STANDARD,
+        (LOWERCASE, ASCII_FOLDING, KSTEM, STOPWORDS, FIVE_FIVE_SHINGLE, MINHASH),
+    ),
+    "twoTwoShingle": AnalyzerSettings(
+        "twoTwoShingle", STANDARD, (LOWERCASE, TWO_TWO_SHINGLE)
+    ),
+    "threeThreeShingle": AnalyzerSettings(
+        "threeThreeShingle", STANDARD, (LOWERCASE, THREE_THREE_SHINGLE)
+    ),
     "code_standard": AnalyzerSettings("code_standard", STANDARD, (CODE_SPLIT, LOWERCASE)),
     "whitespace_lc": AnalyzerSettings("whitespace_lc", WHITESPACE, (LOWERCASE,)),
     "whitespace": AnalyzerSettings("whitespace", WHITESPACE, ()),
@@ -220,6 +253,7 @@ class IndexConfig:
                 tokenizer=a.get("tokenizer", STANDARD),
                 filters=tuple(a.get("filters", ())),
                 similarity=a.get("similarity", BM25),
+                strip_html=a.get("strip_html", False),
             )
             for k, a in d.get("analyzers", {}).items()
         }

@@ -117,15 +117,26 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """LSH banding: docs sharing any band → candidate pair + #matching
     minhashes (est. Jaccard = n_match / 16)."""
     n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
-    bands = None
-    for b in range(n_bands):
-        cols = [f"mh{j}" for j in range(b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS)]
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # single-pass banding via explode (a per-band unionByName would
+    # recompute the signature aggregation once per band)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
     left = bands.select(F.col("doc_id").alias("a"), "band", "sig")
     right = bands.select(F.col("doc_id").alias("b"), "band", "sig")
     pairs = (
@@ -195,23 +206,43 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     exact popcount(xor) ≤ max_hamming.
     """
     fp = simhash(docs)
-    bands = None
-    for b, (off, width) in enumerate(simhash_band_layout(max_hamming)):
-        # arithmetic shift is fine: sign-extension bits land above
-        # the mask for every band, including the one holding bit 63
-        part = fp.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.expr(f"(shiftright(simhash, {off}) & {(1 << width) - 1})").alias("bv"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    left = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "band", "bv")
-    right = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), "band", "bv")
+    # ONE pass: banding via explode of per-row (band, value) structs —
+    # a unionByName of per-band selects would recompute the whole
+    # fingerprint aggregation once per band (7x the shuffle at the
+    # default budget). Arithmetic shift is fine: sign-extension bits
+    # land above the mask for every band, including the one holding
+    # bit 63.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(shiftright(simhash, {off}) & {(1 << width) - 1})").alias("bv"),
+            )
+            for b, (off, width) in enumerate(simhash_band_layout(max_hamming))
+        ]
+    )
+    bands = fp.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    # alias-based self-join keeps BOTH sides the same canonical
+    # subplan, so the (band, bv) shuffle is computed once and
+    # ReusedExchange feeds the other side — renaming columns below
+    # the join would make the subtrees differ and re-run the whole
+    # fingerprint aggregation per side
+    lft, rgt = bands.alias("l"), bands.alias("r")
     return (
-        left.join(right, ["band", "bv"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.bit_count(F.expr("fa ^ fb")).cast("long").alias("hamming"))
+        lft.join(
+            rgt,
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bv") == F.col("r.bv")),
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -40,6 +40,16 @@ CONCAT_ALL = "CONCAT_ALL"
 CASE_PROTECTED_WORDS = "CASE_PROTECTED_WORDS"
 GERMAN_NORMALIZATION = "GERMAN_NORMALIZATION"
 
+KNOWN_FILTERS = frozenset(
+    (
+        LOWERCASE, UPPERCASE, STOPWORDS, ASCII_FOLDING, CODE_SPLIT,
+        KSTEM, ENGLISH_MIN_STEM, SNOWBALL_STEM, ENGLISH_POSSESSIVE,
+        MINHASH, TWO_TWO_SHINGLE, THREE_THREE_SHINGLE,
+        FOUR_FOUR_SHINGLE, FIVE_FIVE_SHINGLE, BRITISH_US, CONCAT_ALL,
+        CASE_PROTECTED_WORDS, GERMAN_NORMALIZATION,
+    )
+)
+
 # Similarities (zulia_base.proto:81-86)
 BM25 = "BM25"
 CONSTANT = "CONSTANT"
@@ -62,6 +72,15 @@ class AnalyzerSettings:
     # HTMLStripCharFilter analogue (AnalyzerSettings.stripHTML,
     # zulia_index.proto:311): strip tags + common entities pre-tokenize
     strip_html: bool = False
+
+    def __post_init__(self):
+        # fail at config time like ZuliaFieldAnalyzer's "Unknown
+        # filter type" — a typo must not silently no-op
+        unknown = [f for f in self.filters if f not in KNOWN_FILTERS]
+        if unknown:
+            raise ValueError(f"unknown analyzer filter(s): {unknown}")
+        if self.tokenizer not in (STANDARD, KEYWORD, WHITESPACE):
+            raise ValueError(f"unknown tokenizer: {self.tokenizer}")
 
 
 # Built-in analyzers, mirroring ServerIndexConfigData.getAnalyzerMap

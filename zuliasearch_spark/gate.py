@@ -493,6 +493,82 @@ def q_geo_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "doc_id bigint, dist_m bigint")
 
 
+_SHINGLE_ENGINE_CACHE: dict = {}
+
+
+def shingle_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Index over documents with the twoTwoShingle built-in analyzer
+    (ServerIndexConfigData.java:207-209 — STANDARD + LOWERCASE +
+    TWO_TWO_SHINGLE, outputUnigrams=false) plus an lcConcatAll
+    projection (KEYWORD + LOWERCASE + CONCAT_ALL)."""
+    eng = _SHINGLE_ENGINE_CACHE.get(sf_dir)
+    if eng is not None:
+        return eng
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("uid"),
+        F.col("doc_id").alias("orig_doc_id"),
+        "text",
+    )
+    from zuliasearch_spark.config import (
+        LOWERCASE,
+        TWO_TWO_SHINGLE,
+        WHITESPACE,
+        AnalyzerSettings,
+    )
+
+    cfg = IndexConfig(
+        index_name="documents_shingle",
+        unique_id_col="uid",
+        number_of_shards=4,
+        default_search_fields=("text2",),
+        field_configs=(
+            FieldConfig(
+                "text",
+                index_as=(
+                    IndexAs("text2", "ws_shingle2"),
+                    IndexAs("textcat", "lcConcatAll"),
+                ),
+            ),
+        ),
+        analyzers={
+            # WHITESPACE tokenizer so the DuckDB space-split oracle is
+            # token-identical; the SHINGLE filter itself is the
+            # surface under test
+            "ws_shingle2": AnalyzerSettings(
+                "ws_shingle2", WHITESPACE, (LOWERCASE, TWO_TWO_SHINGLE)
+            ),
+        },
+        per_shard_stats=False,
+        quantize_norms=False,
+    )
+    tables = build_index(corpus, cfg, stored_cols=("orig_doc_id",)).persist()
+    eng = SearchEngine(tables)
+    _SHINGLE_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose 2-shingle stream contains "merge scan" — the
+    twoTwoShingle analyzer surface (Lucene ShingleFilter 2-2,
+    outputUnigrams=false). The shingle is ONE indexed term, queried
+    as a quoted phrase so the analyzer keeps it intact."""
+    eng = shingle_engine(spark, sf_dir)
+    res = eng.search_string('text2:"merge scan"', amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
+def q_concat_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lcConcatAll surface (KEYWORD + LOWERCASE + CONCAT_ALL =
+    WordDelimiterGraphFilter CATENATE_ALL): the whole value collapses
+    to one delimiter-free token; docs whose concatenation contains
+    'mergemerge' (a boundary-straddling substring only the CONCAT
+    surface can match) via wildcard expansion."""
+    eng = shingle_engine(spark, sf_dir)
+    res = eng.search_string("textcat:*mergemerge*", amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
 def q_qs_zl_ns_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedded numeric-set node n_chars:zl:ns(132 218 246) AND a
     scored term, through the query-string grammar (ZL_PREFIX state,
@@ -1248,6 +1324,8 @@ QUERIES = {
     "geo_bbox_count": q_geo_bbox_count,
     "geo_dist_count": q_geo_dist_count,
     "geo_sort_topk": q_geo_sort_topk,
+    "shingle_count": q_shingle_count,
+    "concat_count": q_concat_count,
     "vector_clause_topk": q_vector_clause_topk,
     "vector_should_topk": q_vector_should_topk,
     "terms_set_count": q_terms_set_count,
@@ -1475,6 +1553,16 @@ WHERE doc_id IN {_MATCH_MERGE}
         pow(sin(radians(lat - 20) / 2), 2)
         + cos(radians(20)) * cos(radians(lat)) * pow(sin(radians(lon - 40) / 2), 2)
       )) <= 3000000.0""",
+    "shingle_count": """
+WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
+pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i))
+SELECT count(*)::BIGINT AS hits FROM (
+  SELECT DISTINCT a.doc_id FROM pt a JOIN pt b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  WHERE a.term = 'merge' AND b.term = 'scan'
+)""",
+    "concat_count": """
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE regexp_replace(lower(text), '[^0-9a-z]+', '', 'g') LIKE '%mergemerge%'""",
     "geo_sort_topk": f"""
 WITH {_TOKS_CTE},
 geo AS (SELECT doc_id, ((doc_id * 37) % 180) - 89.75 AS lat,

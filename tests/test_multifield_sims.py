@@ -177,3 +177,48 @@ def test_analyzer_default_similarity_applies(spark):
         assert by_uid["d00"] == 1.0
     finally:
         tables.unpersist()
+
+
+def test_boost_semantics(spark, corpus_t1):
+    """BoostAndVectorShouldTest.java: boost=2 exactly doubles every
+    matched doc's score without changing the match set; boost=1 is a
+    no-op; negative boost is rejected."""
+    import pytest as _pytest
+
+    from tests.conftest import code_config
+    from zuliasearch_spark.indexing.builder import build_index
+    from zuliasearch_spark.search.executor import SearchEngine
+    from zuliasearch_spark.search.query import QueryClause as C
+    from zuliasearch_spark.search.query import SearchRequest
+
+    cfg = code_config(num_shards=2, quantize_norms=False)
+    tables = build_index(spark.createDataFrame(corpus_t1), cfg).persist()
+    try:
+        eng = SearchEngine(tables)
+
+        def res(boost):
+            req = SearchRequest(
+                (C("SCORE_SHOULD", q="merge", qf=("content",), boost=boost),), amount=50
+            )
+            r = eng.search(req, fetch="none")
+            return r["totalHits"], {
+                (t["shard"], t["doc_id"]): t["score"] for t in r["topk"]
+            }
+
+        n1, s1 = res(1.0)
+        n2, s2 = res(2.0)
+        assert n1 == n2 and set(s1) == set(s2), "boost must not change the match set"
+        for k in s1:
+            assert s2[k] == pytest.approx(s1[k] * 2.0, rel=1e-5)
+        n0, s0 = res(1.0)
+        assert s0 == s1  # boost=1 no-op / deterministic
+
+        with _pytest.raises(ValueError, match="negative boost"):
+            eng.search(
+                SearchRequest(
+                    (C("SCORE_SHOULD", q="merge", qf=("content",), boost=-1.0),),
+                    amount=5,
+                )
+            )
+    finally:
+        tables.unpersist()

@@ -72,3 +72,48 @@ def test_mlt_rank_monotonic(engine):
     assert res["terms"], "MLT should derive terms from a 200-doc corpus"
     assert res["topk"], "MLT query should match documents"
     assert res["topk"][0]["uniqueId"] == row["uniqueId"]
+
+
+def test_numeric_stats_multivalued_counts(spark):
+    """Stats.java / StatFacetNoValueTest count semantics: value_count
+    counts every element of a multivalued field, doc_count counts docs
+    with >=1 value, all_doc_count counts every matched doc."""
+    import pandas as pd
+
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+    from zuliasearch_spark.indexing.builder import build_index
+    from zuliasearch_spark.search.executor import SearchEngine
+    from zuliasearch_spark.search.query import QueryClause as C
+    from zuliasearch_spark.search.query import SearchRequest
+
+    rows = [
+        ("s0", "x", [1.0, 2.0]),
+        ("s1", "x", [5.0]),
+        ("s2", "x", []),
+        ("s3", "x", None),
+    ]
+    cfg = IndexConfig(
+        index_name="mvstats",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+        ),
+    )
+    pdf = pd.DataFrame(rows, columns=["uniqueId", "content", "vals"])
+    tables = build_index(
+        spark.createDataFrame(pdf, "uniqueId string, content string, vals array<double>"),
+        cfg,
+        stored_cols=("vals",),
+    ).persist()
+    try:
+        eng = SearchEngine(tables)
+        req = SearchRequest((C("FILTER", q="content:x"),), amount=1)
+        r = eng.numeric_stats(req, "vals").collect()[0]
+        assert r["all_doc_count"] == 4
+        assert r["doc_count"] == 2
+        assert r["count_v"] == 3
+        assert r["min_v"] == 1.0 and r["max_v"] == 5.0 and r["sum_v"] == 8.0
+    finally:
+        tables.unpersist()

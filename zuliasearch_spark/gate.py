@@ -615,6 +615,8 @@ def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_v").cast("long"),
         F.col("sum_v").cast("long"),
         F.col("count_v").cast("long"),
+        F.col("doc_count").cast("long"),
+        F.col("all_doc_count").cast("long"),
     )
 
 
@@ -1663,7 +1665,8 @@ GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 10""",
     "numeric_stats": f"""
 WITH {_TOKS_CTE}
 SELECT min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
-       sum(n_chars)::BIGINT AS sum_v, count(n_chars)::BIGINT AS count_v
+       sum(n_chars)::BIGINT AS sum_v, count(n_chars)::BIGINT AS count_v,
+       count(n_chars)::BIGINT AS doc_count, count(*)::BIGINT AS all_doc_count
 FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan')""",
     "get_terms": f"""

@@ -1699,15 +1699,40 @@ class SearchEngine:
         )
 
     def numeric_stats(self, req: SearchRequest, stat_field: str):
-        """min/max/sum/count over the match set (Stats.java:20-100)."""
+        """min/max/sum + the reference's three counts over the match
+        set (Stats.java:20-100; StatFacetNoValueTest semantics):
+        ``count_v`` = values seen (multivalued fields count every
+        element), ``doc_count`` = docs with ≥1 value, ``all_doc_count``
+        = every matched doc whether or not it has the field. Scalar
+        and array<numeric> stat columns both work — arrays aggregate
+        element-wise without an explode."""
         matches = self.match_ids(req).select("shard", "doc_id")
         joined = matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner")
         c = F.col(stat_field)
+        dtype = dict(self.tables.doc_map.dtypes).get(stat_field, "")
+        if dtype.startswith("array"):
+            has = c.isNotNull() & (F.size(c) > 0)
+            return joined.agg(
+                F.min(F.array_min(c)).alias("min_v"),
+                F.max(F.array_max(c)).alias("max_v"),
+                F.sum(
+                    F.aggregate(
+                        F.coalesce(c, F.array()),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"),
+                    )
+                ).alias("sum_v"),
+                F.sum(F.when(c.isNotNull(), F.size(c)).otherwise(0)).alias("count_v"),
+                F.sum(has.cast("long")).alias("doc_count"),
+                F.count(F.lit(1)).alias("all_doc_count"),
+            )
         return joined.agg(
             F.min(c).alias("min_v"),
             F.max(c).alias("max_v"),
             F.sum(c).alias("sum_v"),
             F.count(c).alias("count_v"),
+            F.count(c).alias("doc_count"),
+            F.count(F.lit(1)).alias("all_doc_count"),
         )
 
     def get_terms(

@@ -251,6 +251,11 @@ def resolve_clause(
     ``expand(field) -> tuple[str, ...]`` resolves field-mapping
     aliases (IndexConfig.expand_field); identity when None.
     """
+    if clause.boost < 0:
+        # the reference's request validator rejects negative boosts
+        # (Lucene BoostQuery requires boost >= 0 —
+        # BoostAndVectorShouldTest.negativeBoostRejected)
+        raise ValueError(f"negative boost {clause.boost} is not allowed")
     if expand is None:
         expand = lambda f: (f,)  # noqa: E731
 

@@ -662,6 +662,30 @@ def _has_phrase(tree, resolved) -> bool:
     return any(isinstance(s, positional) for rc in resolved for s in rc.specs)
 
 
+def _date_period(v: str) -> tuple[str, str, str, str]:
+    """(start_ts, end_ts, start_date, end_date) of the period a date
+    query value denotes — Zulia's DATE coercion (DateStringTest):
+    ``2024`` = the year, ``2024-06`` = the month, ``2024-06-17`` = the
+    day, a full timestamp = itself. '/' separators normalize to '-'."""
+    import calendar
+    import re as _re
+
+    v = v.strip().replace("/", "-")
+    if _re.fullmatch(r"\d{4}", v):
+        return (f"{v}-01-01 00:00:00", f"{v}-12-31 23:59:59.999999",
+                f"{v}-01-01", f"{v}-12-31")
+    if _re.fullmatch(r"\d{4}-\d{2}", v):
+        y, m = int(v[:4]), int(v[5:7])
+        last = calendar.monthrange(y, m)[1]
+        return (f"{v}-01 00:00:00", f"{v}-{last:02d} 23:59:59.999999",
+                f"{v}-01", f"{v}-{last:02d}")
+    if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+        return (f"{v} 00:00:00", f"{v} 23:59:59.999999", v, v)
+    ts = v.replace("T", " ").rstrip("Zz")
+    day = ts.split(" ")[0]
+    return (ts, ts, day, day)
+
+
 _EARTH_RADIUS_M = 6371008.7714  # Lucene GeoUtils.EARTH_MEAN_RADIUS_METERS
 
 
@@ -1088,12 +1112,26 @@ class SearchEngine:
                 lambda f, t, e: self.expand_fuzzy(f, t, max_edits=e),
                 req.default_op,
                 expand_field=self.config.expand_field,
+                date_fields=self._date_fields(),
             )
             if req.mm:
                 tree = RBool(tree.children, max(tree.mm, req.mm), tree.boost)
             if len(self._resolve_cache) < 4096:
                 self._resolve_cache[key] = tree
         return [], tree
+
+    def _date_fields(self) -> frozenset[str]:
+        """Stored date/timestamp columns (cached): bare terms on these
+        resolve to period ranges — the DATE point-query coercion."""
+        got = getattr(self, "_date_fields_cache", None)
+        if got is None:
+            got = frozenset(
+                f
+                for f, t in self.tables.doc_map.dtypes
+                if t in ("date", "timestamp", "timestamp_ntz")
+            )
+            self._date_fields_cache = got
+        return got
 
     def _resolve(self, req: SearchRequest) -> list[ResolvedClause]:
         # requests are frozen/hashable: cache clause resolution — a
@@ -1567,10 +1605,25 @@ class SearchEngine:
                     alts.append(f"coalesce(`{fld}` IN ({vals}), false)")
                     continue
                 sub = []
-                if r.lo is not None:
-                    sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} {lit(r.lo)}")
-                if r.hi is not None:
-                    sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} {lit(r.hi)}")
+                if dtypes[fld] in ("date", "timestamp", "timestamp_ntz"):
+                    # DATE coercion: each bound denotes a PERIOD —
+                    # inclusive bounds use the far edge of the period,
+                    # exclusive bounds the near edge (DateStringTest:
+                    # added:[2022-02-01 TO 2024-06-17T23:59:59Z])
+                    is_date = dtypes[fld] == "date"
+                    if r.lo is not None:
+                        s, e, sd, ed = _date_period(r.lo)
+                        lo = (sd if r.incl_lo else ed) if is_date else (s if r.incl_lo else e)
+                        sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} '{lo}'")
+                    if r.hi is not None:
+                        s, e, sd, ed = _date_period(r.hi)
+                        hi = (ed if r.incl_hi else sd) if is_date else (e if r.incl_hi else s)
+                        sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} '{hi}'")
+                else:
+                    if r.lo is not None:
+                        sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} {lit(r.lo)}")
+                    if r.hi is not None:
+                        sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} {lit(r.hi)}")
                 alts.append(
                     "coalesce(" + " AND ".join(sub) + ", false)" if sub else "(1=1)"
                 )
@@ -1611,7 +1664,12 @@ class SearchEngine:
         return scan.groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
 
     def facet_counts(
-        self, req: SearchRequest, facet_field: str, top_n: int = 10, max_total_hits: int = 0
+        self,
+        req: SearchRequest,
+        facet_field: str,
+        top_n: int = 10,
+        max_total_hits: int = 0,
+        date_format: str | None = None,
     ):
         """Exact top-N facet counts over the match set.
 
@@ -1631,8 +1689,16 @@ class SearchEngine:
         if max_total_hits > 0:
             matches = matches.orderBy("shard", "doc_id").limit(max_total_hits)
         joined = matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner")
+        # FacetAs.DateHandling (zulia_index.proto DATE_YYYY_MM_DD /
+        # DATE_YYYYMMDD): date/timestamp facet values format to the
+        # configured label before counting
+        val = (
+            F.date_format(F.col(facet_field), date_format)
+            if date_format
+            else F.col(facet_field)
+        )
         return (
-            joined.groupBy(F.col(facet_field).alias("value"))
+            joined.groupBy(val.alias("value"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("value"))
             .limit(top_n)

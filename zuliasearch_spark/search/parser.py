@@ -780,11 +780,16 @@ def resolve_tree(
     expand_fuzzy,
     default_op: str = "OR",
     expand_field=None,
+    date_fields: frozenset[str] = frozenset(),
 ):
     """Raw AST → resolved AST. ``expand_wildcard(field, regex)`` and
     ``expand_fuzzy(field, term, edits)`` enumerate the term
     dictionary (driver-side, pushdown-pruned scans). ``expand_field``
-    resolves field-mapping aliases (IndexConfig.expand_field)."""
+    resolves field-mapping aliases (IndexConfig.expand_field).
+    ``date_fields`` names stored date/timestamp columns: a bare term
+    on one (``added:2024``, ``added:2024-06-17``) resolves to the
+    period's RANGE, Zulia's DATE point-query coercion
+    (ZuliaPointQueryNodeProcessor / DateStringTest semantics)."""
     if expand_field is None:
         expand_field = lambda f: (f,)  # noqa: E731
 
@@ -799,7 +804,7 @@ def resolve_tree(
                 occur,
                 resolve_tree(
                     c, analyze, default_fields, expand_wildcard, expand_fuzzy,
-                    default_op, expand_field,
+                    default_op, expand_field, date_fields,
                 ),
             )
             for occur, c in node.children
@@ -859,6 +864,19 @@ def resolve_tree(
                 )
         return RLeaf(tuple(ispecs), conj=False, boost=node.boost)
     assert isinstance(node, Leaf)
+    if (
+        node.field is not None
+        and node.field in date_fields
+        and not node.phrase
+        and not node.regex
+        and node.fuzzy is None
+    ):
+        # DATE point query: added:2024 matches the whole year,
+        # added:2024-06-17 the day — the period becomes an inclusive
+        # range whose bounds the doc-values predicate expands
+        # (DateStringTest; ZuliaPointQueryNodeProcessor coercion)
+        v = _unescape(node.text)
+        return RRange((node.field,), v, v, True, True)
     fields = field_targets(node.field)
     if not fields:
         raise ParseError(f"no default fields for term {node.text!r}")

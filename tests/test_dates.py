@@ -93,3 +93,42 @@ def test_date_facet_labels(date_eng):
     assert counts["2024-06-18"] == 1
     assert counts["2022-01-01"] == 1
     assert counts["2025-12-25"] == 1
+
+
+def test_numeric_point_query_coercion(spark):
+    """NumericFacetConversionTest semantics: a bare term on a stored
+    (non-indexed) numeric column is an exact point-range query, and
+    numeric facets count by value."""
+    rows = [
+        ("n0", "x", 2020, 10000000000),
+        ("n1", "x", 2020, 10000000000),
+        ("n2", "x", 2021, 20000000000),
+    ]
+    cfg = IndexConfig(
+        index_name="numpoint",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+        ),
+    )
+    pdf = pd.DataFrame(rows, columns=["uniqueId", "content", "year", "bigNum"])
+    sdf = spark.createDataFrame(
+        pdf, "uniqueId string, content string, year int, bigNum bigint"
+    )
+    tables = build_index(sdf, cfg, stored_cols=("year", "bigNum")).persist()
+    try:
+        eng = SearchEngine(tables)
+        assert eng.search_string("content:x AND year:2020", amount=10)["totalHits"] == 2
+        assert (
+            eng.search_string("content:x AND bigNum:20000000000", amount=10)["totalHits"]
+            == 1
+        )
+        req = SearchRequest((C("FILTER", q="content:x"),), amount=1)
+        counts = {
+            r["value"]: r["cnt"] for r in eng.facet_counts(req, "year", top_n=10).collect()
+        }
+        assert counts == {2020: 2, 2021: 1}
+    finally:
+        tables.unpersist()

@@ -1121,14 +1121,23 @@ class SearchEngine:
         return [], tree
 
     def _date_fields(self) -> frozenset[str]:
-        """Stored date/timestamp columns (cached): bare terms on these
-        resolve to period ranges — the DATE point-query coercion."""
+        """Stored date/timestamp and numeric columns that are NOT
+        text-indexed (cached): bare terms on these resolve to point
+        ranges — DATE period coercion and the numeric point-query
+        coercion (``year:2020`` → exact-value range, Zulia
+        ZuliaPointQueryNodeProcessor / NumericFacetConversionTest).
+        Indexed fields keep postings-term semantics."""
         got = getattr(self, "_date_fields_cache", None)
         if got is None:
+            indexed = {ia.indexed_field_name for _, ia in self.config.indexed_fields()}
+            point_types = (
+                "date", "timestamp", "timestamp_ntz",
+                "int", "bigint", "smallint", "tinyint", "float", "double", "decimal",
+            )
             got = frozenset(
                 f
                 for f, t in self.tables.doc_map.dtypes
-                if t in ("date", "timestamp", "timestamp_ntz")
+                if t in point_types and f not in indexed
             )
             self._date_fields_cache = got
         return got

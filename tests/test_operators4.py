@@ -117,3 +117,65 @@ def test_numeric_stats_multivalued_counts(spark):
         assert r["min_v"] == 1.0 and r["max_v"] == 5.0 and r["sum_v"] == 8.0
     finally:
         tables.unpersist()
+
+
+def test_query_result_cache(spark):
+    """Query-result cache (shardQueryCacheSize /
+    shardQueryCacheMaxAmount, zulia_index.proto:43-44; CacheTest):
+    a repeated request serves from the LRU without a Spark job,
+    deletes invalidate, and deeper-than-max requests bypass."""
+    import pandas as pd
+
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+    from zuliasearch_spark.indexing.builder import build_index
+    from zuliasearch_spark.search.executor import SearchEngine
+    from zuliasearch_spark.search.query import QueryClause as C
+    from zuliasearch_spark.search.query import SearchRequest
+
+    rows = [(f"c{i}", "alpha beta") for i in range(6)]
+    cfg = IndexConfig(
+        index_name="qcache",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+        ),
+        query_cache_size=8,
+        query_cache_max_amount=10,
+    )
+    pdf = pd.DataFrame(rows, columns=["uniqueId", "content"])
+    tables = build_index(spark.createDataFrame(pdf), cfg).persist()
+    try:
+        eng = SearchEngine(tables)
+        req = SearchRequest((C("SCORE_SHOULD", q="alpha", qf=("content",)),), amount=5)
+        r1 = eng.search(req, fetch="none")
+        assert len(eng._query_cache) == 1
+        # second call: cache hit — spy that no new Spark job runs
+        SparkDF = type(tables.doc_map)
+        calls = []
+        orig = SparkDF.collect
+
+        def spy(self):
+            calls.append(1)
+            return orig(self)
+
+        SparkDF.collect = spy
+        try:
+            r2 = eng.search(req, fetch="none")
+        finally:
+            SparkDF.collect = orig
+        assert r2 == r1 and not calls, "cache hit must not run Spark"
+        # mutating the returned dict must not poison the cache
+        r2["topk"].clear()
+        assert eng.search(req, fetch="none")["topk"] == r1["topk"]
+        # deletes invalidate
+        eng.delete_by_unique_ids(["c0"])
+        r3 = eng.search(req, fetch="none")
+        assert r3["totalHits"] == r1["totalHits"] - 1
+        # requests deeper than max amount bypass the cache
+        deep = SearchRequest((C("SCORE_SHOULD", q="alpha", qf=("content",)),), amount=50)
+        eng.search(deep, fetch="none")
+        assert (deep, "none") not in eng._query_cache
+    finally:
+        tables.unpersist()

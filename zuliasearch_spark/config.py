@@ -187,6 +187,13 @@ class IndexConfig:
     request_factor: float = 2.0  # zulia_index.proto:39
     min_shard_request: int = 2  # zulia_index.proto:40
     shard_tolerance: float = 0.0  # zulia_index.proto:41
+    # query-result cache (shardQueryCacheSize /
+    # shardQueryCacheMaxAmount, zulia_index.proto:43-44). 0 disables;
+    # the reference defaults 512/256 — explicit opt-in here so
+    # benchmarks measure the engine rather than the cache. Invalidated
+    # by deletes; requests deeper than the max amount bypass it.
+    query_cache_size: int = 0
+    query_cache_max_amount: int = 256
     # field mappings (zulia_index.proto:273-277 FieldMapping;
     # FieldWildcardTest): (alias, field-or-field-patterns, includeSelf).
     # A query-side field name equal to ``alias`` expands to every

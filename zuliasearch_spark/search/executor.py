@@ -1061,6 +1061,15 @@ class SearchEngine:
         # construction, so deletes survive restarts.
         self._tombstones: dict[int, set[int]] = {}
         self._tombstone_uids: set[str] = set()
+        # query-result cache (shardQueryCacheSize /
+        # shardQueryCacheMaxAmount, zulia_index.proto:43-44): LRU over
+        # frozen requests, invalidated by deletes. Off unless the
+        # config sizes it (the reference defaults 512; here explicit
+        # sizing opts in so benchmarks measure the engine, not the
+        # cache).
+        from collections import OrderedDict
+
+        self._query_cache: "OrderedDict[tuple, dict]" = OrderedDict()
         persisted = load_tombstone_uids(getattr(tables, "root_path", None))
         if persisted:
             self._tombstone_uids = set(persisted)
@@ -1315,7 +1324,24 @@ class SearchEngine:
     # -- search -----------------------------------------------------------
 
     def search(self, req: SearchRequest, fetch: str = "ids") -> dict:
-        return self.search_many({"q": req}, fetch=fetch)["q"]
+        import copy
+
+        cache_n = self.config.query_cache_size
+        cacheable = (
+            cache_n > 0 and req.amount + req.start <= self.config.query_cache_max_amount
+        )
+        if cacheable:
+            key = (req, fetch)
+            hit = self._query_cache.get(key)
+            if hit is not None:
+                self._query_cache.move_to_end(key)
+                return copy.deepcopy(hit)
+        out = self.search_many({"q": req}, fetch=fetch)["q"]
+        if cacheable:
+            self._query_cache[(req, fetch)] = copy.deepcopy(out)
+            while len(self._query_cache) > cache_n:
+                self._query_cache.popitem(last=False)
+        return out
 
     def search_many(
         self, reqs: dict[str, SearchRequest], fetch: str = "ids", oversample: bool = False
@@ -2362,6 +2388,7 @@ class SearchEngine:
         if not ids:
             return 0
         marked = self._mark_tombstones(ids)
+        self._query_cache.clear()  # results may change under deletes
         new_uids = set(ids) - self._tombstone_uids
         if new_uids:
             self._tombstone_uids |= new_uids

@@ -119,6 +119,49 @@ def test_numeric_stats_multivalued_counts(spark):
         tables.unpersist()
 
 
+def test_percentile_sketch_error_bound_and_signs(spark):
+    """DDSketch percentiles (Stats.java / StatCombiner.java): the
+    estimate is within the relative-accuracy bound of the sample
+    element at rank floor(q*(n-1)) — the element getValueAtQuantile's
+    cumulative walk lands on — including the negative-store and
+    zero-count paths the positive-only gate never exercises."""
+    import pandas as pd
+
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+    from zuliasearch_spark.indexing.builder import build_index
+
+    vals = [float(v) for v in range(-60, 61)]  # negatives, one zero, positives
+    rows = [(f"d{i}", "alpha", v) for i, v in enumerate(vals)]
+    cfg = IndexConfig(
+        index_name="ddsketch",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+        ),
+    )
+    pdf = pd.DataFrame(rows, columns=["uniqueId", "content", "val"])
+    tables = build_index(spark.createDataFrame(pdf), cfg, stored_cols=("val",)).persist()
+    try:
+        eng = SearchEngine(tables)
+        req = SearchRequest((C("FILTER", q="content:alpha"),), amount=1)
+        alpha = 0.01
+        qs = (0.05, 0.25, 0.5, 0.75, 0.95)
+        row = eng.percentile_sketch_stats(req, "val", qs, precision=alpha).collect()[0]
+        srt = sorted(vals)
+        n = len(srt)
+        for q in qs:
+            exact = srt[int(np.floor(q * (n - 1)))]
+            est = row[f"p{int(q * 100)}"]
+            if exact == 0.0:
+                assert est == 0.0
+            else:
+                assert abs(est - exact) <= alpha * abs(exact) + 1e-12, (q, est, exact)
+    finally:
+        tables.unpersist()
+
+
 def test_query_result_cache(spark):
     """Query-result cache (shardQueryCacheSize /
     shardQueryCacheMaxAmount, zulia_index.proto:43-44; CacheTest):

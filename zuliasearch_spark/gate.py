@@ -928,6 +928,19 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(*[F.round(F.col(c), 4).alias(c) for c in df.columns])
 
 
+def q_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch percentiles — the reference's actual sketch algorithm
+    (Stats.java DDSketches.unboundedDense, StatCombiner
+    getValueAtQuantile): log-bucket counts at relative accuracy 0.01,
+    quantile = midpoint of the first bucket past rank q*(n-1). The
+    oracle replicates the bucketing in SQL, so this checks the sketch
+    math itself, not just proximity to the exact answer."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    df = eng.percentile_sketch_stats(req, "n_chars", (0.25, 0.5, 0.75), precision=0.01)
+    return df.select(*[F.round(F.col(c), 4).alias(c) for c in df.columns])
+
+
 def q_sim_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field similarity override: TF scoring (TFSimilarity.java,
     FieldSimilarity zulia_query.proto:295-298) — score == raw tf."""
@@ -1004,6 +1017,29 @@ SELECT round(quantile_cont(n_chars, 0.25), 4) AS p25,
        round(quantile_cont(n_chars, 0.50), 4) AS p50,
        round(quantile_cont(n_chars, 0.75), 4) AS p75
 FROM documents WHERE doc_id IN {_MATCH_SCAN}
+"""
+
+# DDSketch replicated in SQL: same gamma/ln(gamma) double constants as
+# the engine, bucket = ceil(ln(v)/ln(gamma)), quantile = midpoint of
+# the first bucket whose cumulative count exceeds rank q*(n-1).
+_DD_PRECISION = 0.01
+_DD_GAMMA = (1.0 + _DD_PRECISION) / (1.0 - _DD_PRECISION)
+_DD_LG = __import__("math").log(_DD_GAMMA)
+_PERCENTILES_SKETCH_SQL = f"""
+WITH {_TOKS_CTE},
+v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+      WHERE doc_id IN {_MATCH_SCAN}),
+b AS (SELECT CAST(CEIL(LN(v) / {_DD_LG!r}) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt FROM v GROUP BY 1),
+c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM b),
+n AS (SELECT COUNT(*) AS n FROM v)
+SELECT
+  round((SELECT 2*POW({_DD_GAMMA!r}, MIN(bucket))/({_DD_GAMMA!r}+1)
+         FROM c, n WHERE cum > 0.25*(n-1)), 4) AS p25,
+  round((SELECT 2*POW({_DD_GAMMA!r}, MIN(bucket))/({_DD_GAMMA!r}+1)
+         FROM c, n WHERE cum > 0.50*(n-1)), 4) AS p50,
+  round((SELECT 2*POW({_DD_GAMMA!r}, MIN(bucket))/({_DD_GAMMA!r}+1)
+         FROM c, n WHERE cum > 0.75*(n-1)), 4) AS p75
 """
 
 _SIM_TF_SQL = f"""
@@ -1340,6 +1376,7 @@ QUERIES = {
     "score_fn": q_score_fn,
     "stat_facet": q_stat_facet,
     "percentiles": q_percentiles,
+    "percentiles_sketch": q_percentiles_sketch,
     "sim_tf": q_sim_tf,
     "sim_constant": q_sim_constant,
     "highlight": q_highlight,
@@ -1696,6 +1733,7 @@ ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
     "score_fn": _SCORE_FN_SQL,
     "stat_facet": _STAT_FACET_SQL,
     "percentiles": _PERCENTILES_SQL,
+    "percentiles_sketch": _PERCENTILES_SKETCH_SQL,
     "sim_tf": _SIM_TF_SQL,
     "sim_constant": _SIM_CONST_SQL,
     "highlight": _HIGHLIGHT_SQL,

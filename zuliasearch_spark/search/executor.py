@@ -2248,6 +2248,90 @@ class SearchEngine:
         ]
         return j.agg(*aggs)
 
+    def percentile_sketch_stats(
+        self,
+        req: SearchRequest,
+        stat_field: str,
+        percentiles=(0.25, 0.5, 0.75, 0.95),
+        precision: float = 0.01,
+    ):
+        """DDSketch percentiles over the match set — the reference's
+        actual algorithm (Stats.java:20-28 `DDSketches.unboundedDense
+        (precision)`, StatCombiner.java:183-223 merge +
+        `getValueAtQuantile`). A DDSketch is log-bucket counts at
+        relative accuracy alpha: bucket(v) = ceil(ln|v| / ln(gamma)),
+        gamma = (1+alpha)/(1-alpha); quantile q reads the first bucket
+        whose cumulative count exceeds rank q*(n-1) and returns the
+        bucket midpoint 2*gamma^i/(gamma+1) (relative error <= alpha).
+
+        Scale shape: per-partition bucketing is pure codegen
+        (`F.ceil(F.log(...))`), the shard-sketch merge the reference
+        does pairwise is one `groupBy(sign, bucket).count()` — partial
+        map-side combine then a tiny shuffle of O(log(range)/alpha)
+        rows. Only the merged bucket counts (a few thousand rows at
+        any data size) reach the driver for the quantile walk, unlike
+        `percentile_stats`' exact aggregate which buffers every value.
+        """
+        import math
+
+        from pyspark.sql import Row
+
+        gamma = (1.0 + precision) / (1.0 - precision)
+        lg = math.log(gamma)
+        matches = self.match_ids(req).select("shard", "doc_id")
+        v = F.col(stat_field).cast("double")
+        j = (
+            matches.join(self.tables.doc_map, ["shard", "doc_id"])
+            .select(v.alias("v"))
+            .where(F.col("v").isNotNull())
+        )
+        sign = F.when(F.col("v") > 0, 1).when(F.col("v") < 0, -1).otherwise(0)
+        bucket = F.when(
+            F.col("v") != 0,
+            F.ceil(F.log(F.abs(F.col("v"))) / F.lit(lg)).cast("long"),
+        ).otherwise(F.lit(0))
+        rows = (
+            j.select(sign.alias("sign"), bucket.alias("bucket"))
+            .groupBy("sign", "bucket")
+            .count()
+            .collect()
+        )
+        # walk order mirrors the sketch's value order: negative store
+        # descending by bucket (most-negative value first), zeros, then
+        # the positive store ascending.
+        neg = sorted(((r["bucket"], r["count"]) for r in rows if r["sign"] == -1), reverse=True)
+        zero = sum(r["count"] for r in rows if r["sign"] == 0)
+        pos = sorted((r["bucket"], r["count"]) for r in rows if r["sign"] == 1)
+        n = sum(c for _, c in neg) + zero + sum(c for _, c in pos)
+        out = {}
+        for p in percentiles:
+            name = f"p{int(p * 100)}"
+            if n == 0:
+                out[name] = None
+                continue
+            rank = p * (n - 1)
+            cum = 0
+            val = None
+            for b, c in neg:
+                cum += c
+                if cum > rank:
+                    val = -2.0 * gamma**b / (gamma + 1.0)
+                    break
+            if val is None:
+                cum += zero
+                if cum > rank:
+                    val = 0.0
+            if val is None:
+                for b, c in pos:
+                    cum += c
+                    if cum > rank:
+                        val = 2.0 * gamma**b / (gamma + 1.0)
+                        break
+            out[name] = float(val)
+        spark = self.tables.doc_map.sparkSession
+        schema = ", ".join(f"{k} double" for k in out)
+        return spark.createDataFrame([Row(**out)], schema=schema)
+
     def analysis_summary(
         self,
         req: SearchRequest,

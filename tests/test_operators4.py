@@ -162,6 +162,60 @@ def test_percentile_sketch_error_bound_and_signs(spark):
         tables.unpersist()
 
 
+def test_bool_field_formats(spark):
+    """BooleanFormatTest: every accepted spelling stores and queries as
+    the same value; invalid values fail the build; facets label
+    True/False and agree with the query counts."""
+    import pandas as pd
+
+    from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+    from zuliasearch_spark.indexing.builder import bool_coerce, build_index
+
+    true_vals = ["true", "TRUE", "T", "yes", "Yes", "y", "1", "1.0"]
+    false_vals = ["false", "FALSE", "F", "no", "No", "n", "0", "0.0"]
+    rows = [(f"t{i}", "alpha", v) for i, v in enumerate(true_vals)]
+    rows += [(f"f{i}", "alpha", v) for i, v in enumerate(false_vals)]
+    cfg = IndexConfig(
+        index_name="boolfmt",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("content",),
+        field_configs=(
+            FieldConfig("content", index_as=(IndexAs("content", "whitespace_lc"),)),
+        ),
+    )
+    pdf = pd.DataFrame(rows, columns=["uniqueId", "content", "raw"])
+    corpus = spark.createDataFrame(pdf).withColumn("flag", bool_coerce("raw"))
+    tables = build_index(corpus, cfg, stored_cols=("flag",)).persist()
+    try:
+        eng = SearchEngine(tables)
+        # every query-side spelling coerces to the same value
+        for q in ("true", "T", "yes", "1", "1.0"):
+            res = eng.search_string(f"content:alpha AND flag:{q}", amount=1)
+            assert res["totalHits"] == len(true_vals), q
+        for q in ("false", "n", "0"):
+            res = eng.search_string(f"content:alpha AND flag:{q}", amount=1)
+            assert res["totalHits"] == len(false_vals), q
+        # invalid query values are rejected, like the reference's
+        # store-time bad-string/bad-number errors
+        with pytest.raises(ValueError):
+            eng.search_string("content:alpha AND flag:maybe", amount=1)
+        with pytest.raises(ValueError):
+            eng.search_string("content:alpha AND flag:2", amount=1)
+        # facets label True/False and agree with the query counts
+        req = SearchRequest((C("FILTER", q="content:alpha"),), amount=1)
+        counts = {r["value"]: r["cnt"] for r in eng.facet_counts(req, "flag").collect()}
+        assert counts == {"True": len(true_vals), "False": len(false_vals)}
+    finally:
+        tables.unpersist()
+    # invalid store-time values fail the build
+    bad = spark.createDataFrame(
+        pd.DataFrame([("b0", "alpha", "maybe")], columns=["uniqueId", "content", "raw"])
+    ).withColumn("flag", bool_coerce("raw"))
+    with pytest.raises(Exception, match="invalid boolean"):
+        build_index(bad, cfg, stored_cols=("flag",)).doc_map.collect()
+
+
 def test_query_result_cache(spark):
     """Query-result cache (shardQueryCacheSize /
     shardQueryCacheMaxAmount, zulia_index.proto:43-44; CacheTest):

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
-from zuliasearch_spark.indexing.builder import build_index
+from zuliasearch_spark.indexing.builder import bool_coerce, build_index
 from zuliasearch_spark.search.executor import SearchEngine
 from zuliasearch_spark.search.query import QueryClause, SearchRequest
 
@@ -80,11 +80,19 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         F.concat_ws("/", "source", "lang").alias("src_path"),
         # per-doc embedding (FieldConfig VECTOR type) for VECTOR clauses
         "embedding",
+        # BOOL field stored through the lenient store-time lexicon
+        # (BooleanFormatTest): mixed spellings coerce to one value
+        bool_coerce(
+            F.when(F.col("n_chars") > 300, F.lit("yes")).otherwise(F.lit("0.0"))
+        ).alias("long_flag"),
     )
     tables = build_index(
         corpus,
         documents_config(),
-        stored_cols=("orig_doc_id", "lang", "source", "n_chars", "src_path", "embedding"),
+        stored_cols=(
+            "orig_doc_id", "lang", "source", "n_chars", "src_path", "embedding",
+            "long_flag",
+        ),
     )
     tables.persist()
     eng = SearchEngine(tables)
@@ -426,6 +434,26 @@ def q_interval_atleast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     res = eng.search_string("fn:atLeast(2 merge scan sort)", qf=("text",), amount=1)
     return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
+def q_bool_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL field coercion: every accepted spelling queries as the
+    same value (BooleanFormatTest everyFormatQueriesAsTheSameValue).
+    ``long_flag`` is stored through the lenient store-time lexicon
+    ("yes"/"0.0" → bool) and queried with a different spelling."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.search_string("text:scan AND long_flag:y", amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
+def q_bool_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL facets label values "True"/"False" and agree with the
+    query counts (BooleanFormatTest facet regression — a value parsed
+    false at facet time but true at query time)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    df = eng.facet_counts(req, "long_flag", top_n=5)
+    return df.select(F.col("value"), F.col("cnt").cast("bigint").alias("cnt"))
 
 
 _GEO_ENGINE_CACHE: dict = {}
@@ -1355,6 +1383,8 @@ QUERIES = {
     "get_terms_fuzzy": q_get_terms_fuzzy,
     "len_meta_count": q_len_meta_count,
     "interval_ordered_count": q_interval_ordered_count,
+    "bool_count": q_bool_count,
+    "bool_facet": q_bool_facet,
     "interval_within_count": q_interval_within_count,
     "interval_atleast_count": q_interval_atleast_count,
     "qs_zl_ns_count": q_qs_zl_ns_count,
@@ -1528,6 +1558,16 @@ knn AS (SELECT doc_id, c FROM c ORDER BY round(c, 7) DESC, doc_id ASC LIMIT 10)
 SELECT s.doc_id, round(s.s + coalesce(k.c, 0), 4) AS score
 FROM scored s LEFT JOIN knn k USING (doc_id)
 ORDER BY round(s.s + coalesce(k.c, 0), 7) DESC, s.doc_id ASC LIMIT 10""",
+    "bool_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE doc_id IN {_MATCH_SCAN} AND n_chars > 300""",
+    "bool_facet": f"""
+WITH {_TOKS_CTE}
+SELECT CASE WHEN n_chars > 300 THEN 'True' ELSE 'False' END AS value,
+       count(*)::BIGINT AS cnt
+FROM documents WHERE doc_id IN {_MATCH_SCAN}
+GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 5""",
     "interval_ordered_count": """
 WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
 pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i))

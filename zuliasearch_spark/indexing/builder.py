@@ -518,6 +518,27 @@ def build_postings(tall: DataFrame, config: IndexConfig) -> DataFrame:
     )
 
 
+def bool_coerce(col):
+    """Store-time BOOL coercion (FieldTypeUtil / BooleanFormatTest):
+    accepts booleans, true/t/yes/y + false/f/no/n in any case, and any
+    numeric exactly equal to 1 or 0; every other value FAILS the build
+    (`raise_error`), matching the reference's store-time rejection of
+    e.g. "maybe", 2, 1.5. Pure codegen — apply to the corpus column
+    before build_index and store the result via ``stored_cols``."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(F.trim(c.cast("string")))
+    d = c.cast("string").try_cast("double")  # non-numeric spellings -> NULL, not ANSI error
+    return (
+        F.when(c.isNull(), F.lit(None).cast("boolean"))
+        .when(s.isin("true", "t", "yes", "y") | (d == 1.0), F.lit(True))
+        .when(s.isin("false", "f", "no", "n") | (d == 0.0), F.lit(False))
+        .otherwise(
+            F.raise_error(F.concat(F.lit("invalid boolean value: "), s))
+            .cast("boolean")
+        )
+    )
+
+
 def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, ...] = ()) -> IndexTables:
     """Build all index tables from a corpus DataFrame (lazy plan).
 

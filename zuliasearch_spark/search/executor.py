@@ -686,6 +686,28 @@ def _date_period(v: str) -> tuple[str, str, str, str]:
     return (ts, ts, day, day)
 
 
+def _bool_literal(v) -> str:
+    """Query-side boolean coercion: the lexicon the reference's BOOL
+    field type accepts (BooleanFormatTest TRUE_VALUES/FALSE_VALUES —
+    true/t/yes/y and any numeric equal to 1, mirrored for false);
+    anything else is rejected like the reference's store-time errors
+    (bad-string "maybe", bad-number 2, bad-fraction 1.5)."""
+    s = str(v).strip().lower()
+    if s in ("true", "t", "yes", "y"):
+        return "true"
+    if s in ("false", "f", "no", "n"):
+        return "false"
+    try:
+        f = float(s)
+    except ValueError:
+        raise ValueError(f"invalid boolean value {v!r}") from None
+    if f == 1.0:
+        return "true"
+    if f == 0.0:
+        return "false"
+    raise ValueError(f"invalid boolean value {v!r}")
+
+
 _EARTH_RADIUS_M = 6371008.7714  # Lucene GeoUtils.EARTH_MEAN_RADIUS_METERS
 
 
@@ -1142,6 +1164,7 @@ class SearchEngine:
             point_types = (
                 "date", "timestamp", "timestamp_ntz",
                 "int", "bigint", "smallint", "tinyint", "float", "double", "decimal",
+                "boolean",
             )
             got = frozenset(
                 f
@@ -1628,8 +1651,14 @@ class SearchEngine:
                     alts.append(f"coalesce({_geo_predicate_sql(fld, r)}, false)")
                     continue
                 numeric = dtypes[fld] in numeric_types
+                is_bool = dtypes[fld] == "boolean"
 
                 def lit(v):
+                    if is_bool:
+                        # every accepted spelling of a boolean queries
+                        # as the same value (BooleanFormatTest
+                        # everyFormatQueriesAsTheSameValue)
+                        return _bool_literal(v)
                     if numeric:
                         float(v)  # validates
                         return v
@@ -1727,11 +1756,15 @@ class SearchEngine:
         # FacetAs.DateHandling (zulia_index.proto DATE_YYYY_MM_DD /
         # DATE_YYYYMMDD): date/timestamp facet values format to the
         # configured label before counting
-        val = (
-            F.date_format(F.col(facet_field), date_format)
-            if date_format
-            else F.col(facet_field)
-        )
+        if date_format:
+            val = F.date_format(F.col(facet_field), date_format)
+        elif dict(self.tables.doc_map.dtypes).get(facet_field) == "boolean":
+            # BOOL facets label as "True"/"False" (BooleanFormatTest
+            # facetsAgreeWithQueries); nulls stay uncounted
+            c = F.col(facet_field)
+            val = F.when(c, "True").when(~c, "False")
+        else:
+            val = F.col(facet_field)
         return (
             joined.groupBy(val.alias("value"))
             .agg(F.count(F.lit(1)).alias("cnt"))

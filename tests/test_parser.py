@@ -186,8 +186,13 @@ def test_qs_phrase_and_wildcard(engine):
 
 
 def test_qs_exists(engine):
-    # content:* matches every doc with ≥1 content token (not d09)
+    # content:* matches every NON-NULL content — including d09's ""
+    # (NullEmptyTest: an empty value is a present field); content:*?
+    # needs at least one character, so it drops d09
     res = _q(engine, "content:*")
+    assert _ids(res) == {f"d0{i}" for i in range(10)}
+    assert res["totalHits"] == 10
+    res = _q(engine, "content:*?")
     assert _ids(res) == {f"d0{i}" for i in range(9)}
     assert res["totalHits"] == 9
 

@@ -48,6 +48,9 @@ def documents_config() -> IndexConfig:
             FieldConfig("text", index_as=(IndexAs("text", "whitespace_lc"),)),
             FieldConfig("lang", index_as=(IndexAs("lang", "lcKeyword"),), facet_as=("lang",)),
             FieldConfig("source", index_as=(IndexAs("source", "lcKeyword"),), facet_as=("source",)),
+            # nullable derived column (NULL on every 5th doc, "" on
+            # every 7th) for exists / null-empty gates (NullEmptyTest)
+            FieldConfig("opt_note", index_as=(IndexAs("opt_note", "whitespace_lc"),)),
         ),
         per_shard_stats=False,  # SQL oracle computes collection-global stats
         quantize_norms=False,  # SQL oracle scores with exact field lengths
@@ -85,6 +88,12 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         bool_coerce(
             F.when(F.col("n_chars") > 300, F.lit("yes")).otherwise(F.lit("0.0"))
         ).alias("long_flag"),
+        # nullable/empty indexed column: NULL (no exists), "" (exists,
+        # zero tokens), or the source tag (exists, tokens)
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("source"))
+        .alias("opt_note"),
     )
     tables = build_index(
         corpus,
@@ -454,6 +463,21 @@ def q_bool_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
     df = eng.facet_counts(req, "long_flag", top_n=5)
     return df.select(F.col("value"), F.col("cnt").cast("bigint").alias("cnt"))
+
+
+def q_null_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null vs empty exists semantics (NullEmptyTest.java:93-120):
+    ``field:*`` matches every non-null value INCLUDING empty strings
+    (zero-token docs ride the norms stream with dl=0), ``-field:*``
+    keeps only nulls via the MatchAll fix-up, and ``field:*?``
+    (wildcard, >=1 char) matches only docs with at least one token."""
+    eng = documents_engine(spark, sf_dir)
+    a = eng.search_string("opt_note:*", amount=1)["totalHits"]
+    b = eng.search_string("-opt_note:*", amount=1)["totalHits"]
+    c = eng.search_string("opt_note:*?", amount=1)["totalHits"]
+    return spark.createDataFrame(
+        [(a, b, c)], "exists_hits bigint, not_exists_hits bigint, nonempty_hits bigint"
+    )
 
 
 _GEO_ENGINE_CACHE: dict = {}
@@ -1385,6 +1409,7 @@ QUERIES = {
     "interval_ordered_count": q_interval_ordered_count,
     "bool_count": q_bool_count,
     "bool_facet": q_bool_facet,
+    "null_exists_counts": q_null_exists_counts,
     "interval_within_count": q_interval_within_count,
     "interval_atleast_count": q_interval_atleast_count,
     "qs_zl_ns_count": q_qs_zl_ns_count,
@@ -1568,6 +1593,12 @@ SELECT CASE WHEN n_chars > 300 THEN 'True' ELSE 'False' END AS value,
        count(*)::BIGINT AS cnt
 FROM documents WHERE doc_id IN {_MATCH_SCAN}
 GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 5""",
+    "null_exists_counts": """
+SELECT
+  (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0)::BIGINT AS exists_hits,
+  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)::BIGINT AS not_exists_hits,
+  (SELECT count(*) FROM documents
+   WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0)::BIGINT AS nonempty_hits""",
     "interval_ordered_count": """
 WITH lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),
 pt AS (SELECT doc_id, i, l[i] AS term FROM lst, unnest(generate_series(1, len(l))) AS g(i))

@@ -136,29 +136,56 @@ def _make_tokenizer(field_specs, store_positions: bool = True, id_cfg=None, uid_
                 shard = rb.column(names.index("shard")).to_numpy()
                 docid = rb.column(names.index("doc_id")).to_numpy()
             for col, field_name, settings in field_specs:
-                if store_positions:
-                    doc_idx, term_arr, tf, dl, posflat = term_freqs_positions(
-                        rb.column(names.index(col)), settings
+                arr = rb.column(names.index(col))
+                if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                    # multivalued text: analyze the values joined by a
+                    # space — one token stream per doc, positions
+                    # running consecutively across values (Lucene's
+                    # default positionIncrementGap of 0). The null mask
+                    # stays the LIST's: an empty list is a present
+                    # field (FIELDS_LIST_FIELD / NullEmptyTest
+                    # `comments:*` matches List.of()).
+                    import pyarrow.compute as pc
+
+                    joined = pc.binary_join(
+                        arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr,
+                        " ",
                     )
+                    valid = pc.is_valid(joined).to_numpy(zero_copy_only=False)
+                    arr = joined
                 else:
-                    doc_idx, term_arr, tf, dl = term_freqs(rb.column(names.index(col)), settings)
+                    import pyarrow.compute as pc
+
+                    valid = pc.is_valid(
+                        arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                    ).to_numpy(zero_copy_only=False)
+                if store_positions:
+                    doc_idx, term_arr, tf, dl, posflat = term_freqs_positions(arr, settings)
+                else:
+                    doc_idx, term_arr, tf, dl = term_freqs(arr, settings)
                     posflat = np.empty(0, dtype=np.int64)
                 # pack per-DOC rows (list columns): the downstream
                 # shuffle moves ~200x fewer rows for the same bytes —
                 # per-row serialization overhead at the exchange
                 # dominates otherwise. doc_idx ascending by construction.
-                present, starts = np.unique(doc_idx, return_index=True)
-                offsets = pa.array(
-                    np.concatenate((starts, [doc_idx.size])).astype(np.int32), type=pa.int32()
-                )
+                # PRESENT = every doc whose field value is non-null —
+                # zero-token docs ride along with dl=0 and empty term
+                # lists, feeding the norms stream's field-exists
+                # semantics (a present-but-empty value IS the field
+                # existing, FieldExistsQuery / FIELDS_LIST_FIELD).
+                n_in = len(arr)
+                present = np.flatnonzero(valid).astype(np.int64)
+                pair_counts = np.bincount(doc_idx, minlength=n_in).astype(np.int64)
+                offsets_np = np.zeros(present.size + 1, dtype=np.int64)
+                np.cumsum(pair_counts[present], out=offsets_np[1:])
+                offsets = pa.array(offsets_np.astype(np.int32), type=pa.int32())
                 term_vals = term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr
                 if store_positions and posflat.size:
-                    # per-present-doc token counts = Σ tf within the doc
-                    tok_counts = np.add.reduceat(tf, starts)
-                    pos_offsets = np.zeros(present.size + 1, dtype=np.int32)
-                    np.cumsum(tok_counts, out=pos_offsets[1:])
+                    # per-present-doc token counts == dl (Σ tf per doc)
+                    pos_offsets = np.zeros(present.size + 1, dtype=np.int64)
+                    np.cumsum(dl[present], out=pos_offsets[1:])
                     poss = pa.ListArray.from_arrays(
-                        pa.array(pos_offsets, type=pa.int32()),
+                        pa.array(pos_offsets.astype(np.int32), type=pa.int32()),
                         pa.array(posflat.astype(np.int32), type=pa.int32()),
                     )
                 else:
@@ -210,10 +237,44 @@ def _make_block_encoder(block_size: int):
         dict_arr = pc.dictionary_encode(flat_terms)
         codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniques = dict_arr.dictionary
-        doc = np.repeat(tbl.column("doc_id").to_numpy().astype(np.int64), counts)
-        dl = np.repeat(tbl.column("dl").to_numpy().astype(np.int64), counts)
+        row_docs = tbl.column("doc_id").to_numpy().astype(np.int64)
+        row_dls = tbl.column("dl").to_numpy().astype(np.int64)
+        doc = np.repeat(row_docs, counts)
+        dl = np.repeat(row_dls, counts)
         tf = tbl.column("tfs").combine_chunks().flatten().to_numpy().astype(np.int64)
         posflat = tbl.column("poss").combine_chunks().flatten().to_numpy().astype(np.int64)
+        # norms entry source: EVERY doc row of the group — including
+        # zero-token docs (dl=0), which carry field-exists semantics
+        # (FieldExistsQuery; NullEmptyTest title:* matches "") but are
+        # excluded from the Lucene docCount recorded in sum_tf below
+        norm_order = np.argsort(row_docs)
+        udoc = row_docs[norm_order]
+        udl = row_dls[norm_order]
+        if len(codes) == 0:
+            # group holds only zero-token docs: emit just the norms row
+            ndeltas = np.empty_like(udoc)
+            ndeltas[0] = udoc[0]
+            np.subtract(udoc[1:], udoc[:-1], out=ndeltas[1:])
+            return pa.table(
+                {
+                    "field": pa.array([field], type=pa.string()),
+                    "shard": pa.array([shard], type=pa.int32()),
+                    "bucket": pa.array([bucket], type=pa.int64()),
+                    "term": pa.array([None], type=pa.string()),
+                    "block_id": pa.array([-1], type=pa.int32()),
+                    "first_doc": pa.array([udoc[0]], type=pa.int64()),
+                    "last_doc": pa.array([udoc[-1]], type=pa.int64()),
+                    "n": pa.array([udoc.size], type=pa.int32()),
+                    "doc_bytes": pa.array([varint_encode(ndeltas)], type=pa.binary()),
+                    "tf_bytes": pa.array([b""], type=pa.binary()),
+                    "dl_bytes": pa.array([varint_encode(udl)], type=pa.binary()),
+                    "pos_bytes": pa.array([b""], type=pa.binary()),
+                    "max_tf": pa.array([0], type=pa.int32()),
+                    "min_dl": pa.array([0], type=pa.int32()),
+                    "sum_tf": pa.array([int((udl > 0).sum())], type=pa.int64()),
+                    "sum_dl": pa.array([int(udl.sum())], type=pa.int64()),
+                }
+            )
         order = np.lexsort((doc, codes))
         if posflat.size:
             # positions travel as pair runs (lengths = tf): gather the
@@ -267,10 +328,9 @@ def _make_block_encoder(block_size: int):
 
         mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
         nb = bstarts.size
-        # norms entry (appended as the last row, term = NULL): distinct
-        # (doc, dl) of the group — docIDs ascending
-        udoc, uidx = np.unique(doc, return_index=True)
-        udl = dl[uidx]
+        # norms entry (appended as the last row, term = NULL): every
+        # doc row of the group ascending (udoc/udl built above, dl=0
+        # docs included for field-exists)
         ndeltas = np.empty_like(udoc)
         ndeltas[0] = udoc[0]
         np.subtract(udoc[1:], udoc[:-1], out=ndeltas[1:])
@@ -318,7 +378,10 @@ def _make_block_encoder(block_size: int):
                 "pos_bytes": pa.array(pos_bytes, type=pa.binary()),
                 "max_tf": i32(np.maximum.reduceat(tf, bstarts), 0),
                 "min_dl": i32(np.minimum.reduceat(dl, bstarts), 0),
-                "sum_tf": i64(tf_cum[bends] - tf_cum[bstarts], 0),
+                # norms-row sum_tf records the Lucene docCount (docs
+                # with >=1 token) — `n` must stay the byte-stream entry
+                # count for decode, so the stat rides here
+                "sum_tf": i64(tf_cum[bends] - tf_cum[bstarts], int((udl > 0).sum())),
                 "sum_dl": i64(np.zeros(nb), udl.sum()),
             }
         )
@@ -490,8 +553,13 @@ def stats_from_postings(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     field_stats = (
         postings.filter(F.col("term").isNull())
+        # norms-row sum_tf = docs with >=1 token (Lucene docCount);
+        # `n` counts every norms entry incl. dl=0 field-exists docs
         .groupBy("field", "shard")
-        .agg(F.sum("n").cast("long").alias("doc_count"), F.sum("sum_dl").cast("long").alias("sum_dl"))
+        .agg(
+            F.sum("sum_tf").cast("long").alias("doc_count"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
     )
     return term_stats, field_stats
 
@@ -594,10 +662,16 @@ def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, 
         # queryable as |field| / |||field||| through the parser
         dtypes = dict(corpus.dtypes)
         for c in dict.fromkeys(sc for sc, _ in config.indexed_fields()):
-            narrow_cols.append(F.length(F.col(c).cast("string")).alias(f"_zcl_{c}"))
             if dtypes.get(c, "").startswith("array"):
+                # multivalued: char-length PER VALUE (StringFieldIndexer
+                # writes one charLength meta per list item — |field|:0
+                # matches a doc with ANY empty item, NullEmptyTest)
+                narrow_cols.append(
+                    F.transform(F.col(c), lambda x: F.length(x)).alias(f"_zcl_{c}")
+                )
                 narrow_cols.append(F.size(c).alias(f"_zll_{c}"))
             else:
+                narrow_cols.append(F.length(F.col(c).cast("string")).alias(f"_zcl_{c}"))
                 narrow_cols.append(
                     F.when(F.col(c).isNull(), 0).otherwise(1).alias(f"_zll_{c}")
                 )

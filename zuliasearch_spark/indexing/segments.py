@@ -317,6 +317,9 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
                             cols["min_dl"][i] = int(dls.min())
                         if pdf["term"].iloc[i] is None and dls.size:
                             cols["sum_dl"][i] = int(dls.sum())
+                            # norms-row sum_tf = Lucene docCount (docs
+                            # with >=1 token), recomputed post-purge
+                            cols["sum_tf"][i] = int((dls > 0).sum())
                 docs = docs + off[i]
                 deltas = np.empty_like(docs)
                 deltas[0] = docs[0]

@@ -1144,6 +1144,9 @@ class SearchEngine:
                 req.default_op,
                 expand_field=self.config.expand_field,
                 date_fields=self._date_fields(),
+                all_fields=tuple(
+                    dict.fromkeys(ia.indexed_field_name for _, ia in self.config.indexed_fields())
+                ),
             )
             if req.mm:
                 tree = RBool(tree.children, max(tree.mm, req.mm), tree.boost)
@@ -1650,8 +1653,42 @@ class SearchEngine:
                 if isinstance(r, _RGeoT):
                     alts.append(f"coalesce({_geo_predicate_sql(fld, r)}, false)")
                     continue
-                numeric = dtypes[fld] in numeric_types
-                is_bool = dtypes[fld] == "boolean"
+                dt = dtypes[fld]
+                if dt.startswith("array<"):
+                    # multivalued doc-values: a range/set matches when
+                    # ANY value satisfies it (Lucene SortedNumeric /
+                    # SortedSet range semantics; NullEmptyTest
+                    # |comments|:0). NULL elements never match.
+                    elem = dt[6:-1]
+                    e_num = elem in numeric_types
+                    e_bool = elem == "boolean"
+
+                    def elit(v):
+                        if e_bool:
+                            return _bool_literal(v)
+                        if e_num:
+                            float(v)
+                            return v
+                        return "'" + str(v).replace("'", "''") + "'"
+
+                    sub = []
+                    if isinstance(r, _RNumericSetT):
+                        vals = ", ".join(elit(v) for v in r.values)
+                        sub.append(f"x IN ({vals})")
+                    else:
+                        if r.lo is not None:
+                            sub.append(f"x {'>=' if r.incl_lo else '>'} {elit(r.lo)}")
+                        if r.hi is not None:
+                            sub.append(f"x {'<=' if r.incl_hi else '<'} {elit(r.hi)}")
+                    if sub:
+                        alts.append(
+                            f"coalesce(exists(`{fld}`, x -> {' AND '.join(sub)}), false)"
+                        )
+                    else:
+                        alts.append("(1=1)")
+                    continue
+                numeric = dt in numeric_types
+                is_bool = dt == "boolean"
 
                 def lit(v):
                     if is_bool:

@@ -781,6 +781,7 @@ def resolve_tree(
     default_op: str = "OR",
     expand_field=None,
     date_fields: frozenset[str] = frozenset(),
+    all_fields: tuple[str, ...] = (),
 ):
     """Raw AST → resolved AST. ``expand_wildcard(field, regex)`` and
     ``expand_fuzzy(field, term, edits)`` enumerate the term
@@ -789,7 +790,12 @@ def resolve_tree(
     ``date_fields`` names stored date/timestamp columns: a bare term
     on one (``added:2024``, ``added:2024-06-17``) resolves to the
     period's RANGE, Zulia's DATE point-query coercion
-    (ZuliaPointQueryNodeProcessor / DateStringTest semantics)."""
+    (ZuliaPointQueryNodeProcessor / DateStringTest semantics).
+    ``all_fields`` lists every indexed field: ``*:*`` resolves to an
+    exists-union over them — MatchAllDocsQuery semantics for any doc
+    with at least one indexed non-null field (a doc whose indexed
+    fields are ALL null is invisible to this form, a documented
+    deviation from Lucene's segment-level match-all)."""
     if expand_field is None:
         expand_field = lambda f: (f,)  # noqa: E731
 
@@ -804,7 +810,7 @@ def resolve_tree(
                 occur,
                 resolve_tree(
                     c, analyze, default_fields, expand_wildcard, expand_fuzzy,
-                    default_op, expand_field, date_fields,
+                    default_op, expand_field, date_fields, all_fields,
                 ),
             )
             for occur, c in node.children
@@ -864,6 +870,30 @@ def resolve_tree(
                 )
         return RLeaf(tuple(ispecs), conj=False, boost=node.boost)
     assert isinstance(node, Leaf)
+    if (
+        node.field is not None
+        and not node.phrase
+        and not node.regex
+        and node.fuzzy is None
+        and _meta_field(node.field) != node.field
+    ):
+        # bare |field|:N / |||field|||:N point query on a length-meta
+        # column (NullEmptyTest "|title|:0") — numeric point coercion
+        v = _unescape(node.text)
+        return RRange((_meta_field(node.field),), v, v, True, True)
+    if node.field == "*" and node.text == "*" and not node.phrase and not node.regex:
+        # *:* match-all (QueryUtil fixNegativeQuery appends it;
+        # NullEmptyTest "(*:* -title:*) OR title:boring"): constant
+        # score 1.0 over the union of every field's exists stream
+        targets = tuple(dict.fromkeys(all_fields)) or tuple(default_fields)
+        return RLeaf(
+            tuple(
+                ExistsSpec(f, required=False, group=0, subgroup=sub)
+                for sub, f in enumerate(targets)
+            ),
+            conj=False,
+            boost=node.boost,
+        )
     if (
         node.field is not None
         and node.field in date_fields

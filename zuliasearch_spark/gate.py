@@ -480,6 +480,18 @@ def q_null_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed facet merge protocol (FacetCombiner.java:41-144):
+    per-shard facet lists merged at the combiner. shard_facets=-1 =
+    full per-shard lists, so the merge must equal the exact global
+    counts with maxError 0 (the truncated/error-bound path is covered
+    by tests/test_facet_sharded.py against hand-computed bounds)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    df, _flags = eng.facet_counts_sharded(req, "lang", top_n=5, shard_facets=-1)
+    return df
+
+
 _GEO_ENGINE_CACHE: dict = {}
 
 
@@ -1410,6 +1422,7 @@ QUERIES = {
     "bool_count": q_bool_count,
     "bool_facet": q_bool_facet,
     "null_exists_counts": q_null_exists_counts,
+    "facet_sharded": q_facet_sharded,
     "interval_within_count": q_interval_within_count,
     "interval_atleast_count": q_interval_atleast_count,
     "qs_zl_ns_count": q_qs_zl_ns_count,
@@ -1770,6 +1783,11 @@ WITH {_TOKS_CTE}
 SELECT lang AS value, count(*)::BIGINT AS cnt FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
 GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 10""",
+    "facet_sharded": f"""
+WITH {_TOKS_CTE}
+SELECT lang AS value, count(*)::BIGINT AS cnt, 0::BIGINT AS max_error
+FROM documents WHERE doc_id IN {_MATCH_SCAN}
+GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 5""",
     "numeric_stats": f"""
 WITH {_TOKS_CTE}
 SELECT min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,

@@ -1809,6 +1809,102 @@ class SearchEngine:
             .limit(top_n)
         )
 
+    def facet_counts_sharded(
+        self,
+        req: SearchRequest,
+        facet_field: str,
+        top_n: int = 10,
+        shard_facets: int = 40,
+    ):
+        """Per-shard top-N facet merge with error bounds — the
+        reference's distributed facet protocol (FacetCombiner.java:
+        41-144; CountRequest shardFacets zulia_query.proto:135-146).
+        Each shard reports only its own top ``shard_facets`` labels;
+        the combiner sums them, bounds each label's undercount
+        (maxError = Σ min-returned-count of shards that did NOT report
+        it), and flags labels that might be missing entirely.
+        ``shard_facets=-1`` reports full per-shard lists (exact merge,
+        maxError 0). `facet_counts` stays the exact global groupBy;
+        this surface exists for protocol parity and for callers that
+        cap per-shard work.
+
+        Scale shape: `groupBy(shard, value)` partial-aggregates
+        map-side; the per-shard cut is a window WITHIN the shard
+        partition (no second shuffle); only shards × shard_facets rows
+        reach the driver for the combiner walk.
+
+        Returns ``(df, flags)``: df rows (value, cnt, max_error) in
+        (count desc, value asc) order cut to top_n; flags carries
+        possibleMissing / maxValuePossibleMissing.
+        """
+        from pyspark.sql import Window
+
+        matches = self.match_ids(req).select("shard", "doc_id")
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        per = j.groupBy("shard", F.col(facet_field).alias("value")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).where(F.col("value").isNotNull())
+        if shard_facets > 0:
+            w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("value"))
+            per = (
+                per.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= shard_facets)
+                .drop("_rn")
+            )
+        rows = per.collect()
+        by_shard: dict[int, list[tuple[str, int]]] = {s: [] for s in self._shard_counts}
+        for r in rows:
+            by_shard.setdefault(int(r["shard"]), []).append((str(r["value"]), int(r["cnt"])))
+        counts: dict[str, int] = {}
+        shards_returned: dict[str, set[int]] = {}
+        full_results: set[int] = set()
+        min_for_shard: dict[int, int] = {}
+        for s, lst in by_shard.items():
+            lst.sort(key=lambda t: (-t[1], t[0]))
+            for v, c in lst:
+                counts[v] = counts.get(v, 0) + c
+                shards_returned.setdefault(v, set()).add(s)
+            if len(lst) < shard_facets or shard_facets == -1:
+                full_results.add(s)
+                min_for_shard[s] = 0
+            elif lst:
+                min_for_shard[s] = lst[-1][1]
+        n_shards = len(by_shard)
+        max_value_possible_missing = sum(min_for_shard.values())
+        compute_error = top_n > 0 and shard_facets > 0 and n_shards > 1
+        compute_possible_missing = compute_error and max_value_possible_missing != 0
+        out = []
+        min_count_returned = 0
+        n_out = 0
+        for v, c in sorted(counts.items(), key=lambda t: (-t[1], t[0])):
+            reported = shards_returned.get(v, set()) | full_results
+            max_error = 0
+            if compute_error:
+                max_error = sum(
+                    m for s, m in min_for_shard.items() if s not in reported
+                )
+            n_out += 1
+            if top_n > 0 and n_out > top_n:
+                if compute_possible_missing:
+                    max_value_possible_missing = max(
+                        max_value_possible_missing, c + max_error
+                    )
+                    continue
+                break
+            out.append((v, c, max_error))
+            min_count_returned = c
+        flags = {"possibleMissing": False, "maxValuePossibleMissing": 0}
+        if counts and max_value_possible_missing > min_count_returned:
+            flags = {
+                "possibleMissing": True,
+                "maxValuePossibleMissing": max_value_possible_missing,
+            }
+        spark = self.tables.doc_map.sparkSession
+        df = spark.createDataFrame(
+            out or [], schema="value string, cnt bigint, max_error bigint"
+        )
+        return df, flags
+
     def facet_path_counts(
         self,
         req: SearchRequest,

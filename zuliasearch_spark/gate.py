@@ -1005,6 +1005,19 @@ def q_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(*[F.round(F.col(c), 4).alias(c) for c in df.columns])
 
 
+def q_stat_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch median per facet value (StatRequest percentiles +
+    facet, zulia_query.proto:112-121; per-ordinal sketch merge
+    StatCombiner.java:183-223): the oracle replicates the log-bucket
+    quantile walk per lang, so the per-facet sketch math is checked."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    df = eng.stat_facet_percentiles(
+        req, "lang", "n_chars", percentiles=(0.5,), precision=0.01, top_n=5
+    )
+    return df.select("value", "count_v", F.round(F.col("p50"), 4).alias("p50"))
+
+
 def q_sim_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field similarity override: TF scoring (TFSimilarity.java,
     FieldSimilarity zulia_query.proto:295-298) — score == raw tf."""
@@ -1104,6 +1117,23 @@ SELECT
          FROM c, n WHERE cum > 0.50*(n-1)), 4) AS p50,
   round((SELECT 2*POW({_DD_GAMMA!r}, MIN(bucket))/({_DD_GAMMA!r}+1)
          FROM c, n WHERE cum > 0.75*(n-1)), 4) AS p75
+"""
+
+_STAT_FACET_PCT_SQL = f"""
+WITH {_TOKS_CTE},
+v AS (SELECT lang AS value, CAST(n_chars AS DOUBLE) AS v FROM documents
+      WHERE doc_id IN {_MATCH_SCAN}),
+b AS (SELECT value, CAST(CEIL(LN(v) / {_DD_LG!r}) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+c AS (SELECT value, bucket,
+             SUM(cnt) OVER (PARTITION BY value ORDER BY bucket) AS cum FROM b),
+n AS (SELECT value, COUNT(*) AS n FROM v GROUP BY 1),
+q AS (SELECT c.value, MIN(bucket) AS qb FROM c JOIN n USING (value)
+      WHERE cum > 0.5 * (n - 1) GROUP BY 1)
+SELECT n.value, n.n::BIGINT AS count_v,
+       round(2 * POW({_DD_GAMMA!r}, qb) / ({_DD_GAMMA!r} + 1), 4) AS p50
+FROM n JOIN q USING (value)
+ORDER BY count_v DESC, value ASC LIMIT 5
 """
 
 _SIM_TF_SQL = f"""
@@ -1445,6 +1475,7 @@ QUERIES = {
     "stat_facet": q_stat_facet,
     "percentiles": q_percentiles,
     "percentiles_sketch": q_percentiles_sketch,
+    "stat_facet_percentiles": q_stat_facet_percentiles,
     "sim_tf": q_sim_tf,
     "sim_constant": q_sim_constant,
     "highlight": q_highlight,
@@ -1823,6 +1854,7 @@ ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
     "stat_facet": _STAT_FACET_SQL,
     "percentiles": _PERCENTILES_SQL,
     "percentiles_sketch": _PERCENTILES_SKETCH_SQL,
+    "stat_facet_percentiles": _STAT_FACET_PCT_SQL,
     "sim_tf": _SIM_TF_SQL,
     "sim_constant": _SIM_CONST_SQL,
     "highlight": _HIGHLIGHT_SQL,

@@ -2498,6 +2498,86 @@ class SearchEngine:
         schema = ", ".join(f"{k} double" for k in out)
         return spark.createDataFrame([Row(**out)], schema=schema)
 
+    def stat_facet_percentiles(
+        self,
+        req: SearchRequest,
+        facet_field: str,
+        stat_field: str,
+        percentiles=(0.5,),
+        precision: float = 0.01,
+        top_n: int = 10,
+    ):
+        """DDSketch percentiles PER FACET VALUE — the reference's stat
+        facet with percentiles (StatRequest percentiles + facet field,
+        zulia_query.proto:112-121; per-ordinal sketches merged in
+        StatCombiner.java:183-223). Same log-bucket math as
+        `percentile_sketch_stats`, grouped by facet: ONE
+        `groupBy(facet, sign, bucket)` shuffle, then a per-facet
+        quantile walk over the tiny bucket histogram. Facets ranked by
+        value count descending (MapStatOrdinalStorage top-N by
+        requested sort), ties by label."""
+        import math
+
+        gamma = (1.0 + precision) / (1.0 - precision)
+        lg = math.log(gamma)
+        matches = self.match_ids(req).select("shard", "doc_id")
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        v = F.col(stat_field).cast("double")
+        j = j.select(F.col(facet_field).alias("facet"), v.alias("v")).where(
+            F.col("v").isNotNull() & F.col("facet").isNotNull()
+        )
+        sign = F.when(F.col("v") > 0, 1).when(F.col("v") < 0, -1).otherwise(0)
+        bucket = F.when(
+            F.col("v") != 0,
+            F.ceil(F.log(F.abs(F.col("v"))) / F.lit(lg)).cast("long"),
+        ).otherwise(F.lit(0))
+        rows = (
+            j.select("facet", sign.alias("sign"), bucket.alias("bucket"))
+            .groupBy("facet", "sign", "bucket")
+            .count()
+            .collect()
+        )
+        by_facet: dict[str, list] = {}
+        for r in rows:
+            by_facet.setdefault(str(r["facet"]), []).append(
+                (int(r["sign"]), int(r["bucket"]), int(r["count"]))
+            )
+        out_rows = []
+        for facet, ent in by_facet.items():
+            neg = sorted(((b, c) for s, b, c in ent if s == -1), reverse=True)
+            zero = sum(c for s, _, c in ent if s == 0)
+            pos = sorted((b, c) for s, b, c in ent if s == 1)
+            n = sum(c for _, c in neg) + zero + sum(c for _, c in pos)
+            vals = [facet, n]
+            for p in percentiles:
+                rank = p * (n - 1)
+                cum = 0
+                val = None
+                for b, c in neg:
+                    cum += c
+                    if cum > rank:
+                        val = -2.0 * gamma**b / (gamma + 1.0)
+                        break
+                if val is None:
+                    cum += zero
+                    if cum > rank:
+                        val = 0.0
+                if val is None:
+                    for b, c in pos:
+                        cum += c
+                        if cum > rank:
+                            val = 2.0 * gamma**b / (gamma + 1.0)
+                            break
+                vals.append(float(val))
+            out_rows.append(tuple(vals))
+        out_rows.sort(key=lambda t: (-t[1], t[0]))
+        out_rows = out_rows[:top_n]
+        spark = self.tables.doc_map.sparkSession
+        pcols = ", ".join(f"p{int(p * 100)} double" for p in percentiles)
+        return spark.createDataFrame(
+            out_rows or [], schema=f"value string, count_v bigint, {pcols}"
+        )
+
     def analysis_summary(
         self,
         req: SearchRequest,

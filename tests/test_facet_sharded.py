@@ -79,6 +79,17 @@ def test_full_shard_lists_are_exact(engine):
     assert flags == {"possibleMissing": False, "maxValuePossibleMissing": 0}
 
 
+def test_default_shard_facets_is_ten_times_top_n(engine):
+    # shard_facets=0 takes the reference default 10*top_n
+    # (QueryRequestValidator.java:50-56) — wide enough here to be exact
+    df, flags = engine.facet_counts_sharded(
+        SearchRequest(REQ, amount=1), "cat", top_n=5, shard_facets=0
+    )
+    rows = [(r["value"], r["cnt"]) for r in df.collect()]
+    assert rows == [("b", 17), ("a", 12), ("c", 12), ("e", 6), ("d", 4)]
+    assert not flags["possibleMissing"]
+
+
 def test_merged_counts_never_exceed_truth_plus_error(engine):
     # the combiner's contract: true count <= reported + maxError
     truth = {"a": 12, "b": 17, "c": 12, "d": 4, "e": 6}

@@ -81,6 +81,14 @@ def test_multi_index_merge_and_aliases(spark):
         assert {t["uniqueId"] for t in only["topk"]} == {"d0"}
         with pytest.raises(KeyError):
             ms.resolve("nope")
+        # index-name wildcards expand to concrete indexes, never
+        # aliases, and an empty expansion errors (WildcardIndexTest)
+        both = ms.search(req, indexes=("i*",))
+        assert {t["uniqueId"] for t in both["topk"]} == {"d0", "d2"}
+        with pytest.raises(KeyError):
+            ms.expand("nonexistent-*")
+        with pytest.raises(KeyError):
+            ms.expand("every*")  # matches only the ALIAS -> error
     finally:
         ta.unpersist()
         tb.unpersist()

@@ -1824,9 +1824,11 @@ class SearchEngine:
         (maxError = Σ min-returned-count of shards that did NOT report
         it), and flags labels that might be missing entirely.
         ``shard_facets=-1`` reports full per-shard lists (exact merge,
-        maxError 0). `facet_counts` stays the exact global groupBy;
-        this surface exists for protocol parity and for callers that
-        cap per-shard work.
+        maxError 0); ``shard_facets=0`` takes the reference default of
+        10 × top_n per shard (QueryRequestValidator.java:50-56).
+        `facet_counts` stays the exact global groupBy; this surface
+        exists for protocol parity and for callers that cap per-shard
+        work.
 
         Scale shape: `groupBy(shard, value)` partial-aggregates
         map-side; the per-shard cut is a window WITHIN the shard
@@ -1839,6 +1841,10 @@ class SearchEngine:
         """
         from pyspark.sql import Window
 
+        if shard_facets == 0:
+            if top_n <= 0:
+                raise ValueError("shard_facets=0 (reference default 10*top_n) needs top_n > 0")
+            shard_facets = 10 * top_n
         matches = self.match_ids(req).select("shard", "doc_id")
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         per = j.groupBy("shard", F.col(facet_field).alias("value")).agg(

@@ -35,6 +35,21 @@ class MultiIndexSearcher:
             raise KeyError(f"unknown index or alias: {name!r}")
         return name
 
+    def expand(self, name: str) -> tuple[str, ...]:
+        """Index-name wildcard expansion (WildcardIndexTest): a ``*``
+        pattern matches CONCRETE index names only — never aliases —
+        and an exhausted pattern is an error, like the reference's
+        rejection of ``nonexistent-*``. Plain names resolve through
+        the alias map as before."""
+        if "*" not in name:
+            return (self.resolve(name),)
+        import fnmatch
+
+        got = tuple(sorted(n for n in self.engines if fnmatch.fnmatchcase(n, name)))
+        if not got:
+            raise KeyError(f"index wildcard {name!r} matches no index")
+        return got
+
     def search(self, req: SearchRequest, indexes: tuple[str, ...] | None = None) -> dict:
         """Search the named indexes (default: all) and merge.
 
@@ -46,7 +61,9 @@ class MultiIndexSearcher:
         from concurrent.futures import ThreadPoolExecutor
         from dataclasses import replace
 
-        names = sorted({self.resolve(n) for n in (indexes or tuple(self.engines))})
+        names = sorted(
+            {x for n in (indexes or tuple(self.engines)) for x in self.expand(n)}
+        )
         merged: list[dict] = []
         total_hits = 0
         hits_exact = True

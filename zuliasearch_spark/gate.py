@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
-from zuliasearch_spark.indexing.builder import bool_coerce, build_index
+from zuliasearch_spark.indexing.builder import bool_coerce, build_index, int_coerce
 from zuliasearch_spark.search.executor import SearchEngine
 from zuliasearch_spark.search.query import QueryClause, SearchRequest
 
@@ -94,13 +94,23 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         .when(F.col("doc_id") % 7 == 0, F.lit(""))
         .otherwise(F.col("source"))
         .alias("opt_note"),
+        # stat column absent for two whole facet labels — the
+        # StatFacetNoValueTest shape (docs carry the facet but no
+        # numeric value)
+        F.when(F.col("source").isin("src0", "src1"), F.lit(None).cast("long"))
+        .otherwise(F.col("n_chars"))
+        .alias("opt_chars"),
+        # NUMERIC_INT stored through store-time coercion: the source
+        # value is a Double encoding of a whole number
+        # (NumericFacetConversionTest — 2020.0 must facet as "2020")
+        int_coerce((F.lit(2015.0) + (F.col("doc_id") % 7).cast("double"))).alias("year"),
     )
     tables = build_index(
         corpus,
         documents_config(),
         stored_cols=(
             "orig_doc_id", "lang", "source", "n_chars", "src_path", "embedding",
-            "long_flag",
+            "long_flag", "opt_chars", "year",
         ),
     )
     tables.persist()
@@ -971,7 +981,8 @@ def q_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stat_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stats per facet value (stat facets, zulia_query.proto:112-121)."""
+    """Stats per facet value (stat facets, zulia_query.proto:112-121)
+    with the reference's three counts (Stats.java:20-100)."""
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
     return eng.stat_facets(req, "lang", "n_chars", top_n=10).select(
@@ -980,7 +991,59 @@ def q_stat_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_v").cast("long"),
         F.col("sum_v").cast("long"),
         F.col("count_v").cast("long"),
+        F.col("doc_count").cast("long"),
+        F.col("all_doc_count").cast("long"),
     )
+
+
+def q_stat_facet_novalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatFacetNoValueTest semantics: facet labels whose docs carry
+    NO stat values (opt_chars is null for all of src0/src1) still
+    report, with count_v/doc_count 0, all_doc_count > 0, and null
+    min/max/sum — ranked after valued labels."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    return eng.stat_facets(req, "source", "opt_chars", top_n=25).select(
+        "value",
+        F.col("min_v").cast("long"),
+        F.col("max_v").cast("long"),
+        F.col("sum_v").cast("long"),
+        F.col("count_v").cast("long"),
+        F.col("doc_count").cast("long"),
+        F.col("all_doc_count").cast("long"),
+    )
+
+
+def q_stat_facet_pct_novalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatFacetNoValueTest order(4): per-facet DDSketch percentiles
+    where some labels have docs but no values — those labels return
+    count_v 0, all_doc_count > 0, and NULL percentiles (the reference
+    returns zero percentile entries; an empty shard's default sketch
+    must not poison the merge)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    df = eng.stat_facet_percentiles(
+        req, "source", "opt_chars", percentiles=(0.5,), precision=0.01, top_n=25
+    )
+    return df.select(
+        "value", "count_v", "all_doc_count", F.round(F.col("p50"), 4).alias("p50")
+    )
+
+
+def q_numeric_facet_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumericFacetConversionTest: a NUMERIC_INT field stored from a
+    Double encoding facets with an integral label — "2020", never
+    "2020.0" — and the label round-trips to a numeric-set query. The
+    gate renders the facet value AS ITS LABEL (cast to string) so the
+    no-decimal-point contract is what the oracle hashes; cnt_ns is
+    the numeric-set round-trip count for the same value."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    counts = eng.facet_counts(req, "year", top_n=10).select(
+        F.col("value").cast("string").alias("label"), "cnt"
+    )
+    ns_hits = int(eng.search_numeric_set(req, "year", (2016,), amount=1)["totalHits"])
+    return counts.withColumn("cnt_ns", F.lit(ns_hits).cast("long"))
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,9 +1146,24 @@ ORDER BY round(s * ln(d.n_chars + 1), 7) DESC, scored.doc_id ASC LIMIT 10
 _STAT_FACET_SQL = f"""
 WITH {_TOKS_CTE}
 SELECT lang AS value, min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
-       sum(n_chars)::BIGINT AS sum_v, count(n_chars)::BIGINT AS count_v
+       sum(n_chars)::BIGINT AS sum_v, count(n_chars)::BIGINT AS count_v,
+       count(n_chars)::BIGINT AS doc_count, count(*)::BIGINT AS all_doc_count
 FROM documents WHERE doc_id IN {_MATCH_SCAN}
 GROUP BY lang ORDER BY sum_v DESC, value ASC LIMIT 10
+"""
+
+# StatFacetNoValueTest: src0/src1 docs carry the facet but no stat
+# value — they must still report (all_doc_count > 0, count_v 0, null
+# aggregates), ranked nulls-last
+_OPT_CHARS = "CASE WHEN source IN ('src0','src1') THEN NULL ELSE n_chars END"
+_STAT_FACET_NOVALUE_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT source AS value, {_OPT_CHARS} AS oc
+      FROM documents WHERE doc_id IN {_MATCH_SCAN})
+SELECT value, min(oc)::BIGINT AS min_v, max(oc)::BIGINT AS max_v,
+       sum(oc)::BIGINT AS sum_v, count(oc)::BIGINT AS count_v,
+       count(oc)::BIGINT AS doc_count, count(*)::BIGINT AS all_doc_count
+FROM m GROUP BY value ORDER BY sum_v DESC NULLS LAST, value ASC LIMIT 25
 """
 
 _PERCENTILES_SQL = f"""
@@ -1134,6 +1212,39 @@ SELECT n.value, n.n::BIGINT AS count_v,
        round(2 * POW({_DD_GAMMA!r}, qb) / ({_DD_GAMMA!r} + 1), 4) AS p50
 FROM n JOIN q USING (value)
 ORDER BY count_v DESC, value ASC LIMIT 5
+"""
+
+# per-facet sketch where two labels have zero values: the replicated
+# quantile walk LEFT JOINs so those labels keep a NULL p50 (the
+# reference returns no percentile entries for them)
+_STAT_FACET_PCT_NOVALUE_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT source AS value, CAST({_OPT_CHARS} AS DOUBLE) AS v
+      FROM documents WHERE doc_id IN {_MATCH_SCAN}),
+b AS (SELECT value, CAST(CEIL(LN(v) / {_DD_LG!r}) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt FROM m WHERE v IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT value, bucket,
+             SUM(cnt) OVER (PARTITION BY value ORDER BY bucket) AS cum FROM b),
+n AS (SELECT value, COUNT(v)::BIGINT AS count_v, COUNT(*)::BIGINT AS all_doc_count
+      FROM m GROUP BY 1),
+q AS (SELECT c.value, MIN(bucket) AS qb FROM c JOIN n USING (value)
+      WHERE cum > 0.5 * (count_v - 1) GROUP BY 1)
+SELECT n.value, n.count_v, n.all_doc_count,
+       round(2 * POW({_DD_GAMMA!r}, qb) / ({_DD_GAMMA!r} + 1), 4) AS p50
+FROM n LEFT JOIN q USING (value)
+ORDER BY count_v DESC, value ASC LIMIT 25
+"""
+
+# NumericFacetConversionTest: the Double-encoded year coerces to the
+# declared integral type at store time, so the facet label is the
+# integral rendering and round-trips to a numeric-set query
+_NUMERIC_FACET_COERCE_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT CAST(2015 + (doc_id % 7) AS BIGINT) AS y
+      FROM documents WHERE doc_id IN {_MATCH_SCAN})
+SELECT CAST(y AS VARCHAR) AS label, COUNT(*)::BIGINT AS cnt,
+       (SELECT COUNT(*) FROM m WHERE y = 2016)::BIGINT AS cnt_ns
+FROM m GROUP BY y
 """
 
 _SIM_TF_SQL = f"""
@@ -1476,6 +1587,9 @@ QUERIES = {
     "percentiles": q_percentiles,
     "percentiles_sketch": q_percentiles_sketch,
     "stat_facet_percentiles": q_stat_facet_percentiles,
+    "stat_facet_novalue": q_stat_facet_novalue,
+    "stat_facet_pct_novalue": q_stat_facet_pct_novalue,
+    "numeric_facet_coerce": q_numeric_facet_coerce,
     "sim_tf": q_sim_tf,
     "sim_constant": q_sim_constant,
     "highlight": q_highlight,
@@ -1855,6 +1969,9 @@ ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
     "percentiles": _PERCENTILES_SQL,
     "percentiles_sketch": _PERCENTILES_SKETCH_SQL,
     "stat_facet_percentiles": _STAT_FACET_PCT_SQL,
+    "stat_facet_novalue": _STAT_FACET_NOVALUE_SQL,
+    "stat_facet_pct_novalue": _STAT_FACET_PCT_NOVALUE_SQL,
+    "numeric_facet_coerce": _NUMERIC_FACET_COERCE_SQL,
     "sim_tf": _SIM_TF_SQL,
     "sim_constant": _SIM_CONST_SQL,
     "highlight": _HIGHLIGHT_SQL,

@@ -607,6 +607,42 @@ def bool_coerce(col):
     )
 
 
+def int_coerce(col, bits: int = 32, string_input: bool = False):
+    """Store-time NUMERIC_INT / NUMERIC_LONG coercion
+    (IntFieldIndexer/LongFieldIndexer via NumericFieldIndexer.java:
+    14-40; NumericFacetConversionTest): a Number value truncates
+    through ``Number.intValue()``/``longValue()`` — a Double 2020.0
+    and an Integer 2020 collapse into ONE indexed value, so the facet
+    label reads "2020" with no decimal point and round-trips to a
+    numeric-set query. A String value must parse as the integral type
+    exactly (``Integer.parseInt`` — "2020.0" FAILS the build with
+    NumberFormatException); pass ``string_input=True`` for string
+    columns to get that strict behavior, since a Spark column is
+    uniformly typed where the reference dispatches on the runtime
+    class. Pure codegen, applied to the corpus column before
+    ``build_index``."""
+    if bits not in (32, 64):
+        raise ValueError("bits must be 32 (NUMERIC_INT) or 64 (NUMERIC_LONG)")
+    t = "int" if bits == 32 else "long"
+    c = F.col(col) if isinstance(col, str) else col
+    if string_input:
+        parsed = F.trim(c.cast("string")).try_cast(t)
+        return (
+            F.when(c.isNull(), F.lit(None).cast(t))
+            .when(parsed.isNotNull(), parsed)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"string value cannot be parsed as {t}: "), c.cast("string")
+                    )
+                ).cast(t)
+            )
+        )
+    # numeric source: Java's intValue()/longValue() truncates toward
+    # zero, exactly what Spark's numeric->integral cast does
+    return c.cast(t)
+
+
 def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, ...] = ()) -> IndexTables:
     """Build all index tables from a corpus DataFrame (lazy plan).
 

@@ -2390,19 +2390,48 @@ class SearchEngine:
     def stat_facets(self, req: SearchRequest, facet_field: str, stat_field: str, top_n: int = 10):
         """Numeric stats per facet value over the match set
         (stat facets, zulia_query.proto:112-121; accumulation
-        MapStatOrdinalStorage.java) — top-N facets by sum."""
+        MapStatOrdinalStorage.java) — top-N facets by sum.
+
+        Carries the reference's three counts (Stats.java:20-100;
+        StatFacetNoValueTest): ``count_v`` = values seen, ``doc_count``
+        = docs with ≥1 value, ``all_doc_count`` = every matched doc
+        carrying the facet label — so a label whose docs have NO stat
+        values still appears, with count_v/doc_count 0 and null
+        min/max/sum (it ranks after valued labels, nulls-last). Array
+        stat columns aggregate element-wise without an explode."""
         matches = self.match_ids(req).select("shard", "doc_id")
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         c = F.col(stat_field)
-        return (
-            j.groupBy(F.col(facet_field).alias("value"))
-            .agg(
+        dtype = dict(self.tables.doc_map.dtypes).get(stat_field, "")
+        if dtype.startswith("array"):
+            has = c.isNotNull() & (F.size(c) > 0)
+            aggs = [
+                F.min(F.array_min(c)).alias("min_v"),
+                F.max(F.array_max(c)).alias("max_v"),
+                F.sum(
+                    F.when(
+                        has,
+                        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+                    )
+                ).alias("sum_v"),
+                F.sum(F.when(c.isNotNull(), F.size(c)).otherwise(0)).alias("count_v"),
+                F.sum(has.cast("long")).alias("doc_count"),
+                F.count(F.lit(1)).alias("all_doc_count"),
+            ]
+        else:
+            aggs = [
                 F.min(c).alias("min_v"),
                 F.max(c).alias("max_v"),
                 F.sum(c).alias("sum_v"),
                 F.count(c).alias("count_v"),
-            )
-            .orderBy(F.desc("sum_v"), F.asc("value"))
+                F.count(c).alias("doc_count"),
+                F.count(F.lit(1)).alias("all_doc_count"),
+            ]
+        return (
+            j.where(F.col(facet_field).isNotNull())
+            .groupBy(F.col(facet_field).alias("value"))
+            .agg(*aggs)
+            .orderBy(F.desc_nulls_last("sum_v"), F.asc("value"))
             .limit(top_n)
         )
 
@@ -2521,7 +2550,16 @@ class SearchEngine:
         `groupBy(facet, sign, bucket)` shuffle, then a per-facet
         quantile walk over the tiny bucket histogram. Facets ranked by
         value count descending (MapStatOrdinalStorage top-N by
-        requested sort), ties by label."""
+        requested sort), ties by label.
+
+        A facet label whose docs carry NO stat values still appears
+        (StatFacetNoValueTest: docCount 0, allDocCount > 0, no
+        percentiles → null percentile columns): null-v rows group
+        under a null sign/bucket, contributing to ``all_doc_count``
+        only. An empty shard contributes nothing rather than a
+        default-instance sketch — the gamma=0 merge crash
+        StatFacetNoValueTest reproduces in the reference cannot occur
+        here because the merge is the groupBy itself."""
         import math
 
         gamma = (1.0 + precision) / (1.0 - precision)
@@ -2530,13 +2568,16 @@ class SearchEngine:
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         v = F.col(stat_field).cast("double")
         j = j.select(F.col(facet_field).alias("facet"), v.alias("v")).where(
-            F.col("v").isNotNull() & F.col("facet").isNotNull()
+            F.col("facet").isNotNull()
         )
-        sign = F.when(F.col("v") > 0, 1).when(F.col("v") < 0, -1).otherwise(0)
+        has = F.col("v").isNotNull()
+        sign = F.when(~has, F.lit(None).cast("int")).when(F.col("v") > 0, 1).when(
+            F.col("v") < 0, -1
+        ).otherwise(0)
         bucket = F.when(
-            F.col("v") != 0,
+            has & (F.col("v") != 0),
             F.ceil(F.log(F.abs(F.col("v"))) / F.lit(lg)).cast("long"),
-        ).otherwise(F.lit(0))
+        ).when(has, F.lit(0)).otherwise(F.lit(None).cast("long"))
         rows = (
             j.select("facet", sign.alias("sign"), bucket.alias("bucket"))
             .groupBy("facet", "sign", "bucket")
@@ -2546,7 +2587,9 @@ class SearchEngine:
         by_facet: dict[str, list] = {}
         for r in rows:
             by_facet.setdefault(str(r["facet"]), []).append(
-                (int(r["sign"]), int(r["bucket"]), int(r["count"]))
+                (None if r["sign"] is None else int(r["sign"]),
+                 None if r["bucket"] is None else int(r["bucket"]),
+                 int(r["count"]))
             )
         out_rows = []
         for facet, ent in by_facet.items():
@@ -2554,8 +2597,12 @@ class SearchEngine:
             zero = sum(c for s, _, c in ent if s == 0)
             pos = sorted((b, c) for s, b, c in ent if s == 1)
             n = sum(c for _, c in neg) + zero + sum(c for _, c in pos)
-            vals = [facet, n]
+            all_docs = sum(c for _, _, c in ent)
+            vals = [facet, n, all_docs]
             for p in percentiles:
+                if n == 0:
+                    vals.append(None)
+                    continue
                 rank = p * (n - 1)
                 cum = 0
                 val = None
@@ -2581,7 +2628,8 @@ class SearchEngine:
         spark = self.tables.doc_map.sparkSession
         pcols = ", ".join(f"p{int(p * 100)} double" for p in percentiles)
         return spark.createDataFrame(
-            out_rows or [], schema=f"value string, count_v bigint, {pcols}"
+            out_rows or [],
+            schema=f"value string, count_v bigint, all_doc_count bigint, {pcols}",
         )
 
     def analysis_summary(

@@ -1764,6 +1764,20 @@ class SearchEngine:
         scan = self._postings_scan(cond, _has_phrase(tree, resolved))
         return scan.groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
 
+    @staticmethod
+    def _facet_top_n(top_n: int) -> int | None:
+        """maxFacets semantics (QueryRequestValidator.java:70-71;
+        FacetTopNEdgeCaseTest ``setTopN(-1)``): 0 takes the reference
+        default of 10; a negative topN returns ALL labels (None = no
+        cut). Result size is always min(topN, label cardinality) and
+        any topN yields a prefix of the full descending-count,
+        label-ascending order — the reference asserts that
+        cross-path (PQ vs collect-and-sort) consistency; here both
+        "paths" are the same groupBy, so it holds by construction."""
+        if top_n == 0:
+            return 10
+        return None if top_n < 0 else top_n
+
     def facet_counts(
         self,
         req: SearchRequest,
@@ -1802,12 +1816,13 @@ class SearchEngine:
             val = F.when(c, "True").when(~c, "False")
         else:
             val = F.col(facet_field)
-        return (
+        out = (
             joined.groupBy(val.alias("value"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("value"))
-            .limit(top_n)
         )
+        cut = self._facet_top_n(top_n)
+        return out if cut is None else out.limit(cut)
 
     def facet_counts_sharded(
         self,
@@ -1947,14 +1962,15 @@ class SearchEngine:
         else:
             j = j.filter(F.size("parts") > 0)
         child = F.col("parts")[depth]
-        return (
+        out = (
             j.select("shard", "doc_id", child.alias("value"))
             .distinct()  # one count per doc per distinct child
             .groupBy("value")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("value"))
-            .limit(top_n)
         )
+        cut = self._facet_top_n(top_n)
+        return out if cut is None else out.limit(cut)
 
     def drill_down_predicate(
         self, facet_field: str, path: tuple[str, ...], separator: str = "/"
@@ -2427,13 +2443,14 @@ class SearchEngine:
                 F.count(c).alias("doc_count"),
                 F.count(F.lit(1)).alias("all_doc_count"),
             ]
-        return (
+        out = (
             j.where(F.col(facet_field).isNotNull())
             .groupBy(F.col(facet_field).alias("value"))
             .agg(*aggs)
             .orderBy(F.desc_nulls_last("sum_v"), F.asc("value"))
-            .limit(top_n)
         )
+        cut = self._facet_top_n(top_n)
+        return out if cut is None else out.limit(cut)
 
     def percentile_stats(self, req: SearchRequest, stat_field: str, percentiles=(0.25, 0.5, 0.75, 0.95)):
         """Exact percentiles over the match set. The reference sketches
@@ -2624,7 +2641,9 @@ class SearchEngine:
                 vals.append(float(val))
             out_rows.append(tuple(vals))
         out_rows.sort(key=lambda t: (-t[1], t[0]))
-        out_rows = out_rows[:top_n]
+        cut = self._facet_top_n(top_n)
+        if cut is not None:
+            out_rows = out_rows[:cut]
         spark = self.tables.doc_map.sparkSession
         pcols = ", ".join(f"p{int(p * 100)} double" for p in percentiles)
         return spark.createDataFrame(

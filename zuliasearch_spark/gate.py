@@ -502,6 +502,29 @@ def q_facet_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q_stat_facet_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed stat-facet merge protocol (StatCombiner.java;
+    StatCombinerTest): per-shard top-by-sum stat lists merged at the
+    combiner. shard_facets=-1 = full per-shard lists, so the merge
+    must equal the exact global per-facet stats with maxSumError 0
+    and no error flags (the truncated/error-bound path is covered by
+    tests/test_stat_facet_sharded.py against hand-computed bounds)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    df = eng.stat_facets_sharded(req, "lang", "n_chars", top_n=5, shard_facets=-1)
+    return df.select(
+        "value",
+        F.col("sum_v").cast("long"),
+        "count_v",
+        "doc_count",
+        "all_doc_count",
+        F.col("min_v").cast("long"),
+        F.col("max_v").cast("long"),
+        F.col("max_sum_error").cast("long"),
+        "has_error",
+    )
+
+
 _GEO_ENGINE_CACHE: dict = {}
 
 
@@ -1564,6 +1587,7 @@ QUERIES = {
     "bool_facet": q_bool_facet,
     "null_exists_counts": q_null_exists_counts,
     "facet_sharded": q_facet_sharded,
+    "stat_facet_sharded": q_stat_facet_sharded,
     "interval_within_count": q_interval_within_count,
     "interval_atleast_count": q_interval_atleast_count,
     "qs_zl_ns_count": q_qs_zl_ns_count,
@@ -1933,6 +1957,15 @@ WITH {_TOKS_CTE}
 SELECT lang AS value, count(*)::BIGINT AS cnt, 0::BIGINT AS max_error
 FROM documents WHERE doc_id IN {_MATCH_SCAN}
 GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 5""",
+    "stat_facet_sharded": f"""
+WITH {_TOKS_CTE}
+SELECT lang AS value, sum(n_chars)::BIGINT AS sum_v,
+       count(n_chars)::BIGINT AS count_v, count(n_chars)::BIGINT AS doc_count,
+       count(*)::BIGINT AS all_doc_count, min(n_chars)::BIGINT AS min_v,
+       max(n_chars)::BIGINT AS max_v, 0::BIGINT AS max_sum_error,
+       FALSE AS has_error
+FROM documents WHERE doc_id IN {_MATCH_SCAN}
+GROUP BY lang ORDER BY sum_v DESC, value ASC LIMIT 5""",
     "numeric_stats": f"""
 WITH {_TOKS_CTE}
 SELECT min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,

@@ -1926,6 +1926,121 @@ class SearchEngine:
         )
         return df, flags
 
+    def stat_facets_sharded(
+        self,
+        req: SearchRequest,
+        facet_field: str,
+        stat_field: str,
+        top_n: int = 10,
+        shard_facets: int = 0,
+    ):
+        """Distributed stat-facet merge with per-label sum-error
+        bounds — the reference's StatCombiner (StatCombiner.java;
+        StatCombinerTest): each shard reports only its top
+        ``shard_facets`` labels BY SUM; the combiner adds
+        sums/counts, combines min/max, bounds each label's sum
+        undercount (maxSumError = Σ min-returned-sum of shards that
+        did NOT report it) and flags it ``has_error``.
+        ``shard_facets=-1`` reports full per-shard lists (exact
+        merge, error 0); 0 takes the reference default of 10 × top_n
+        (QueryRequestValidator.java:50-56). `stat_facets` stays the
+        exact global groupBy; this surface exists for protocol
+        parity and for callers that cap per-shard work.
+
+        Scale shape: identical to `facet_counts_sharded` —
+        `groupBy(shard, value)` partial-aggregates map-side, the
+        per-shard cut is a window WITHIN the shard partition (no
+        second shuffle), and only shards × shard_facets rows reach
+        the driver for the combiner walk.
+        """
+        from pyspark.sql import Window
+
+        if shard_facets == 0:
+            if top_n <= 0:
+                raise ValueError(
+                    "shard_facets=0 (reference default 10*top_n) needs top_n > 0"
+                )
+            shard_facets = 10 * top_n
+        matches = self.match_ids(req).select("shard", "doc_id")
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        c = F.col(stat_field).cast("double")
+        per = (
+            j.where(F.col(facet_field).isNotNull())
+            .groupBy("shard", F.col(facet_field).alias("value"))
+            .agg(
+                F.sum(c).alias("sum_v"),
+                F.count(c).alias("count_v"),
+                F.min(c).alias("min_v"),
+                F.max(c).alias("max_v"),
+                F.count(F.lit(1)).alias("all_doc_count"),
+            )
+        )
+        if shard_facets > 0:
+            w = Window.partitionBy("shard").orderBy(
+                F.desc_nulls_last("sum_v"), F.asc("value")
+            )
+            per = (
+                per.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= shard_facets)
+                .drop("_rn")
+            )
+        rows = per.collect()
+        by_shard: dict[int, list] = {s: [] for s in self._shard_counts}
+        for r in rows:
+            by_shard.setdefault(int(r["shard"]), []).append(r)
+        agg: dict[str, dict] = {}
+        shards_returned: dict[str, set[int]] = {}
+        full_results: set[int] = set()
+        min_sum_for_shard: dict[int, float] = {}
+        for s, lst in by_shard.items():
+            lst.sort(key=lambda r: (-(r["sum_v"] if r["sum_v"] is not None else float("-inf")), r["value"]))
+            for r in lst:
+                v = str(r["value"])
+                e = agg.setdefault(
+                    v,
+                    {"sum_v": None, "count_v": 0, "min_v": None, "max_v": None,
+                     "all_doc_count": 0},
+                )
+                if r["sum_v"] is not None:
+                    e["sum_v"] = (e["sum_v"] or 0.0) + float(r["sum_v"])
+                e["count_v"] += int(r["count_v"])
+                for k, pick in (("min_v", min), ("max_v", max)):
+                    if r[k] is not None:
+                        e[k] = float(r[k]) if e[k] is None else pick(e[k], float(r[k]))
+                e["all_doc_count"] += int(r["all_doc_count"])
+                shards_returned.setdefault(v, set()).add(s)
+            if len(lst) < shard_facets or shard_facets == -1:
+                full_results.add(s)
+                min_sum_for_shard[s] = 0.0
+            elif lst:
+                min_sum_for_shard[s] = float(lst[-1]["sum_v"] or 0.0)
+        compute_error = shard_facets > 0 and len(by_shard) > 1
+        out = []
+        for v, e in agg.items():
+            reported = shards_returned.get(v, set()) | full_results
+            missing = [s for s in min_sum_for_shard if s not in reported]
+            max_sum_error = (
+                float(sum(min_sum_for_shard[s] for s in missing)) if compute_error else 0.0
+            )
+            out.append(
+                (v, e["sum_v"], e["count_v"], e["count_v"], e["all_doc_count"],
+                 e["min_v"], e["max_v"], max_sum_error,
+                 bool(compute_error and missing))
+            )
+        out.sort(key=lambda t: (-(t[1] if t[1] is not None else float("-inf")), t[0]))
+        cut = self._facet_top_n(top_n)
+        if cut is not None:
+            out = out[:cut]
+        spark = self.tables.doc_map.sparkSession
+        return spark.createDataFrame(
+            out or [],
+            schema=(
+                "value string, sum_v double, count_v bigint, doc_count bigint, "
+                "all_doc_count bigint, min_v double, max_v double, "
+                "max_sum_error double, has_error boolean"
+            ),
+        )
+
     def facet_path_counts(
         self,
         req: SearchRequest,

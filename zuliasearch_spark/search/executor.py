@@ -686,6 +686,46 @@ def _date_period(v: str) -> tuple[str, str, str, str]:
     return (ts, ts, day, day)
 
 
+_NUMERIC_SET_KINDS = {
+    "tinyint": ("int", -(2**31), 2**31 - 1),
+    "smallint": ("int", -(2**31), 2**31 - 1),
+    "int": ("int", -(2**31), 2**31 - 1),
+    "bigint": ("long", -(2**63), 2**63 - 1),
+    "float": ("float", None, None),
+    "double": ("double", None, None),
+}
+
+
+def _validate_numeric_set_value(v, dt: str, fld: str) -> None:
+    """zl:ns value validation, typed per the column like the
+    reference's SetQueryHelper.getNumericSetQuery /
+    ZuliaNumericSetQueryNode (QueryParserEdgeCaseTest
+    .numericSetInvalidValueTest asserts this message shape): int/long
+    columns reject fractional values and out-of-range parses; float/
+    double reject non-numbers. Booleans/strings fall through to the
+    literal coercion that follows."""
+    kind = _NUMERIC_SET_KINDS.get(dt)
+    if kind is None:
+        return
+    name, lo, hi = kind
+    err = ValueError(
+        f"Invalid value <{v}> for numeric set query on {name} field <{fld}>. "
+        f"Every value must be a valid {name}"
+    )
+    if name in ("int", "long"):
+        try:
+            iv = int(str(v))
+        except ValueError:
+            raise err from None
+        if not (lo <= iv <= hi):
+            raise err
+    else:
+        try:
+            float(str(v))
+        except ValueError:
+            raise err from None
+
+
 def _bool_literal(v) -> str:
     """Query-side boolean coercion: the lexicon the reference's BOOL
     field type accepts (BooleanFormatTest TRUE_VALUES/FALSE_VALUES —
@@ -791,7 +831,7 @@ def _scoring_leaves(resolved) -> list[tuple[TermSpec, float]]:
     for rc in resolved:
         if rc.clause.scoring:
             for spec in rc.specs:
-                out.append((spec, rc.clause.boost))
+                out.append((spec, rc.clause.boost * getattr(spec, "boost", 1.0)))
     return out
 
 
@@ -1673,6 +1713,8 @@ class SearchEngine:
 
                     sub = []
                     if isinstance(r, _RNumericSetT):
+                        for v in r.values:
+                            _validate_numeric_set_value(v, elem, fld)
                         vals = ", ".join(elit(v) for v in r.values)
                         sub.append(f"x IN ({vals})")
                     else:
@@ -1702,6 +1744,8 @@ class SearchEngine:
                     return "'" + str(v).replace("'", "''") + "'"
 
                 if isinstance(r, _RNumericSetT):
+                    for v in r.values:
+                        _validate_numeric_set_value(v, dt, fld)
                     vals = ", ".join(lit(v) for v in r.values)
                     alts.append(f"coalesce(`{fld}` IN ({vals}), false)")
                     continue
@@ -1778,12 +1822,44 @@ class SearchEngine:
             return 10
         return None if top_n < 0 else top_n
 
+    def _facet_hits_guard(self, matches, max_total_hits: int = 0, max_shard_hits: int = 0):
+        """The reference's facet/stat cost guard SKIPS, never
+        truncates (ShardReader.java:331-338; QueryCombiner.java:
+        190-206; GeneralFeaturesTest.conditionalFacetsTest): a shard
+        whose hit count exceeds the shard limit (maxShardHitsForFacet,
+        falling back to maxTotalHitsForFacet when 0) contributes no
+        facet group, and when GLOBAL totalHits exceeds
+        maxTotalHitsForFacet the whole facet is dropped — the client
+        sees null, not counts over a sample. Returns
+        ``(contributing_matches | None, skipped)``.
+
+        The per-shard hit counts cost one partial-aggregate job only
+        when a guard is armed (the reference reads shardTotalHits off
+        the search it already ran; here match_ids is lazy, and a
+        guarded request exists precisely to avoid the bigger facet
+        job, so the small count is the cheap branch)."""
+        if not max_total_hits and not max_shard_hits:
+            return matches, False
+        per = matches.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        total = sum(r["cnt"] for r in per)
+        if max_total_hits and total > max_total_hits:
+            return None, True
+        shard_limit = max_shard_hits or max_total_hits
+        if shard_limit:
+            ok = [int(r["shard"]) for r in per if r["cnt"] <= shard_limit]
+            if not ok:
+                return None, True
+            if len(ok) < len(per):
+                matches = matches.where(F.col("shard").isin(ok))
+        return matches, False
+
     def facet_counts(
         self,
         req: SearchRequest,
         facet_field: str,
         top_n: int = 10,
         max_total_hits: int = 0,
+        max_shard_hits: int = 0,
         date_format: str | None = None,
     ):
         """Exact top-N facet counts over the match set.
@@ -1793,16 +1869,16 @@ class SearchEngine:
         exact, so maxError/possibleMissing are always zero here.
         Ties broken by value ascending (deterministic).
 
-        ``max_total_hits`` > 0 reproduces the maxTotalHitsForFacet
-        cost guard (QueryRequestValidator; facet counting stops after
-        N hits): only the first N matches per the deterministic
-        (shard, doc_id) order feed the counts — an approximation
-        switch for hot paths, off by default because the exact global
-        groupBy is already one shuffle.
+        ``max_total_hits`` / ``max_shard_hits`` arm the
+        maxTotalHitsForFacet / maxShardHitsForFacet cost guard
+        (skip-not-truncate — see _facet_hits_guard); returns None
+        when the facet is skipped, mirroring the reference client's
+        null facet group.
         """
         matches = self.match_ids(req).select("shard", "doc_id")
-        if max_total_hits > 0:
-            matches = matches.orderBy("shard", "doc_id").limit(max_total_hits)
+        matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
+        if skipped:
+            return None
         joined = matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner")
         # FacetAs.DateHandling (zulia_index.proto DATE_YYYY_MM_DD /
         # DATE_YYYYMMDD): date/timestamp facet values format to the
@@ -1830,6 +1906,8 @@ class SearchEngine:
         facet_field: str,
         top_n: int = 10,
         shard_facets: int = 40,
+        max_total_hits: int = 0,
+        max_shard_hits: int = 0,
     ):
         """Per-shard top-N facet merge with error bounds — the
         reference's distributed facet protocol (FacetCombiner.java:
@@ -1861,6 +1939,9 @@ class SearchEngine:
                 raise ValueError("shard_facets=0 (reference default 10*top_n) needs top_n > 0")
             shard_facets = 10 * top_n
         matches = self.match_ids(req).select("shard", "doc_id")
+        matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
+        if skipped:
+            return None, None
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         per = j.groupBy("shard", F.col(facet_field).alias("value")).agg(
             F.count(F.lit(1)).alias("cnt")
@@ -1933,6 +2014,8 @@ class SearchEngine:
         stat_field: str,
         top_n: int = 10,
         shard_facets: int = 0,
+        max_total_hits: int = 0,
+        max_shard_hits: int = 0,
     ):
         """Distributed stat-facet merge with per-label sum-error
         bounds — the reference's StatCombiner (StatCombiner.java;
@@ -1962,6 +2045,9 @@ class SearchEngine:
                 )
             shard_facets = 10 * top_n
         matches = self.match_ids(req).select("shard", "doc_id")
+        matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
+        if skipped:
+            return None
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         c = F.col(stat_field).cast("double")
         per = (
@@ -2048,6 +2134,8 @@ class SearchEngine:
         path: tuple[str, ...] = (),
         top_n: int = 10,
         separator: str = "/",
+        max_total_hits: int = 0,
+        max_shard_hits: int = 0,
     ):
         """Hierarchical facet counts: top-N CHILDREN of ``path``.
 
@@ -2062,6 +2150,9 @@ class SearchEngine:
         (array) facet columns.
         """
         matches = self.match_ids(req).select("shard", "doc_id")
+        matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
+        if skipped:
+            return None
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         col = F.col(facet_field)
         if dict(self.tables.doc_map.dtypes).get(facet_field, "").startswith("array"):
@@ -2102,15 +2193,25 @@ class SearchEngine:
             f"slice(split(`{facet_field}`, '{separator}'), 1, {len(path)}) = {arr}"
         )
 
-    def numeric_stats(self, req: SearchRequest, stat_field: str):
+    def numeric_stats(
+        self,
+        req: SearchRequest,
+        stat_field: str,
+        max_total_hits: int = 0,
+        max_shard_hits: int = 0,
+    ):
         """min/max/sum + the reference's three counts over the match
         set (Stats.java:20-100; StatFacetNoValueTest semantics):
         ``count_v`` = values seen (multivalued fields count every
         element), ``doc_count`` = docs with ≥1 value, ``all_doc_count``
         = every matched doc whether or not it has the field. Scalar
         and array<numeric> stat columns both work — arrays aggregate
-        element-wise without an explode."""
+        element-wise without an explode. StatRequest carries the same
+        maxTotalHitsForFacet guard as facets (skip → None)."""
         matches = self.match_ids(req).select("shard", "doc_id")
+        matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
+        if skipped:
+            return None
         joined = matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner")
         c = F.col(stat_field)
         dtype = dict(self.tables.doc_map.dtypes).get(stat_field, "")
@@ -2518,7 +2619,15 @@ class SearchEngine:
             .limit(amount)
         )
 
-    def stat_facets(self, req: SearchRequest, facet_field: str, stat_field: str, top_n: int = 10):
+    def stat_facets(
+        self,
+        req: SearchRequest,
+        facet_field: str,
+        stat_field: str,
+        top_n: int = 10,
+        max_total_hits: int = 0,
+        max_shard_hits: int = 0,
+    ):
         """Numeric stats per facet value over the match set
         (stat facets, zulia_query.proto:112-121; accumulation
         MapStatOrdinalStorage.java) — top-N facets by sum.
@@ -2529,8 +2638,12 @@ class SearchEngine:
         carrying the facet label — so a label whose docs have NO stat
         values still appears, with count_v/doc_count 0 and null
         min/max/sum (it ranks after valued labels, nulls-last). Array
-        stat columns aggregate element-wise without an explode."""
+        stat columns aggregate element-wise without an explode.
+        Honors the maxTotalHits/maxShardHits skip guard (→ None)."""
         matches = self.match_ids(req).select("shard", "doc_id")
+        matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
+        if skipped:
+            return None
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         c = F.col(stat_field)
         dtype = dict(self.tables.doc_map.dtypes).get(stat_field, "")

@@ -78,7 +78,10 @@ def combine_clauses(
         sub_conj: dict[tuple[int, int], bool] = {}
         group_required: dict[int, bool] = {}
         for spec in rc.specs:
-            m, s = term_vectors(spec, c.boost)
+            # clause boost × per-field ``field^N`` boost (the
+            # reference pushes both into the term weight like
+            # Lucene's BoostQuery)
+            m, s = term_vectors(spec, c.boost * getattr(spec, "boost", 1.0))
             key = (spec.group, spec.subgroup)
             prev = sub_masks.get(key)
             if prev is None:
@@ -157,7 +160,7 @@ def evaluate_tree(root, term_vectors, n: int, parity: bool, root_fixup: bool = T
             # fields; multi-term tokens conj/disj by default operator
             sub: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
             for spec in node.specs:
-                m, s = term_vectors(spec, node.boost)
+                m, s = term_vectors(spec, node.boost * getattr(spec, "boost", 1.0))
                 got = sub.get(spec.subgroup)
                 if got is None:
                     sub[spec.subgroup] = (m, np.where(m, s, 0.0), 1)

@@ -657,20 +657,30 @@ class _Parser:
                 nt = self.peek()
                 if nt is not None and nt.kind == "term" and re.fullmatch(r"\d+(\.\d+)?", nt.text):
                     num = self.next().text
+
+                def whole(what: str) -> int:
+                    # mm / slop / max-gaps take WHOLE numbers only —
+                    # the reference surfaces a ParseException, not a
+                    # truncation (QueryParserEdgeCaseTest
+                    # .fractionalWholeNumberTokenTest)
+                    if num is not None and "." in num:
+                        raise ParseError(f"{what} must be a whole number, got {num!r}")
+                    return int(num)
+
                 if isinstance(node, Bool):
-                    node.mm = int(float(num)) if num else 1
+                    node.mm = whole("minimum-match") if num else 1
                 elif isinstance(node, Interval):
                     # ~N after fn:ordered/unordered = max gaps; on a
                     # nested tree it wraps the root in fn:maxgaps
-                    gaps = int(float(num)) if num else 0
+                    gaps = whole("max gaps") if num else 0
                     if node.tree is not None:
                         node.tree = ISrc("maxgaps", (node.tree,), n=gaps)
                     else:
                         node.max_gaps = gaps
                 elif isinstance(node, Leaf) and node.phrase:
-                    node.slop = int(float(num)) if num else 0
+                    node.slop = whole("phrase slop") if num else 0
                 elif isinstance(node, Leaf):
-                    node.fuzzy = int(float(num)) if num else 2
+                    node.fuzzy = whole("fuzzy edits") if num else 2
                 else:
                     raise ParseError("~ not applicable here")
                 continue
@@ -800,8 +810,14 @@ def resolve_tree(
         expand_field = lambda f: (f,)  # noqa: E731
 
     def field_targets(scoped_field):
-        names = (scoped_field,) if scoped_field else tuple(default_fields)
-        return tuple(dict.fromkeys(f for n in names for f in expand_field(n)))
+        """(field, boost) targets: scoped fields boost 1.0; default
+        fields may carry ``field^N`` boosts
+        (QueryParserEdgeCaseTest.validFieldBoostTest)."""
+        from zuliasearch_spark.search.query import expand_boosted_fields
+
+        if scoped_field:
+            return tuple((f, 1.0) for f in dict.fromkeys(expand_field(scoped_field)))
+        return expand_boosted_fields(tuple(default_fields), expand_field)
 
     conj = default_op.upper() == "AND"
     if isinstance(node, Bool):
@@ -836,8 +852,8 @@ def resolve_tree(
 
         fields = field_targets(node.field)
         specs = tuple(
-            TermSetSpec(f, node.values, required=False, group=0, subgroup=sub)
-            for sub, f in enumerate(fields)
+            TermSetSpec(f, node.values, required=False, group=0, subgroup=sub, boost=fb)
+            for sub, (f, fb) in enumerate(fields)
         )
         return RLeaf(specs, conj=False, boost=node.boost)
     if isinstance(node, Interval):
@@ -848,7 +864,7 @@ def resolve_tree(
         if not fields:
             raise ParseError("no default fields for interval function")
         ispecs = []
-        for sub, f in enumerate(fields):
+        for sub, (f, fb) in enumerate(fields):
             if node.tree is not None:
                 rtree = _resolve_isrc(node.tree, f, analyze, expand_wildcard, expand_fuzzy)
                 terms = leaf_terms(rtree)
@@ -856,7 +872,7 @@ def resolve_tree(
                     ispecs.append(
                         IntervalSpec(
                             f, terms, ordered=True, max_gaps=-1, tree=rtree,
-                            required=True, group=0, subgroup=sub,
+                            required=True, group=0, subgroup=sub, boost=fb,
                         )
                     )
                 continue
@@ -865,7 +881,7 @@ def resolve_tree(
                 ispecs.append(
                     IntervalSpec(
                         f, terms, node.ordered, node.max_gaps,
-                        required=True, group=0, subgroup=sub,
+                        required=True, group=0, subgroup=sub, boost=fb,
                     )
                 )
         return RLeaf(tuple(ispecs), conj=False, boost=node.boost)
@@ -913,33 +929,33 @@ def resolve_tree(
     specs = []
     if node.text == "*" and not node.phrase and not node.regex:
         # pure wildcard field:* → field exists
-        for sub, f in enumerate(fields):
+        for sub, (f, _fb) in enumerate(fields):
             specs.append(ExistsSpec(f, required=False, group=0, subgroup=sub))
         return RLeaf(tuple(specs), conj=False, boost=node.boost)
-    for sub, f in enumerate(fields):
+    for sub, (f, fb) in enumerate(fields):
         if node.phrase:
             terms = tuple(analyze(f, node.text))
             if len(terms) == 1 and node.slop == 0:
-                specs.append(TermSpec(f, terms[0], required=False, group=0, subgroup=sub))
+                specs.append(TermSpec(f, terms[0], required=False, group=0, subgroup=sub, boost=fb))
             elif terms:
-                specs.append(PhraseSpec(f, terms, node.slop, required=True, group=0, subgroup=sub))
+                specs.append(PhraseSpec(f, terms, node.slop, required=True, group=0, subgroup=sub, boost=fb))
         elif node.regex:
             for t in expand_wildcard(f, node.text):
-                specs.append(TermSpec(f, t, required=False, group=0, subgroup=sub))
+                specs.append(TermSpec(f, t, required=False, group=0, subgroup=sub, boost=fb))
         elif node.fuzzy is not None:
             base = analyze(f, node.text)
             seed = base[0] if base else node.text.lower()
             for t in expand_fuzzy(f, seed, node.fuzzy):
-                specs.append(TermSpec(f, t, required=False, group=0, subgroup=sub))
+                specs.append(TermSpec(f, t, required=False, group=0, subgroup=sub, boost=fb))
         elif "*" in node.text or "?" in node.text:
             # wild*card → anchored regex over the dictionary
             # (ZuliaSyntaxParser wildcard terms → TermInSet expansion)
             rx = "^" + re.escape(node.text).replace(r"\*", ".*").replace(r"\?", ".") + "$"
             for t in expand_wildcard(f, rx):
-                specs.append(TermSpec(f, t, required=False, group=0, subgroup=sub))
+                specs.append(TermSpec(f, t, required=False, group=0, subgroup=sub, boost=fb))
         else:
             for t in analyze(f, node.text):
-                specs.append(TermSpec(f, t, required=conj, group=0, subgroup=sub))
+                specs.append(TermSpec(f, t, required=conj, group=0, subgroup=sub, boost=fb))
     # expansion sets (wildcard/fuzzy/regex) OR their terms even under
     # a default-AND operator: mark disjunction by conj=False
     is_expansion = node.regex or node.fuzzy is not None or "*" in node.text or "?" in node.text

@@ -126,6 +126,10 @@ class TermSpec:
       subgroup matches iff ALL of its leaves match (the analyzed
       terms of the token in that field).
     - ``required``: whether the GROUP is an AND member.
+    - ``boost``: per-FIELD weight from a ``field^N`` query-field entry
+      (ZuliaFlexibleQueryParser.setDefaultFields / FieldAndBoost;
+      QueryParserEdgeCaseTest.validFieldBoostTest) — multiplies the
+      clause/tree boost at scoring time.
     """
 
     field: str
@@ -133,6 +137,7 @@ class TermSpec:
     required: bool  # the group is a within-clause AND member
     group: int = 0  # source-token id within the clause
     subgroup: int = 0  # field id within the token's expansion
+    boost: float = 1.0  # field^N weight
 
 
 @dataclass(frozen=True)
@@ -154,6 +159,7 @@ class PhraseSpec:
     required: bool
     group: int = 0
     subgroup: int = 0
+    boost: float = 1.0  # field^N weight
 
     @property
     def stat_keys(self) -> tuple[tuple[str, str], ...]:
@@ -172,6 +178,7 @@ class TermSetSpec:
     required: bool = False
     group: int = 0
     subgroup: int = 0
+    boost: float = 1.0
 
     @property
     def stat_keys(self) -> tuple[tuple[str, str], ...]:
@@ -199,6 +206,7 @@ class IntervalSpec:
     group: int = 0
     subgroup: int = 0
     tree: object = None  # intervals.ISrc when nested
+    boost: float = 1.0
 
     @property
     def stat_keys(self) -> tuple[tuple[str, str], ...]:
@@ -242,6 +250,37 @@ class ResolvedClause:
         return max(1, min(self.clause.mm, n_opt))
 
 
+def parse_field_boost(name: str) -> tuple[str, float]:
+    """``"title^2"`` → ``("title", 2.0)``; bare names boost 1.0.
+
+    Query-field boost syntax from the reference's field lists
+    (ZuliaFlexibleQueryParser.setDefaultFields → FieldAndBoost;
+    QueryParserEdgeCaseTest.invalidFieldBoostTest asserts this exact
+    message)."""
+    if "^" not in name:
+        return name, 1.0
+    field, _, b = name.partition("^")
+    try:
+        return field, float(b)
+    except ValueError:
+        raise ValueError(
+            f"Invalid boost <{b}> for query field <{name}>. "
+            f"Boost must be a number, for example title^2"
+        ) from None
+
+
+def expand_boosted_fields(names, expand) -> tuple[tuple[str, float], ...]:
+    """Query-field entries (possibly ``field^N``, possibly aliases) →
+    deduped ((field, boost), ...); an alias's boost applies to every
+    expanded target, first occurrence of a field wins."""
+    out: dict[str, float] = {}
+    for name in names:
+        base, boost = parse_field_boost(name)
+        for f in expand(base):
+            out.setdefault(f, boost)
+    return tuple(out.items())
+
+
 def resolve_clause(
     clause: QueryClause, analyze, default_fields: tuple[str, ...], expand=None
 ) -> ResolvedClause:
@@ -260,7 +299,7 @@ def resolve_clause(
         expand = lambda f: (f,)  # noqa: E731
 
     def expand_all(fields):
-        return tuple(dict.fromkeys(f for name in fields for f in expand(name)))
+        return expand_boosted_fields(fields, expand)
 
     specs: list[TermSpec | PhraseSpec] = []
     required = clause.default_op.upper() == "AND"
@@ -272,11 +311,11 @@ def resolve_clause(
         fields = expand_all(clause.qf or default_fields)
         if not fields:
             raise ValueError("no default fields for phrase clause")
-        for sub, fname in enumerate(fields):
+        for sub, (fname, fb) in enumerate(fields):
             terms = tuple(analyze(fname, " ".join(clause.phrase)))
             if terms:
                 specs.append(
-                    PhraseSpec(fname, terms, clause.slop, required=True, group=0, subgroup=sub)
+                    PhraseSpec(fname, terms, clause.slop, required=True, group=0, subgroup=sub, boost=fb)
                 )
         return ResolvedClause(clause, tuple(specs))
     if clause.q is None and clause.terms:
@@ -285,25 +324,25 @@ def resolve_clause(
         # MLT-style derived-terms OR query (terms are NOT re-analyzed).
         # Every (field, term) is its own group: pure disjunction.
         fields = expand_all(clause.qf or default_fields)
-        for f in fields:
+        for f, fb in fields:
             for t in clause.terms:
-                specs.append(TermSpec(f, t, required=False, group=group))
+                specs.append(TermSpec(f, t, required=False, group=group, boost=fb))
                 group += 1
     elif clause.q is not None:
         for token in clause.q.split():
             if ":" in token:
                 fname, raw = token.split(":", 1)
-                targets = [(f, raw) for f in expand(fname)]
+                targets = [(f, raw, 1.0) for f in expand(fname)]
             else:
                 fields = expand_all(clause.qf or default_fields)
                 if not fields:
                     raise ValueError(f"no default fields for unscoped term {token!r}")
-                targets = [(f, token) for f in fields]
+                targets = [(f, token, fb) for f, fb in fields]
             emitted = False
-            for sub, (fname, raw) in enumerate(targets):
+            for sub, (fname, raw, fb) in enumerate(targets):
                 for term in analyze(fname, raw):
                     specs.append(
-                        TermSpec(fname, term, required=required, group=group, subgroup=sub)
+                        TermSpec(fname, term, required=required, group=group, subgroup=sub, boost=fb)
                     )
                     emitted = True
             if emitted:

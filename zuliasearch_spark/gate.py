@@ -525,6 +525,62 @@ def q_stat_facet_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zulia-data connector parity (JsonLinesDataTarget /
+    JsonLineDataSource): documents → JSON-lines target → JSON-lines
+    source → aggregate. The oracle aggregates the ORIGINAL parquet,
+    so matching hashes prove the write+read is lossless."""
+    import os
+    import tempfile
+
+    from zuliasearch_spark.sources import read_json_lines, write_json_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(), f"zulia_gate_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_json_lines(docs, out)
+    back = read_json_lines(
+        spark, out, schema="doc_id bigint, lang string, source string, n_chars bigint"
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(F.col("lang").alias("value"), "cnt", "sum_chars", "n_sources")
+        .orderBy("value")
+    )
+
+
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zulia-data delimited connector parity (CSVTarget / CSVSource
+    with headers): documents → CSV target (reference cell
+    formatting) → CSV source → aggregate vs the original parquet."""
+    import os
+    import tempfile
+
+    from zuliasearch_spark.sources import read_delimited, write_delimited
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(), f"zulia_gate_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_delimited(docs, out)
+    back = read_delimited(
+        spark, out, ",", headers=True,
+        schema="doc_id bigint, lang string, source string, n_chars bigint",
+    )
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .select(F.col("lang").alias("value"), "cnt", "sum_chars")
+        .orderBy("value")
+    )
+
+
 _GEO_ENGINE_CACHE: dict = {}
 
 
@@ -1588,6 +1644,8 @@ QUERIES = {
     "null_exists_counts": q_null_exists_counts,
     "facet_sharded": q_facet_sharded,
     "stat_facet_sharded": q_stat_facet_sharded,
+    "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
+    "source_csv_roundtrip": q_source_csv_roundtrip,
     "interval_within_count": q_interval_within_count,
     "interval_atleast_count": q_interval_atleast_count,
     "qs_zl_ns_count": q_qs_zl_ns_count,
@@ -1966,6 +2024,13 @@ SELECT lang AS value, sum(n_chars)::BIGINT AS sum_v,
        FALSE AS has_error
 FROM documents WHERE doc_id IN {_MATCH_SCAN}
 GROUP BY lang ORDER BY sum_v DESC, value ASC LIMIT 5""",
+    "source_jsonl_roundtrip": """
+SELECT lang AS value, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_chars,
+       count(DISTINCT source)::BIGINT AS n_sources
+FROM documents GROUP BY lang ORDER BY value""",
+    "source_csv_roundtrip": """
+SELECT lang AS value, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang ORDER BY value""",
     "numeric_stats": f"""
 WITH {_TOKS_CTE}
 SELECT min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,

@@ -1,0 +1,25 @@
+"""Data source / target connectors (the reference's zulia-data
+module) re-expressed as thin wrappers over Spark's distributed
+readers and writers."""
+
+from zuliasearch_spark.sources.data import (
+    read_delimited,
+    read_json_array,
+    read_json_lines,
+    read_spreadsheet,
+    split_list_column,
+    spreadsheet_type,
+    write_delimited,
+    write_json_lines,
+)
+
+__all__ = [
+    "read_delimited",
+    "read_json_array",
+    "read_json_lines",
+    "read_spreadsheet",
+    "split_list_column",
+    "spreadsheet_type",
+    "write_delimited",
+    "write_json_lines",
+]

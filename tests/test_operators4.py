@@ -262,14 +262,44 @@ def test_query_result_cache(spark):
             r2 = eng.search(req, fetch="none")
         finally:
             SparkDF.collect = orig
-        assert r2 == r1 and not calls, "cache hit must not run Spark"
+        assert not calls, "cache hit must not run Spark"
+        # the hit reports fullyCached (SearchResult.getFullyCached);
+        # everything else is identical
+        assert not r1["fullyCached"] and r2["fullyCached"]
+        assert {k: v for k, v in r2.items() if k != "fullyCached"} == {
+            k: v for k, v in r1.items() if k != "fullyCached"
+        }
         # mutating the returned dict must not poison the cache
         r2["topk"].clear()
         assert eng.search(req, fetch="none")["topk"] == r1["topk"]
-        # deletes invalidate
+        # realtime bypasses the cache both ways (CacheTest: realtime
+        # searches are never served from nor stored to the cache)
+        rt = SearchRequest(
+            (C("SCORE_SHOULD", q="alpha", qf=("content",)),), amount=5, realtime=True
+        )
+        rr = eng.search(rt, fetch="none")
+        assert not rr["fullyCached"] and (rt, "none") not in eng._query_cache
+        # pinToCache entries live in the pinned region and survive
+        # LRU pressure (CacheTest pinned search stays cached)
+        pinned_req = SearchRequest(
+            (C("SCORE_SHOULD", q="beta", qf=("content",)),), amount=5, pin_to_cache=True
+        )
+        eng.search(pinned_req, fetch="none")
+        assert (pinned_req, "none") in eng._pinned_query_cache
+        for i in range(12):  # overflow the 8-entry LRU
+            eng.search(
+                SearchRequest(
+                    (C("SCORE_SHOULD", q="alpha", qf=("content",)),), amount=i + 1
+                ),
+                fetch="none",
+            )
+        assert len(eng._query_cache) <= 8
+        assert eng.search(pinned_req, fetch="none")["fullyCached"]
+        # deletes invalidate BOTH regions
         eng.delete_by_unique_ids(["c0"])
         r3 = eng.search(req, fetch="none")
         assert r3["totalHits"] == r1["totalHits"] - 1
+        assert not eng._pinned_query_cache
         # requests deeper than max amount bypass the cache
         deep = SearchRequest((C("SCORE_SHOULD", q="alpha", qf=("content",)),), amount=50)
         eng.search(deep, fetch="none")

@@ -1132,6 +1132,10 @@ class SearchEngine:
         from collections import OrderedDict
 
         self._query_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        # pinToCache region: exempt from LRU eviction (CacheTest
+        # pinned searches survive cache pressure), still cleared by
+        # deletes
+        self._pinned_query_cache: dict[tuple, dict] = {}
         persisted = load_tombstone_uids(getattr(tables, "root_path", None))
         if persisted:
             self._tombstone_uids = set(persisted)
@@ -1390,23 +1394,41 @@ class SearchEngine:
     # -- search -----------------------------------------------------------
 
     def search(self, req: SearchRequest, fetch: str = "ids") -> dict:
+        """One request. Query-result cache semantics follow the
+        reference (CacheTest.java; ZuliaShard query cache):
+        ``req.realtime`` bypasses the cache both ways (realtime
+        searches must see uncommitted changes), ``req.pin_to_cache``
+        stores the entry in a pinned region exempt from LRU eviction,
+        and results report ``fullyCached`` so callers can observe
+        cache behavior like SearchResult.getFullyCached()."""
         import copy
 
         cache_n = self.config.query_cache_size
         cacheable = (
-            cache_n > 0 and req.amount + req.start <= self.config.query_cache_max_amount
+            not req.realtime
+            and cache_n > 0
+            and req.amount + req.start <= self.config.query_cache_max_amount
         )
         if cacheable:
             key = (req, fetch)
-            hit = self._query_cache.get(key)
+            hit = self._pinned_query_cache.get(key)
+            if hit is None:
+                hit = self._query_cache.get(key)
+                if hit is not None:
+                    self._query_cache.move_to_end(key)
             if hit is not None:
-                self._query_cache.move_to_end(key)
-                return copy.deepcopy(hit)
+                out = copy.deepcopy(hit)
+                out["fullyCached"] = True
+                return out
         out = self.search_many({"q": req}, fetch=fetch)["q"]
+        out["fullyCached"] = False
         if cacheable:
-            self._query_cache[(req, fetch)] = copy.deepcopy(out)
-            while len(self._query_cache) > cache_n:
-                self._query_cache.popitem(last=False)
+            if req.pin_to_cache:
+                self._pinned_query_cache[(req, fetch)] = copy.deepcopy(out)
+            else:
+                self._query_cache[(req, fetch)] = copy.deepcopy(out)
+                while len(self._query_cache) > cache_n:
+                    self._query_cache.popitem(last=False)
         return out
 
     def search_many(
@@ -3020,6 +3042,7 @@ class SearchEngine:
             return 0
         marked = self._mark_tombstones(ids)
         self._query_cache.clear()  # results may change under deletes
+        self._pinned_query_cache.clear()
         new_uids = set(ids) - self._tombstone_uids
         if new_uids:
             self._tombstone_uids |= new_uids

@@ -106,6 +106,11 @@ class SearchRequest:
     # (("content", "TF"),) — FieldSimilarity zulia_query.proto:295-298,
     # dispatched like ShardReader.getSimilarity:537-579
     similarities: tuple[tuple[str, str], ...] = ()
+    # query-result cache controls (CacheTest.java; zulia_query.proto
+    # Query.pinToCache / realtime): pinned entries are exempt from
+    # LRU eviction; realtime searches bypass the cache entirely
+    pin_to_cache: bool = False
+    realtime: bool = False
 
 
 @dataclass(frozen=True)

@@ -63,6 +63,33 @@ def test_date_point_queries(date_eng):
     # format — query-side '/' is the regex delimiter in the grammar)
 
 
+def test_quoted_timestamp_point_query(date_eng):
+    # QueryParserTest.quotedTimestampQueryTest: a bare timestamp point
+    # query fails (':' reads as a field separator) ...
+    from zuliasearch_spark.search.parser import ParseError
+
+    with pytest.raises(ParseError):
+        date_eng.search_string("added:2024-06-17T16:10:00Z")
+    # ... quoting is the escape and equals the single-instant range
+    quoted = _hits(date_eng, 'added:"2024-06-17T16:10:00Z"')
+    rng = _hits(date_eng, "added:[2024-06-17T16:10:00Z TO 2024-06-17T16:10:00Z]")
+    assert quoted == rng == 1
+    # backslash-escaping the colons is the other escape
+    assert _hits(date_eng, r"added:2024-06-17T16\:10\:00Z") == 1
+    # quoting also accepts an offset-less timestamp (assumed UTC)
+    assert _hits(date_eng, 'added:"2024-06-17T16:10:00"') == 1
+
+
+def test_offsetless_timestamp_range_is_utc(date_eng):
+    # QueryParserTest.offsetlessTimestampQueryTest: offset-less bounds
+    # equal the explicit-Z form
+    offsetless = _hits(date_eng, "added:[2024-06-17T16:10:00 TO 2024-06-18T08:00:00]")
+    explicit = _hits(date_eng, "added:[2024-06-17T16:10:00Z TO 2024-06-18T08:00:00Z]")
+    assert offsetless == explicit == 2
+    # a different instant bounds a different range (not two empty parses)
+    assert _hits(date_eng, "added:[2024-06-17T16:11:00Z TO 2024-06-18T08:00:00Z]") == 1
+
+
 def test_date_range_partial_precision(date_eng):
     # DateStringTest: [2022-02-01 TO 2024-06-17T23:59:59Z] → 5 docs
     assert _hits(date_eng, "content:alpha AND added:[2022-02-01 TO 2024-06-17T23:59:59Z]") == 5

@@ -389,3 +389,67 @@ def test_zl_set_nodes_end_to_end(spark):
         assert by["d0"] == pytest.approx(3.0) and by["d2"] == pytest.approx(3.0)
     finally:
         tables.unpersist()
+
+
+def test_mm_group_forces_or_regardless_of_default_op():
+    """QueryParserTest.minimumShouldMatchTest: inside a (…)~N / (…)@N
+    group, implicit whitespace terms stay SHOULD even under default
+    AND (ZuliaMinMatchOrHandlingProcessor) while explicit AND pairs
+    and +/- keep their occur — the parse is identical under both
+    default operators."""
+    from zuliasearch_spark.search.parser import MUST, MUST_NOT, SHOULD, parse_query
+
+    def inner_occurs(q, op):
+        root = parse_query(q, op)
+        grp = root.children[1][1]
+        return [(o, c.text) for o, c in grp.children], grp.mm
+
+    for q in (
+        "abstract:diabetes title:(cancer AND lung -fly rat bear insect +fruit)@2",
+        "abstract:diabetes title:(cancer AND lung -fly rat bear insect +fruit)~2",
+    ):
+        want = (
+            [(MUST, "cancer"), (MUST, "lung"), (MUST_NOT, "fly"),
+             (SHOULD, "rat"), (SHOULD, "bear"), (SHOULD, "insect"),
+             (MUST, "fruit")],
+            2,
+        )
+        assert inner_occurs(q, "OR") == want
+        assert inner_occurs(q, "AND") == want
+    # top level still honors the default operator
+    root_or = parse_query(
+        "abstract:diabetes title:(cancer AND lung rat)~2", "OR"
+    )
+    root_and = parse_query(
+        "abstract:diabetes title:(cancer AND lung rat)~2", "AND"
+    )
+    assert [o for o, _ in root_or.children] == [SHOULD, SHOULD]
+    assert [o for o, _ in root_and.children] == [MUST, MUST]
+
+
+def test_global_mm_forces_or_regardless_of_default_op():
+    """QueryParserTest global setMinimumNumberShouldMatch(2): bare
+    terms stay optional under BOTH default operators; explicit
+    AND/+/- survive (ZuliaGlobalMinMatchProcessor wrap + rewrite)."""
+    from zuliasearch_spark.search.parser import (
+        MUST,
+        MUST_NOT,
+        SHOULD,
+        apply_global_mm,
+        parse_query,
+    )
+
+    q = "cancer AND lung -fly rat bear insect +fruit dragon"
+    want = [
+        (MUST, "cancer"), (MUST, "lung"), (MUST_NOT, "fly"),
+        (SHOULD, "rat"), (SHOULD, "bear"), (SHOULD, "insect"),
+        (MUST, "fruit"), (SHOULD, "dragon"),
+    ]
+    for op in ("OR", "AND"):
+        root = apply_global_mm(parse_query(q, op), 2)
+        assert [(o, c.text) for o, c in root.children] == want
+        assert root.mm == 2
+    # mm=1 is not wrapped (reference only wraps when mm > 1): default
+    # AND keeps bare terms required
+    root = apply_global_mm(parse_query("a b", "AND"), 1)
+    assert [o for o, _ in root.children] == [MUST, MUST]

@@ -83,6 +83,7 @@ from zuliasearch_spark.search.parser import RGeo as _RGeoT
 from zuliasearch_spark.search.parser import RNumericSet as _RNumericSetT
 from zuliasearch_spark.search.parser import (
     RBool,
+    apply_global_mm,
     parse_query,
     resolve_tree,
     strip_ranges as _strip_ranges,
@@ -1178,6 +1179,12 @@ class SearchEngine:
         tree = self._resolve_cache.get(key)
         if tree is None:
             root = parse_query(req.qs, req.default_op)
+            if req.mm:
+                # global min-should-match: wrap + force-OR rewrite of
+                # implicit default-AND occurs BEFORE resolution
+                # (ZuliaGlobalMinMatchProcessor +
+                # ZuliaMinMatchOrHandlingProcessor)
+                apply_global_mm(root, req.mm)
             fields = tuple(req.qf) or self.config.default_search_fields
             tree = resolve_tree(
                 root,
@@ -1192,8 +1199,6 @@ class SearchEngine:
                     dict.fromkeys(ia.indexed_field_name for _, ia in self.config.indexed_fields())
                 ),
             )
-            if req.mm:
-                tree = RBool(tree.children, max(tree.mm, req.mm), tree.boost)
             if len(self._resolve_cache) < 4096:
                 self._resolve_cache[key] = tree
         return [], tree

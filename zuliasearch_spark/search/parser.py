@@ -268,6 +268,7 @@ class _Parser:
             prev_occur, prev_node = clauses[-1]
             if prev_occur != MUST_NOT:
                 clauses[-1] = (MUST, prev_node)
+                prev_node._implicit_must = False  # explicit via AND
         if self.default_and and conj == "OR" and clauses:
             prev_occur, prev_node = clauses[-1]
             if prev_occur != MUST_NOT:
@@ -306,6 +307,10 @@ class _Parser:
                     raise ParseError("dangling modifier")
             child = self.parse_atom()
             occur = self._occur(mods, conj, node.children)
+            if occur == MUST and mods != "+" and conj != "AND":
+                # MUST minted by the DEFAULT AND operator (implicit
+                # whitespace) — the mm rewrite may demote it
+                child._implicit_must = True
             node.children.append((occur, child))
             conj = None
         return node
@@ -669,6 +674,9 @@ class _Parser:
 
                 if isinstance(node, Bool):
                     node.mm = whole("minimum-match") if num else 1
+                    # every MinShouldMatchNode group gets the
+                    # force-OR rewrite regardless of N
+                    _mm_force_or(node)
                 elif isinstance(node, Interval):
                     # ~N after fn:ordered/unordered = max gaps; on a
                     # nested tree it wraps the root in fn:maxgaps
@@ -704,6 +712,38 @@ def parse_query(q: str, default_op: str = "OR") -> Bool:
         raise ParseError(f"trailing input at {p.peek().text!r}")
     if not root.children:
         raise ParseError("empty query")
+    return root
+
+
+def _mm_force_or(node: Bool) -> None:
+    """ZuliaMinMatchOrHandlingProcessor (zulia-query-parser
+    processors/ZuliaMinMatchOrHandlingProcessor.java): inside a
+    min-should-match group, MUST occurs minted by the DEFAULT AND
+    operator (implicit whitespace) demote to SHOULD at every nesting
+    level — so mm actually counts them — while explicit AND pairs and
+    +/- modifiers keep their meaning. QueryParserTest asserts the
+    parse is identical under OR and AND defaults whenever mm is in
+    effect. The reference recurses into explicit-AND subtrees with
+    coercion disabled and never descends through a modifier; here
+    explicitness is a per-clause flag, so recursing only into
+    implicit/optional children yields the same tree."""
+    for idx, (occur, child) in enumerate(node.children):
+        if occur == MUST and getattr(child, "_implicit_must", False):
+            node.children[idx] = (SHOULD, child)
+            occur = SHOULD
+        if isinstance(child, Bool) and occur == SHOULD and child.mm == 0:
+            _mm_force_or(child)
+
+
+def apply_global_mm(root: Bool, mm: int) -> Bool:
+    """Global minimum-should-match (ZuliaGlobalMinMatchProcessor:
+    wraps the whole query in a MinShouldMatchNode when mm > 1, which
+    then gets the force-OR rewrite)."""
+    if mm > 1:
+        root.mm = max(root.mm, mm)
+        _mm_force_or(root)
+    elif mm:
+        root.mm = max(root.mm, mm)
     return root
 
 
@@ -913,14 +953,17 @@ def resolve_tree(
     if (
         node.field is not None
         and node.field in date_fields
-        and not node.phrase
         and not node.regex
         and node.fuzzy is None
     ):
         # DATE point query: added:2024 matches the whole year,
         # added:2024-06-17 the day — the period becomes an inclusive
         # range whose bounds the doc-values predicate expands
-        # (DateStringTest; ZuliaPointQueryNodeProcessor coercion)
+        # (DateStringTest; ZuliaPointQueryNodeProcessor coercion).
+        # QUOTED values are the documented escape for the ':' in a
+        # full timestamp (QueryParserTest.quotedTimestampQueryTest:
+        # added:"2024-06-17T16:10:00Z" == the single-instant range),
+        # so phrase leaves coerce the same way.
         v = _unescape(node.text)
         return RRange((node.field,), v, v, True, True)
     fields = field_targets(node.field)

@@ -135,3 +135,44 @@ def test_range_on_alias_expands(spark):
         assert sorted(t["uniqueId"] for t in res2["topk"]) == ["r0", "r3"]
     finally:
         tables.unpersist()
+
+
+def test_doc_value_skip_index_policy():
+    """DocValueSkipIndexPolicyTest: unset defaults on; explicit
+    opt-out preserved; existing fields frozen to the persisted value;
+    fields newly added to an existing index default on."""
+    import dataclasses
+
+    from zuliasearch_spark.config import (
+        FieldConfig,
+        IndexConfig,
+        apply_doc_value_skip_index_policy,
+    )
+
+    def cfg(*fcs):
+        return IndexConfig(index_name="dv", unique_id_col="id", field_configs=tuple(fcs))
+
+    def skip_of(c, name):
+        return {f.stored_field_name: f.doc_value_skip_index for f in c.field_configs}[name]
+
+    # new index: unset -> on, explicit opt-out preserved
+    resolved = apply_doc_value_skip_index_policy(
+        cfg(FieldConfig("a"), FieldConfig("b", doc_value_skip_index=False))
+    )
+    assert skip_of(resolved, "a") is True
+    assert skip_of(resolved, "b") is False
+
+    # existing index: persisted value frozen against the request;
+    # newly added field defaults on
+    existing = apply_doc_value_skip_index_policy(
+        cfg(FieldConfig("a", doc_value_skip_index=False))
+    )
+    resolved = apply_doc_value_skip_index_policy(
+        cfg(FieldConfig("a", doc_value_skip_index=True), FieldConfig("b")), existing
+    )
+    assert skip_of(resolved, "a") is False, "persisted schema wins over the request"
+    assert skip_of(resolved, "b") is True
+
+    # round-trips through JSON settings
+    back = IndexConfig.from_json(resolved.to_json())
+    assert skip_of(back, "a") is False and skip_of(back, "b") is True

@@ -125,12 +125,20 @@ class IndexAs:
 
 @dataclass(frozen=True)
 class FieldConfig:
-    """Per-column index config (zulia_index.proto:192-221)."""
+    """Per-column index config (zulia_index.proto:192-221).
+
+    ``doc_value_skip_index``: the reference's per-field Lucene
+    doc-values RANGE skip-index flag (DocValueSkipIndexTest). In this
+    engine the storage equivalent — parquet row-group/page min-max
+    statistics driving range-scan skipping — is ALWAYS written by the
+    parquet writer, so the flag is config/policy parity only
+    (None = unset; see apply_doc_value_skip_index_policy)."""
 
     stored_field_name: str
     index_as: tuple[IndexAs, ...] = ()
     facet_as: tuple[str, ...] = ()
     sort_as: tuple[str, ...] = ()
+    doc_value_skip_index: bool | None = None
 
 
 @dataclass(frozen=True)
@@ -270,6 +278,7 @@ class IndexConfig:
                 index_as=tuple(IndexAs(**ia) for ia in fc.get("index_as", ())),
                 facet_as=tuple(fc.get("facet_as", ())),
                 sort_as=tuple(fc.get("sort_as", ())),
+                doc_value_skip_index=fc.get("doc_value_skip_index"),
             )
             for fc in d.get("field_configs", ())
         )
@@ -284,3 +293,34 @@ class IndexConfig:
             for k, a in d.get("analyzers", {}).items()
         }
         return IndexConfig(**d)
+
+
+def apply_doc_value_skip_index_policy(
+    requested: IndexConfig, existing: IndexConfig | None = None
+) -> IndexConfig:
+    """Resolve per-field ``doc_value_skip_index`` flags before settings
+    persist — ZuliaIndexManager.applyDocValueSkipIndexPolicy
+    (DocValueSkipIndexPolicyTest): any field that does not explicitly
+    opt out defaults ON, whether on a brand-new index or newly added
+    to an existing one; a field that already exists stays FROZEN to
+    its persisted value (Lucene treats the skip index as immutable
+    field schema — the IndexWriter rejects changes; our parquet
+    stats are always written, so freezing is config fidelity, not a
+    storage constraint)."""
+    import dataclasses
+
+    frozen: dict[str, bool] = {}
+    if existing is not None:
+        for fc in existing.field_configs:
+            frozen[fc.stored_field_name] = bool(fc.doc_value_skip_index)
+    new_fcs = []
+    for fc in requested.field_configs:
+        if fc.stored_field_name in frozen:
+            new_fcs.append(
+                dataclasses.replace(fc, doc_value_skip_index=frozen[fc.stored_field_name])
+            )
+        elif fc.doc_value_skip_index is None:
+            new_fcs.append(dataclasses.replace(fc, doc_value_skip_index=True))
+        else:
+            new_fcs.append(fc)
+    return dataclasses.replace(requested, field_configs=tuple(new_fcs))

@@ -1707,8 +1707,18 @@ class SearchEngine:
         """RRange / RNumericSet conjuncts → one SQL predicate over
         doc_map columns (numeric when the column is numeric, else
         string compare). Field-mapping aliases OR their expanded
-        targets; every sub-predicate is coalesced to FALSE so MUST_NOT
-        keeps docs without the field — Lucene MUST_NOT semantics."""
+        targets.
+
+        Null handling is OCCUR-dependent, and the shapes differ for a
+        scale reason: a positive conjunct emits the BARE predicate —
+        WHERE already treats NULL as false, and bare comparisons reach
+        the parquet scan as PushedFilters (row-group/page min-max
+        skipping; a coalesce() wrapper makes the whole filter opaque
+        to pushdown and forces a full doc_map scan — verified in
+        tests/test_plan_pushdown.py). Only MUST_NOT wraps each alt in
+        coalesce(..., false) before negating, so docs WITHOUT the
+        field are kept — Lucene MUST_NOT semantics; negated filters
+        can't prune min-max ranges anyway, so nothing is lost there."""
         dtypes = dict(self.tables.doc_map.dtypes)
         numeric_types = ("int", "bigint", "float", "double", "smallint", "tinyint", "decimal")
         parts = []
@@ -1718,7 +1728,7 @@ class SearchEngine:
                 if fld not in dtypes:
                     raise ValueError(f"range field {fld!r} is not a stored column")
                 if isinstance(r, _RGeoT):
-                    alts.append(f"coalesce({_geo_predicate_sql(fld, r)}, false)")
+                    alts.append(f"({_geo_predicate_sql(fld, r)})")
                     continue
                 dt = dtypes[fld]
                 if dt.startswith("array<"):
@@ -1750,9 +1760,7 @@ class SearchEngine:
                         if r.hi is not None:
                             sub.append(f"x {'<=' if r.incl_hi else '<'} {elit(r.hi)}")
                     if sub:
-                        alts.append(
-                            f"coalesce(exists(`{fld}`, x -> {' AND '.join(sub)}), false)"
-                        )
+                        alts.append(f"exists(`{fld}`, x -> {' AND '.join(sub)})")
                     else:
                         alts.append("(1=1)")
                     continue
@@ -1774,7 +1782,7 @@ class SearchEngine:
                     for v in r.values:
                         _validate_numeric_set_value(v, dt, fld)
                     vals = ", ".join(lit(v) for v in r.values)
-                    alts.append(f"coalesce(`{fld}` IN ({vals}), false)")
+                    alts.append(f"`{fld}` IN ({vals})")
                     continue
                 sub = []
                 if dtypes[fld] in ("date", "timestamp", "timestamp_ntz"):
@@ -1796,11 +1804,16 @@ class SearchEngine:
                         sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} {lit(r.lo)}")
                     if r.hi is not None:
                         sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} {lit(r.hi)}")
-                alts.append(
-                    "coalesce(" + " AND ".join(sub) + ", false)" if sub else "(1=1)"
-                )
-            p = "(" + " OR ".join(alts) + ")"
-            parts.append(f"NOT {p}" if occur == "MUST_NOT" else p)
+                alts.append("(" + " AND ".join(sub) + ")" if sub else "(1=1)")
+            if occur == "MUST_NOT":
+                # null-safe ONLY under negation: NOT coalesce(p, false)
+                # keeps docs without the field (Lucene MUST_NOT)
+                p = " OR ".join(f"coalesce({a}, false)" for a in alts)
+                parts.append(f"NOT ({p})")
+            else:
+                # bare predicates: NULL is false in a WHERE filter and
+                # the comparisons stay parquet-pushable
+                parts.append("(" + " OR ".join(alts) + ")")
         return " AND ".join(parts)
 
     def match_ids(self, req: SearchRequest):

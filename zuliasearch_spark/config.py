@@ -123,6 +123,53 @@ class IndexAs:
     analyzer_name: str = "standard"
 
 
+VECTOR_ENCODINGS = ("FLOAT32", "INT8", "INT4", "BBQ")
+
+
+@dataclass(frozen=True)
+class VectorConfig:
+    """Dense-vector indexing of a stored array column
+    (zulia_index.proto VectorIndexingConfig + FieldType VECTOR /
+    UNIT_VECTOR).
+
+    - ``unit``: UNIT_VECTOR semantics — query-side centroids (e.g.
+      more-like-this resolved vectors) are L2-normalized before
+      search, matching the reference's shouldNormalize branch
+      (ZuliaIndexManager.rewriteMoreLikeThisQuery).
+    - ``encoding``: on-disk representation of the indexed copy.
+      FLOAT32 = raw floats (explicit opt-out of quantization); INT8 /
+      INT4 = symmetric per-vector scalar quantization; BBQ = 1-bit
+      sign quantization. Quantized encodings rank an oversampled
+      candidate pool with the compact form, then rescore the pool at
+      full precision (Lucene's quantized-KNN oversample+rescore
+      shape). The reference delegates to Lucene's per-segment
+      quantile-calibrated scalar quantizer; this engine uses
+      deterministic per-vector max-abs scaling — a documented
+      deviation (same contract: approximate first pass, exact
+      rescore).
+    - ``index_type``: FLAT = exact scan over the (quantized) vectors.
+      HNSW graphs are out of slice (SURVEY §2.14); IVF partitioning is
+      available separately (pipeline.ivf_topk).
+    """
+
+    indexed_field_name: str
+    unit: bool = False
+    encoding: str = "FLOAT32"
+    index_type: str = "FLAT"
+    # quantized search ranks ceil(k × oversample) candidates with the
+    # compact form before the full-precision rescore (Lucene's
+    # quantized-KNN oversample; 3.0 mirrors its common default)
+    oversample: float = 3.0
+
+    def __post_init__(self):
+        if self.encoding not in VECTOR_ENCODINGS:
+            raise ValueError(
+                f"Unknown vector encoding {self.encoding}; one of {VECTOR_ENCODINGS}"
+            )
+        if self.index_type not in ("FLAT", "HNSW"):
+            raise ValueError(f"Unknown vector index type {self.index_type}")
+
+
 @dataclass(frozen=True)
 class FieldConfig:
     """Per-column index config (zulia_index.proto:192-221).
@@ -139,6 +186,9 @@ class FieldConfig:
     facet_as: tuple[str, ...] = ()
     sort_as: tuple[str, ...] = ()
     doc_value_skip_index: bool | None = None
+    # dense-vector projections (FieldType VECTOR/UNIT_VECTOR +
+    # VectorIndexingConfig); see VectorConfig
+    vector_as: tuple[VectorConfig, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -250,6 +300,24 @@ class IndexConfig:
             return tuple(dict.fromkeys(out))
         return (name,)
 
+    def vector_fields(self) -> list[tuple[str, VectorConfig]]:
+        """[(stored_column, VectorConfig)] over all field configs."""
+        out = []
+        for fc in self.field_configs:
+            for vc in fc.vector_as:
+                out.append((fc.stored_field_name, vc))
+        return out
+
+    def vector_field(self, name: str) -> tuple[str, "VectorConfig"] | None:
+        """(stored_column, VectorConfig) for an indexed vector field
+        name, or None when the name has no vector config (legacy:
+        querying a bare stored array column stays allowed and behaves
+        as FLOAT32/FLAT)."""
+        for col, vc in self.vector_fields():
+            if vc.indexed_field_name == name:
+                return col, vc
+        return None
+
     def analyzer_for_indexed_field(self, indexed_field: str) -> AnalyzerSettings:
         for _, ia in self.indexed_fields():
             if ia.indexed_field_name == indexed_field:
@@ -279,6 +347,7 @@ class IndexConfig:
                 facet_as=tuple(fc.get("facet_as", ())),
                 sort_as=tuple(fc.get("sort_as", ())),
                 doc_value_skip_index=fc.get("doc_value_skip_index"),
+                vector_as=tuple(VectorConfig(**vc) for vc in fc.get("vector_as", ())),
             )
             for fc in d.get("field_configs", ())
         )

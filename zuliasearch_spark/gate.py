@@ -110,7 +110,7 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         documents_config(),
         stored_cols=(
             "orig_doc_id", "lang", "source", "n_chars", "src_path", "embedding",
-            "long_flag", "opt_chars", "year",
+            "long_flag", "opt_chars", "year", "text",
         ),
     )
     tables.persist()
@@ -378,10 +378,9 @@ def q_highlight_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
     matches = eng.match_ids(req).select("shard", "doc_id")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").alias("orig_doc_id"), "text"
-    )
-    j = matches.join(eng.tables.doc_map, ["shard", "doc_id"]).join(docs, ["orig_doc_id"])
+    # text is a stored field (the reference always stores the source
+    # document), so the highlight reads it straight from doc_map
+    j = matches.join(eng.tables.doc_map, ["shard", "doc_id"])
     out = highlight(j, "text", ("merge",), n_fragments=0)
     return out.select(
         F.col("orig_doc_id").alias("doc_id"),
@@ -947,6 +946,122 @@ def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
+def q_mlt_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-vector MORE_LIKE_THIS from a stored source document
+    (MoreLikeThisQuery.forVector; ShardedVectorTest.mltVectorTest):
+    the centroid is fetched from doc 42's stored embedding, KNN pool
+    is vector_top_n=15, and the source doc is excluded from results
+    (includeSourceDocs=false default) AFTER pool selection, like the
+    reference's MUST_NOT wrap around the KNN query."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.more_like_this(
+        vector_field="embedding",
+        document_ids=("000000000042",),
+        vector_top_n=15,
+        amount=15,
+    )
+    assert res["totalHits"] <= 15  # capped at vectorTopN, not shards*topN
+    rows = [(int(t["uniqueId"]), float(t["score"])) for t in res["topk"]]
+    rows.sort(key=lambda r: (-round(r[1], 7), r[0]))
+    rows = [(d, float(round(s, 4))) for d, s in rows[:10]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def q_mlt_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid MORE_LIKE_THIS: lexical terms from doc 0's stored text
+    SHOULD-combined with its embedding's KNN pool, vector side
+    weighted 2x (ZuliaIndex.handleMoreLikeThisQuery:640-660 composes
+    lexical + KnnFloatVectorQuery as weighted SHOULD clauses). NOT
+    capped at vector_top_n (ShardedVectorTest 'hybrid MLT is not
+    capped'). Source doc 0 excluded."""
+    eng = documents_engine(spark, sf_dir)
+    res = eng.more_like_this(
+        fields=("text",),
+        document_ids=("000000000000",),
+        vector_field="embedding",
+        vector_top_n=20,
+        vector_weight=2.0,
+        max_doc_freq_pct=90,
+        amount=50,
+    )
+    assert res["totalHits"] > 20  # lexical matches extend beyond the KNN pool
+    rows = [(int(t["uniqueId"]), float(t["score"])) for t in res["topk"]]
+    rows.sort(key=lambda r: (-round(r[1], 7), r[0]))
+    rows = [(d, float(round(s, 4))) for d, s in rows[:10]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def quantized_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """A small second index whose embedding column is INT8-quantized
+    (VectorIndexingConfig encoding INT8 — the reference's default for
+    new indexes): doc_map carries _zvq_/_zvs_/_zvn_ columns and KNN
+    ranks the quantized form before the full-precision rescore."""
+    eng = _ENGINE_CACHE.get(("q", sf_dir))
+    if eng is not None:
+        return eng
+    from zuliasearch_spark.config import VectorConfig
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(
+        F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("uid"),
+        F.lit("x").alias("tag"),
+        "embedding",
+    )
+    cfg = IndexConfig(
+        index_name="emb_int8",
+        unique_id_col="uid",
+        number_of_shards=2,
+        default_search_fields=("tag",),
+        field_configs=(
+            FieldConfig("tag", index_as=(IndexAs("tag", "lcKeyword"),)),
+            FieldConfig(
+                "embedding",
+                vector_as=(VectorConfig("embedding", encoding="INT8", oversample=4.0),),
+            ),
+        ),
+        per_shard_stats=False,
+        quantize_norms=False,
+        store_positions=False,
+    )
+    tables = build_index(corpus, cfg, stored_cols=("embedding",))
+    tables.persist()
+    eng = SearchEngine(tables)
+    _ENGINE_CACHE[("q", sf_dir)] = eng
+    return eng
+
+
+def q_vector_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-quantized KNN with oversample + full-precision rescore
+    (VectorIndexingConfig.Encoding INT8, zulia_index.proto:250-270;
+    Lucene quantized-KNN shape): the first pass ranks 4×k candidates
+    by quantized dot / stored quantized norm, the rescore computes
+    exact cosine on that pool. The oracle is EXACT brute-force cosine
+    — the gate asserts the quantized path's recall contract, not just
+    self-consistency."""
+    eng = quantized_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 5).select("embedding").head()[0]
+    res = eng.more_like_this(
+        vector_field="embedding", like_vectors=(qv,), vector_top_n=10, amount=10
+    )
+    rows = [(int(t["uniqueId"]), float(round(t["score"], 4))) for t in res["topk"]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+_VECTOR_INT8_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 5),
+c AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+  FROM embeddings e CROSS JOIN q
+)
+SELECT doc_id, round(c, 4) AS score FROM c
+ORDER BY c DESC, doc_id ASC LIMIT 10
+"""
+
+
 _MATCH_MERGE = "(SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
 
 _DOCVALUE_SQL = f"""
@@ -1015,27 +1130,75 @@ WHERE doc_id IN {_MATCH_MERGE}
 GROUP BY term ORDER BY sum_tf DESC, term ASC LIMIT 15
 """
 
-_MLT_SQL = f"""
-WITH {_TOKS_CTE},
+# Lucene MoreLikeThis term selection + setBoost(true): each derived
+# term is boosted by its selection score over the best term's score
+# (MoreLikeThis.createQuery), and the df guard is the reference's
+# floored percentage cap max(1, pct·N/100) (MoreLikeThisLazyQuery
+# .rewrite). ``{{src_doc}}`` is the source doc id, ``{{pct}}`` the
+# maxDocFreqPct.
+_MLT_SELECT_CTES = """
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-src AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 0 GROUP BY term),
+src AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = {src_doc} GROUP BY term),
 dfall AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-mlt AS (SELECT s.term FROM src s JOIN dfall d USING (term) CROSS JOIN stats
-        WHERE s.tf >= 2 AND d.df >= 5 AND d.df * 100 <= 90 * stats.n_docs
-        ORDER BY round(s.tf * ln(1 + (stats.n_docs - d.df + 0.5) / (d.df + 0.5)), 7) DESC,
-                 s.term ASC LIMIT 25),
+mlt AS (SELECT s.term,
+               round(s.tf * ln(1 + (stats.n_docs - d.df + 0.5) / (d.df + 0.5)), 7) AS sel
+        FROM src s JOIN dfall d USING (term) CROSS JOIN stats
+        WHERE s.tf >= 2 AND d.df >= 5
+          AND d.df <= greatest(1, ({pct} * stats.n_docs) // 100)
+        ORDER BY sel DESC, s.term ASC LIMIT 25),
+boosted AS (SELECT term, sel / (SELECT max(sel) FROM mlt) AS boost FROM mlt),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
        WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-scored AS (
+lex AS (
   SELECT tf.doc_id,
-         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         sum( b.boost * ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
               * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
-  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) JOIN boosted b USING (term)
+  CROSS JOIN stats
   GROUP BY tf.doc_id
+)"""
+
+_MLT_SQL = f"""
+WITH {_TOKS_CTE},
+{_MLT_SELECT_CTES.format(src_doc=0, pct=90)}
+SELECT doc_id, round(s, 4) AS score FROM lex
+ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10
+"""
+
+_MLT_VECTOR_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 42),
+c AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+  FROM embeddings e CROSS JOIN q
+),
+pool AS (SELECT doc_id, c FROM c ORDER BY c DESC, doc_id ASC LIMIT 15)
+SELECT doc_id, round(c, 4) AS score FROM pool WHERE doc_id <> 42
+ORDER BY round(c, 7) DESC, doc_id ASC LIMIT 10
+"""
+
+_MLT_HYBRID_SQL = f"""
+WITH {_TOKS_CTE},
+{_MLT_SELECT_CTES.format(src_doc=0, pct=90)},
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+  FROM embeddings e CROSS JOIN q
+),
+pool AS (SELECT doc_id, c FROM c ORDER BY c DESC, doc_id ASC LIMIT 20),
+hybrid AS (
+  SELECT coalesce(lex.doc_id, pool.doc_id) AS doc_id,
+         coalesce(lex.s, 0) + coalesce(2.0 * pool.c, 0) AS s
+  FROM lex FULL OUTER JOIN pool USING (doc_id)
 )
-SELECT doc_id, round(s, 4) AS score FROM scored
+SELECT doc_id, round(s, 4) AS score FROM hybrid WHERE doc_id <> 0
 ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10
 """
 
@@ -1191,10 +1354,8 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
     matches = eng.match_ids(req).select("shard", "doc_id")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").alias("orig_doc_id"), "text"
-    )
-    j = matches.join(eng.tables.doc_map, ["shard", "doc_id"]).join(docs, ["orig_doc_id"])
+    # text is stored: read it from doc_map, no external join needed
+    j = matches.join(eng.tables.doc_map, ["shard", "doc_id"])
     pos = F.locate("merge", F.lower(F.col("text")))
     return j.select(
         F.col("orig_doc_id").alias("doc_id"),
@@ -1683,6 +1844,9 @@ QUERIES = {
     "wildcard_count": q_wildcard_count,
     "summary_terms": q_summary_terms,
     "mlt_topk": q_mlt_topk,
+    "mlt_vector_topk": q_mlt_vector_topk,
+    "mlt_hybrid_topk": q_mlt_hybrid_topk,
+    "vector_int8_topk": q_vector_int8_topk,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -2081,6 +2245,9 @@ ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
     "wildcard_count": _WILDCARD_SQL,
     "summary_terms": _SUMMARY_SQL,
     "mlt_topk": _MLT_SQL,
+    "mlt_vector_topk": _MLT_VECTOR_SQL,
+    "mlt_hybrid_topk": _MLT_HYBRID_SQL,
+    "vector_int8_topk": _VECTOR_INT8_SQL,
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -643,6 +643,78 @@ def int_coerce(col, bits: int = 32, string_input: bool = False):
     return c.cast(t)
 
 
+def _add_vector_encodings(doc_map: DataFrame, config: IndexConfig) -> DataFrame:
+    """Materialize quantized copies of vector fields whose
+    VectorConfig asks for a non-FLOAT32 encoding
+    (zulia_index.proto VectorIndexingConfig; codec
+    ZuliaPerFieldKnnVectorsFormat.java picks the quantized Lucene
+    format per field). Per indexed vector name ``v``:
+
+    - INT8 / INT4: ``_zvq_v`` array<tinyint> — symmetric per-vector
+      max-abs scalar quantization to ±127 / ±7 levels — plus
+      ``_zvs_v`` (the scale) and ``_zvn_v`` (the quantized L2 norm,
+      so query-time approximate cosine is ONE dot product per row).
+      The reference delegates to Lucene's per-segment
+      quantile-calibrated scalar quantizer; per-vector max-abs is a
+      deterministic deviation with the same oversample+rescore
+      contract (documented in VectorConfig).
+    - BBQ: ``_zvq_v`` array<long> — sign bits packed 64 per word,
+      MSB-first within each word, last word holding the remainder
+      dims in its low bits. Approximate score is dim − 2·hamming.
+
+    All expressions are Catalyst (transform/aggregate/slice) — the
+    encode stage is whole-stage codegen, no Python in the build path,
+    and the quantized columns land in doc_map's parquet where a
+    query scan prunes the full-precision column until rescore."""
+    for col, vc in config.vector_fields():
+        if vc.encoding == "FLOAT32":
+            continue
+        if col not in doc_map.columns:
+            raise ValueError(
+                f"vector field {vc.indexed_field_name!r} needs stored column {col!r}: "
+                f"add it to stored_cols"
+            )
+        name = vc.indexed_field_name
+        vec = F.col(col)
+        if vc.encoding in ("INT8", "INT4"):
+            levels = 127.0 if vc.encoding == "INT8" else 7.0
+            maxabs = F.aggregate(
+                vec, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
+            )
+            scale = maxabs / F.lit(levels)
+            q = F.transform(
+                vec,
+                lambda x: F.when(scale > 0, F.round(x.cast("double") / scale))
+                .otherwise(F.lit(0.0))
+                .cast("tinyint"),
+            )
+            doc_map = doc_map.withColumn(f"_zvq_{name}", q)
+            doc_map = doc_map.withColumn(f"_zvs_{name}", scale)
+            doc_map = doc_map.withColumn(
+                f"_zvn_{name}",
+                F.sqrt(
+                    F.aggregate(
+                        F.col(f"_zvq_{name}"),
+                        F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x.cast("double"),
+                    )
+                ),
+            )
+        else:  # BBQ: 1-bit sign quantization, packed 64 dims per long
+            n_words = F.ceil(F.size(vec) / F.lit(64)).cast("int")
+            bits = F.transform(
+                F.sequence(F.lit(0), n_words - 1),
+                lambda w: F.aggregate(
+                    F.slice(vec, w * 64 + 1, 64),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: F.shiftleft(acc, 1)
+                    + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                ),
+            )
+            doc_map = doc_map.withColumn(f"_zvq_{name}", bits)
+    return doc_map
+
+
 def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, ...] = ()) -> IndexTables:
     """Build all index tables from a corpus DataFrame (lazy plan).
 
@@ -719,6 +791,7 @@ def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, 
         F.col(uid).alias("uniqueId"),
         *[c for c in narrow.columns if c != uid],
     )
+    doc_map = _add_vector_encodings(doc_map, config)
 
     # postings path: ids assigned INSIDE the tokenizer kernel so the
     # wide corpus crosses JVM→Python exactly once (id_offsets is the

@@ -2452,8 +2452,10 @@ class SearchEngine:
                 "shard", "doc_id", F.lit(0.0).alias("score")
             )
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        vf = self.config.vector_field(vector_field)
+        vcol = vf[0] if vf is not None else vector_field
         qlit = F.array(*[F.lit(float(x)) for x in vector])
-        emb = F.col(vector_field)
+        emb = F.col(vcol)
 
         def dot(a, b):
             return F.aggregate(
@@ -2463,7 +2465,12 @@ class SearchEngine:
             )
 
         cos = dot(emb, qlit) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)))
-        scored = j.filter(emb.isNotNull()).select(
+        pool = j.filter(emb.isNotNull())
+        if vf is not None and vf[1].encoding != "FLOAT32":
+            # quantized first pass over the pre-filtered pool, exact
+            # cosine rescore below (oversample+rescore, VectorConfig)
+            pool = self._quantized_candidates(pool, vcol, vf[1], vector, k)
+        scored = pool.select(
             "shard", "doc_id", "score", "uniqueId", F.round(cos, 6).alias("cosine")
         )
         top = scored.orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id")).limit(k)
@@ -2937,7 +2944,11 @@ class SearchEngine:
 
         settings = self.config.analyzer(analyzer_name)
         matched = self.match_ids(req).select("shard", "doc_id")
-        j = matched.join(self.tables.doc_map, ["shard", "doc_id"]).join(docs_df, join_on)
+        # project doc_map to the join keys only: wide stored columns
+        # (incl. a stored copy of the text) must not reach this join,
+        # and duplicate column names with docs_df would be ambiguous
+        dm = self.tables.doc_map.select("shard", "doc_id", *join_on)
+        j = matched.join(dm, ["shard", "doc_id"]).join(docs_df, join_on)
 
         def tok(batches):
             for rb in batches:
@@ -2984,7 +2995,11 @@ class SearchEngine:
 
         settings = self.config.analyzer(analyzer_name)
         matched = self.match_ids(req).select("shard", "doc_id")
-        j = matched.join(self.tables.doc_map, ["shard", "doc_id"]).join(docs_df, join_on)
+        # project doc_map to the join keys only: wide stored columns
+        # (incl. a stored copy of the text) must not reach this join,
+        # and duplicate column names with docs_df would be ambiguous
+        dm = self.tables.doc_map.select("shard", "doc_id", *join_on)
+        j = matched.join(dm, ["shard", "doc_id"]).join(docs_df, join_on)
 
         def tok(batches):
             for rb in batches:
@@ -3094,56 +3109,458 @@ class SearchEngine:
         rows = self.get_terms(field, term_filter_regex=regex, amount=max_terms).collect()
         return tuple(r["term"] for r in rows)
 
-    def more_like_this(
+    def _stored_column_for(self, indexed_field: str) -> str:
+        """Indexed field name → the stored column it projects
+        (IndexAs.indexedFieldName → FieldConfig.storedFieldName)."""
+        for col, ia in self.config.indexed_fields():
+            if ia.indexed_field_name == indexed_field:
+                return col
+        return indexed_field
+
+    def _knn_top_rows(self, vector, vector_field: str, k: int) -> list[dict]:
+        """Global KNN: top-k docs by cosine against a stored vector
+        column (KnnFloatVectorQuery over the whole index). The cosine
+        runs as codegen array expressions in-plan; only the k result
+        rows reach the driver. Returns [{shard, doc_id, uniqueId,
+        cosine}] sorted by cosine desc, (shard, doc_id) asc on ties."""
+        vf = self.config.vector_field(vector_field)
+        col = vf[0] if vf is not None else vector_field
+        qlit = F.array(*[F.lit(float(x)) for x in vector])
+        emb = F.col(col)
+
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        cos = dot(emb, qlit) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)))
+        base = self.tables.doc_map.filter(emb.isNotNull())
+        vc = vf[1] if vf is not None else None
+        if vc is not None and vc.encoding != "FLOAT32":
+            base = self._quantized_candidates(base, col, vc, vector, k)
+        rows = (
+            base.select(
+                "shard", "doc_id", "uniqueId", F.round(cos, 6).alias("cosine")
+            )
+            .orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [
+            {
+                "shard": int(r["shard"]),
+                "doc_id": int(r["doc_id"]),
+                "uniqueId": r["uniqueId"],
+                "cosine": float(r["cosine"]),
+            }
+            for r in rows
+        ]
+
+    def _quantized_candidates(self, base, col: str, vc, vector, k: int):
+        """First pass of quantized KNN (VectorIndexingConfig encodings
+        INT8/INT4/BBQ; Lucene's quantized formats oversample then
+        rescore at full precision): rank ``base`` by the approximate
+        similarity computed from the compact columns built by
+        _add_vector_encodings, keep the top ceil(k × oversample) rows
+        as the rescore pool. The cut is a TakeOrderedAndProject over
+        the quantized columns only — the float column is read when
+        the caller rescores the pool, so the scan stays narrow."""
+        import math as _math
+
+        name = vc.indexed_field_name
+        qcol = F.col(f"_zvq_{name}")
+        if f"_zvq_{name}" not in base.columns:
+            raise ValueError(
+                f"vector field {name!r} is configured {vc.encoding} but the "
+                f"index has no _zvq_{name} column — rebuild with this config"
+            )
+        n_cand = max(k, int(_math.ceil(k * vc.oversample)))
+        v = np.asarray(list(vector), dtype=np.float64)
+        if vc.encoding == "BBQ":
+            words = []
+            for c0 in range(0, v.size, 64):
+                acc = 0
+                for x in v[c0 : c0 + 64]:
+                    acc = (acc << 1) | (1 if x >= 0 else 0)
+                if acc >= 1 << 63:
+                    acc -= 1 << 64
+                words.append(acc)
+            qlit = F.array(*[F.lit(w).cast("long") for w in words])
+            ham = F.aggregate(
+                F.zip_with(qcol, qlit, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            )
+            approx = (F.size(F.col(col)) - F.lit(2) * ham).cast("double")
+        else:
+            levels = 127.0 if vc.encoding == "INT8" else 7.0
+            maxabs = float(np.abs(v).max()) if v.size else 0.0
+            qv = (
+                np.round(v / (maxabs / levels)).astype(np.int64)
+                if maxabs > 0
+                else np.zeros(v.size, dtype=np.int64)
+            )
+            qnorm = float(np.sqrt((qv * qv).sum()))
+            qlit = F.array(*[F.lit(int(x)) for x in qv])
+            dotq = F.aggregate(
+                F.zip_with(
+                    qcol, qlit, lambda a, b: a.cast("double") * b.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dn = F.col(f"_zvn_{name}")
+            approx = F.when(
+                (dn > 0) & F.lit(qnorm > 0), dotq / (dn * F.lit(qnorm or 1.0))
+            ).otherwise(F.lit(-2.0))
+        return (
+            base.withColumn("_approx", approx)
+            .orderBy(F.desc("_approx"), F.asc("shard"), F.asc("doc_id"))
+            .limit(n_cand)
+            .drop("_approx")
+        )
+
+    def _mlt_select_terms(
         self,
-        text: str,
         field: str,
-        amount: int = 10,
-        min_term_freq: int = 2,
-        min_doc_freq: int = 5,
-        max_doc_freq_pct: int = 25,
-        max_query_terms: int = 25,
-    ) -> dict:
-        """MORE_LIKE_THIS (handleMoreLikeThisQuery:617-673,
-        MoreLikeThisLazyQuery.java; defaults zulia_query.proto:13-33):
-        extract the source text's top tf·idf terms (tf ≥ minTermFreq,
-        minDocFreq ≤ df ≤ maxDocFreqPct·N, top maxQueryTerms by
-        tf·idf desc then term asc) and run them as a SCORE_SHOULD OR
-        query. idf is our BM25 idf (the reference uses Lucene classic
+        texts,
+        min_term_freq: int,
+        min_doc_freq: int,
+        max_doc_freq: int,
+        max_doc_freq_pct: int,
+        max_query_terms: int,
+        min_word_len: int,
+        max_word_len: int,
+        max_num_tokens_parsed: int,
+    ) -> tuple[list[str], list[float]]:
+        """Per-field Lucene-MoreLikeThis term selection
+        (MoreLikeThisLazyQuery.rewrite → MoreLikeThis.like(field,
+        readers)): tf counted across ALL source texts (each text reads
+        at most maxNumTokensParsed tokens, Lucene's per-reader cap),
+        tokens filtered by word length, then df-bounded (an absolute
+        maxDocFreq wins over the percentage; the pct cap floors at 1
+        so a tiny index does not drop every term; pct ≥ 100 disables
+        the guard) and ranked by tf·idf desc, term asc, top
+        maxQueryTerms. Returns (terms, boosts) where boosts mirror
+        mlt.setBoost(true): each term's selection score over the best
+        score. idf is our BM25 idf (the reference uses Lucene classic
         idf here; selection order can differ on corner ties)."""
         from collections import Counter
 
         from zuliasearch_spark.search.scorer import bm25_idf
 
-        toks = self._analyze(field, text)
-        tf = Counter(toks)
+        tf: Counter = Counter()
+        for text in texts:
+            toks = self._analyze(field, text)[:max_num_tokens_parsed]
+            tf.update(
+                t
+                for t in toks
+                if len(t) >= min_word_len
+                and (max_word_len <= 0 or len(t) <= max_word_len)
+            )
         cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
         if not cands:
-            return {"totalHits": 0, "topk": [], "hitsExact": True, "terms": []}
+            return [], []
         df_by_key = self._collect_term_stats({(field, t) for t in cands})
         shards = self._shards()
         # MLT term selection uses COLLECTION-global stats (the
         # reference resolves MLT on the federated index view,
         # ZuliaIndexManager.java:501-530)
         n_docs = sum(self._field_stats.get((field, s), (0, 0))[0] for s in shards)
+        if max_doc_freq > 0:
+            df_cap = max_doc_freq
+        elif 0 < max_doc_freq_pct < 100:
+            df_cap = max(1, max_doc_freq_pct * n_docs // 100)
+        else:
+            df_cap = n_docs
         scored = []
         for t in cands:
             df = sum(df_by_key.get((field, t, s), 0) for s in shards)
-            if df < min_doc_freq or df * 100 > max_doc_freq_pct * n_docs:
+            if df < min_doc_freq or df > df_cap:
                 continue
             scored.append((round(tf[t] * bm25_idf(n_docs, df), 7), t))
         scored.sort(key=lambda x: (-x[0], x[1]))
-        terms = [t for _, t in scored[:max_query_terms]]
-        if not terms:
-            return {"totalHits": 0, "topk": [], "hitsExact": True, "terms": []}
+        scored = scored[:max_query_terms]
+        if not scored:
+            return [], []
+        best = scored[0][0]
+        terms = [t for _, t in scored]
+        boosts = [(s / best) if best > 0 else 1.0 for s, _ in scored]
+        return terms, boosts
+
+    def more_like_this(
+        self,
+        text: str | None = None,
+        field: str | None = None,
+        amount: int = 10,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_doc_freq_pct: int = 25,
+        max_query_terms: int = 25,
+        *,
+        like_texts=(),
+        fields=(),
+        document_ids=(),
+        include_source_docs: bool = False,
+        max_doc_freq: int = 0,
+        min_word_len: int = 0,
+        max_word_len: int = 0,
+        max_num_tokens_parsed: int = 5000,
+        mm: int = 0,
+        vector_field: str | None = None,
+        like_vectors=(),
+        vector_top_n: int = 0,
+        text_weight: float = 1.0,
+        vector_weight: float = 1.0,
+    ) -> dict:
+        """MORE_LIKE_THIS (MoreLikeThisParams zulia_query.proto:13-33;
+        resolution ZuliaIndexManager.rewriteMoreLikeThisQuery:677-790;
+        shard query ZuliaIndex.handleMoreLikeThisQuery:617-673;
+        behavior ShardedVectorTest.mltVectorTest).
+
+        Sources: ``like_texts`` (raw text) and/or ``document_ids``
+        (stored docs — their lexical field values extend the texts,
+        their vectors extend ``like_vectors``). All resolved vectors
+        are averaged into one centroid, L2-normalized when the vector
+        field's config is UNIT_VECTOR. Source docs are excluded from
+        results unless ``include_source_docs`` (the reference wraps
+        the MLT query with MUST_NOT id terms).
+
+        Query shapes:
+
+        - lexical only: per-field derived-term OR queries (terms
+          boosted by selection score / best score, Lucene
+          mlt.setBoost(true)), fields combined as SHOULD, ``mm``
+          applied to each field's term disjunction.
+        - pure vector: KNN top ``vector_top_n`` (default 100,
+          QueryRequestValidator:38-39) by cosine; totalHits is capped
+          at vector_top_n across shards (QueryCombiner.java:260-266 —
+          ShardedVectorTest asserts 3, not shards×3).
+        - hybrid: lexical SHOULD + vector SHOULD, weighted by
+          ``text_weight`` / ``vector_weight`` (applied only when > 0
+          and ≠ 1, ZuliaIndex.applyWeight); NOT capped at vector_top_n
+          because lexical matches extend beyond the KNN pool
+          (ShardedVectorTest "hybrid MLT is not capped").
+
+        The hybrid merge stays in-plan: the lexical match set is a
+        distributed frame, the ≤vector_top_n KNN rows broadcast-join
+        onto it; driver state is O(amount + vector_top_n)."""
         from zuliasearch_spark.search.query import QueryClause
 
-        req = SearchRequest(
-            (QueryClause("SCORE_SHOULD", qf=(field,), terms=tuple(terms)),), amount=amount
+        if text is not None:
+            like_texts = (*like_texts, text)
+        if field is not None and field not in fields:
+            fields = (*fields, field)
+        fields = tuple(fields)
+        texts = list(like_texts)
+        vectors = [list(map(float, v)) for v in like_vectors]
+        document_ids = tuple(str(d) for d in document_ids)
+        if vector_top_n < 0:
+            raise ValueError(
+                f"More-like-this vectorTopN must be >= 0, got {vector_top_n}"
+            )
+
+        vec_col = None
+        if vector_field is not None:
+            vf = self.config.vector_field(vector_field)
+            vec_col = vf[0] if vf is not None else vector_field
+
+        if document_ids:
+            text_cols = {f: self._stored_column_for(f) for f in fields}
+            want = list(dict.fromkeys(text_cols.values()))
+            if vec_col is not None:
+                want.append(vec_col)
+            dm_cols = set(self.tables.doc_map.columns)
+            missing = [c for c in want if c not in dm_cols]
+            if missing:
+                raise ValueError(
+                    f"More-like-this documentId sources need stored columns {missing}"
+                )
+            rows = {
+                r["uniqueId"]: r
+                for r in self.tables.doc_map.filter(
+                    F.col("uniqueId").isin(list(document_ids))
+                )
+                .select("uniqueId", *dict.fromkeys(want))
+                .collect()
+            }
+            for doc_id in document_ids:
+                r = rows.get(doc_id)
+                if r is None:
+                    raise ValueError(
+                        f"More-like-this source document <{doc_id}> not found"
+                    )
+                for f in fields:
+                    v = r[text_cols[f]]
+                    if isinstance(v, (list, tuple)):
+                        texts.extend(str(x) for x in v if x is not None)
+                    elif v is not None:
+                        texts.append(str(v))
+                if vec_col is not None and r[vec_col] is not None:
+                    vectors.append([float(x) for x in r[vec_col]])
+
+        has_lexical = bool(fields) and bool(texts)
+        has_vector = vector_field is not None and bool(vectors)
+        if not has_lexical and not has_vector:
+            raise ValueError(
+                "More-like-this query must have either text fields with like "
+                "text, or a vector field with vectors"
+            )
+
+        centroid = None
+        if has_vector:
+            dim = len(vectors[0])
+            for v in vectors:
+                if len(v) != dim:
+                    raise ValueError(
+                        f"More-like-this vector dimension mismatch: got {len(v)}, expected {dim}"
+                    )
+            centroid = [sum(v[i] for v in vectors) / len(vectors) for i in range(dim)]
+            vf = self.config.vector_field(vector_field)
+            if vf is not None and vf[1].unit:
+                norm = sum(x * x for x in centroid) ** 0.5
+                if norm > 0:
+                    centroid = [x / norm for x in centroid]
+            if vector_top_n == 0:
+                vector_top_n = 100  # QueryRequestValidator.java:38-39
+
+        exclude: set[str] = set() if include_source_docs else set(document_ids)
+
+        clauses = []
+        terms_by_field: dict[str, list[str]] = {}
+        if has_lexical:
+            for f in fields:
+                terms, boosts = self._mlt_select_terms(
+                    f, texts, min_term_freq, min_doc_freq, max_doc_freq,
+                    max_doc_freq_pct, max_query_terms, min_word_len,
+                    max_word_len, max_num_tokens_parsed,
+                )
+                terms_by_field[f] = terms
+                if terms:
+                    clauses.append(
+                        QueryClause(
+                            "SCORE_SHOULD", qf=(f,), terms=tuple(terms),
+                            term_boosts=tuple(boosts), mm=mm,
+                        )
+                    )
+            if not clauses and not has_vector:
+                return {
+                    "totalHits": 0, "topk": [], "hitsExact": True,
+                    "terms": [], "termsByField": terms_by_field,
+                }
+
+        all_terms = [t for f in fields for t in terms_by_field.get(f, ())]
+
+        # ---- pure lexical ------------------------------------------------
+        if not has_vector:
+            req = SearchRequest(tuple(clauses), amount=amount + len(exclude))
+            res = self.search(req)
+            if exclude:
+                dropped = [t for t in res["topk"] if t["uniqueId"] in exclude]
+                res["topk"] = [
+                    t for t in res["topk"] if t["uniqueId"] not in exclude
+                ][:amount]
+                # source docs below the page can't be counted exactly
+                # from the page alone; the reference's MUST_NOT removes
+                # them index-side. Subtract the ones we saw; deeper
+                # source matches keep hitsExact semantics (they matched).
+                res["totalHits"] -= len(dropped)
+            res["terms"] = all_terms
+            res["termsByField"] = terms_by_field
+            return res
+
+        weight_applies = lambda w: w > 0 and w != 1.0  # noqa: E731 — ZuliaIndex.applyWeight
+
+        # ---- pure vector -------------------------------------------------
+        if not clauses:
+            rows = self._knn_top_rows(centroid, vector_field, vector_top_n)
+            rows = [r for r in rows if r["uniqueId"] not in exclude]
+            topk = [
+                {
+                    "shard": r["shard"], "doc_id": r["doc_id"],
+                    "uniqueId": r["uniqueId"], "score": r["cosine"],
+                }
+                for r in rows
+            ]
+            return {
+                "totalHits": len(topk), "topk": topk[:amount],
+                "hitsExact": True, "terms": all_terms,
+                "termsByField": terms_by_field,
+            }
+
+        # ---- hybrid: lexical SHOULD + weighted vector SHOULD -------------
+        tw = text_weight if weight_applies(text_weight) else 1.0
+        vw = vector_weight if weight_applies(vector_weight) else 1.0
+        knn = self._knn_top_rows(centroid, vector_field, vector_top_n)
+        knn = [r for r in knn if r["uniqueId"] not in exclude]
+        lex_req = SearchRequest(tuple(clauses), amount=amount)
+        matches = self.match_ids(lex_req)
+        base = matches.join(
+            self.tables.doc_map.select("shard", "doc_id", "uniqueId"),
+            ["shard", "doc_id"],
         )
-        res = self.search(req)
-        res["terms"] = terms
-        return res
+        if exclude:
+            base = base.filter(~F.col("uniqueId").isin(sorted(exclude)))
+        spark = self.tables.doc_map.sparkSession
+        if knn:
+            knn_df = spark.createDataFrame(
+                [(r["shard"], r["doc_id"], r["cosine"]) for r in knn],
+                "shard int, doc_id long, _knn double",
+            )
+            merged = base.join(F.broadcast(knn_df), ["shard", "doc_id"], "left")
+            knn_expr = F.coalesce(F.col("_knn"), F.lit(0.0)) * F.lit(vw)
+        else:
+            merged = base
+            knn_expr = F.lit(0.0)
+        merged = merged.select(
+            "shard", "doc_id", "uniqueId",
+            (F.col("score") * F.lit(tw) + knn_expr).alias("score"),
+        )
+        lex_total = merged.count()
+        page = [
+            {
+                "shard": int(r["shard"]), "doc_id": int(r["doc_id"]),
+                "uniqueId": r["uniqueId"], "score": float(r["score"]),
+            }
+            for r in merged.orderBy(
+                F.desc("score"), F.asc("shard"), F.asc("doc_id")
+            ).limit(amount).collect()
+        ]
+        # KNN hits outside the lexical match set: membership check via a
+        # broadcast semi-join on the ≤vector_top_n ids — O(topN) driver rows
+        knn_only = []
+        if knn:
+            ids_df = spark.createDataFrame(
+                [(r["shard"], r["doc_id"]) for r in knn], "shard int, doc_id long"
+            )
+            in_lex = {
+                (int(r["shard"]), int(r["doc_id"]))
+                for r in base.join(
+                    F.broadcast(ids_df), ["shard", "doc_id"]
+                ).select("shard", "doc_id").collect()
+            }
+            knn_only = [
+                {
+                    "shard": r["shard"], "doc_id": r["doc_id"],
+                    "uniqueId": r["uniqueId"], "score": r["cosine"] * vw,
+                }
+                for r in knn
+                if (r["shard"], r["doc_id"]) not in in_lex
+            ]
+        topk = sorted(
+            page + knn_only, key=lambda t: (-t["score"], t["shard"], t["doc_id"])
+        )[:amount]
+        return {
+            # hybrid is NOT capped at vector_top_n (ShardedVectorTest):
+            # lexical matches extend beyond the KNN pool
+            "totalHits": lex_total + len(knn_only),
+            "topk": topk,
+            "hitsExact": True,
+            "terms": all_terms,
+            "termsByField": terms_by_field,
+        }
 
     def _attach_unique_ids(self, topk: list[dict]) -> None:
         """Result-id → stored-doc join (DocumentScoredDocLeafHandler

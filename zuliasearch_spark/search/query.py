@@ -55,6 +55,10 @@ class QueryClause:
     mm: int = 0  # min-should-match when default_op == OR
     boost: float = 1.0
     terms: tuple[str, ...] = ()  # TERMS / TERMS_NOT explicit term set
+    # per-term boost parallel to ``terms`` (Lucene MoreLikeThis
+    # setBoost(true): each derived term is boosted by its selection
+    # score over the best term's score). Empty = all 1.0.
+    term_boosts: tuple[float, ...] = ()
     # phrase query: ordered words, analyzed per target field
     # ("exact phrase"~N, ZuliaSyntaxParser.jj:171; needs positions)
     phrase: tuple[str, ...] = ()
@@ -329,9 +333,15 @@ def resolve_clause(
         # MLT-style derived-terms OR query (terms are NOT re-analyzed).
         # Every (field, term) is its own group: pure disjunction.
         fields = expand_all(clause.qf or default_fields)
+        if clause.term_boosts and len(clause.term_boosts) != len(clause.terms):
+            raise ValueError(
+                f"term_boosts has {len(clause.term_boosts)} entries for "
+                f"{len(clause.terms)} terms"
+            )
         for f, fb in fields:
-            for t in clause.terms:
-                specs.append(TermSpec(f, t, required=False, group=group, boost=fb))
+            for i, t in enumerate(clause.terms):
+                tb = clause.term_boosts[i] if clause.term_boosts else 1.0
+                specs.append(TermSpec(f, t, required=False, group=group, boost=fb * tb))
                 group += 1
     elif clause.q is not None:
         for token in clause.q.split():

@@ -258,6 +258,19 @@ class IndexConfig:
     # indexed field matching any pattern ('*' wildcards); includeSelf
     # appends the alias itself as a literal field.
     field_mappings: tuple[tuple[str, tuple[str, ...], bool], ...] = ()
+    # implicit zuliaId field (ZuliaFieldConstants.ID_FIELD;
+    # ShardDocumentIndexer.getIndexDocument adds
+    # StringField(ID_FIELD, uniqueId) to EVERY document): when True,
+    # the uniqueId column is also indexed verbatim (KEYWORD analyzer)
+    # under the field name "zuliaId", so term/TERMS/zl:tq queries and
+    # sorts can target the id exactly like TermQueryTest/SortTest do.
+    index_id_field: bool = False
+    # implicit store timestamp (ZuliaFieldConstants.TIMESTAMP_FIELD
+    # "_ztsf_", a LongPoint of the Store wall clock,
+    # ShardDocumentIndexer.java:82): when True, doc_map gains a
+    # timestamp column "_ztsf_" stamped at build/upsert time and
+    # queryable with DATE range syntax (SimpleTest.java:304-325).
+    store_timestamp: bool = False
 
     def analyzer(self, name: str) -> AnalyzerSettings:
         if name in self.analyzers:
@@ -267,11 +280,18 @@ class IndexConfig:
         raise KeyError(f"unknown analyzer: {name}")
 
     def indexed_fields(self) -> list[tuple[str, IndexAs]]:
-        """[(stored_column, IndexAs)] over all field configs."""
+        """[(stored_column, IndexAs)] over all field configs.
+
+        With ``index_id_field`` the implicit ``zuliaId`` projection of
+        the uniqueId column (exact KEYWORD, never analyzed) is
+        appended — the reference adds it to every Lucene document
+        (ShardDocumentIndexer.getIndexDocument)."""
         out = []
         for fc in self.field_configs:
             for ia in fc.index_as:
                 out.append((fc.stored_field_name, ia))
+        if self.index_id_field:
+            out.append((self.unique_id_col, IndexAs("zuliaId", "keyword")))
         return out
 
     def expand_field(self, name: str) -> tuple[str, ...]:

@@ -55,7 +55,14 @@ def documents_config() -> IndexConfig:
         per_shard_stats=False,  # SQL oracle computes collection-global stats
         quantize_norms=False,  # SQL oracle scores with exact field lengths
         store_length_meta=True,  # |field| / |||field||| meta queries
+        index_id_field=True,  # implicit zuliaId term field (TermQueryTest)
+        store_timestamp=True,  # implicit _ztsf_ store clock (SimpleTest)
     )
+
+
+# fixed build wall clock (epoch ms, 2025-08-18T00:00:00Z) so the
+# _ztsf_ timestamp gates are deterministic across runs
+GATE_TS = 1755475200000
 
 
 def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
@@ -112,6 +119,7 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             "orig_doc_id", "lang", "source", "n_chars", "src_path", "embedding",
             "long_flag", "opt_chars", "year", "text",
         ),
+        timestamp=GATE_TS,
     )
     tables.persist()
     eng = SearchEngine(tables)
@@ -870,6 +878,59 @@ def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eng.sort_search(req, "n_chars", ascending=False, amount=10, tiebreak=("orig_doc_id",))
         .select(F.col("orig_doc_id").alias("doc_id"), F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+def q_zulia_id_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERMS on the implicit zuliaId field (TermQueryTest.java:
+    145-165): exact uniqueId lookups through the term-set machinery;
+    misses contribute nothing."""
+    eng = documents_engine(spark, sf_dir)
+    uids = [str(d).zfill(12) for d in (3, 7, 11, 19)]
+    req = SearchRequest(
+        (QueryClause("TERMS", terms=tuple(uids) + ("blah", "not-an-id"), qf=("zuliaId",)),),
+        amount=1,
+    )
+    hits = eng.search(req, fetch="none")["totalHits"]
+    return spark.createDataFrame([(hits,)], "hits bigint")
+
+
+def q_zulia_id_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID_SORT_FIELD sort (SortTest.zuliaSort:505-518): the match set
+    ordered by uniqueId DESC as a STRING (the reference's '99 before
+    199' lexicographic assert)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:scan"),), amount=1)
+    return eng.sort_search(
+        req, sort_keys=(("zuliaId", False, True),), amount=10
+    ).select(F.col("uniqueId").alias("uid"))
+
+
+def q_score_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORE_FIELD as a field-sort key (SortTest.zuliaSort:491-502):
+    Sort(zuliaScore) ASCENDING surfaces the worst-scoring matches
+    first — the inverse of the default ranking."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest(
+        (QueryClause("SCORE_SHOULD", q="spark query merge", qf=("text",)),), amount=1
+    )
+    return eng.sort_search(
+        req, sort_keys=(("zuliaScore", True, True),), amount=10, tiebreak=("orig_doc_id",)
+    ).select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("zuliaScore", 4).alias("score"),
+    )
+
+
+def q_timestamp_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_ztsf_ store-timestamp DATE ranges (SimpleTest.java:304-325):
+    a range spanning the build clock matches every doc; a range
+    ending before it matches none."""
+    eng = documents_engine(spark, sf_dir)
+    spanning = eng.search_string("_ztsf_:[2025-08-17 TO 2025-08-19]", amount=1)["totalHits"]
+    before = eng.search_string("_ztsf_:[* TO 2025-08-17]", amount=1)["totalHits"]
+    return spark.createDataFrame(
+        [(spanning, before)], "in_range bigint, before_range bigint"
     )
 
 
@@ -1840,6 +1901,10 @@ QUERIES = {
     "numeric_set_count": q_numeric_set_count,
     "sort_topk": q_sort_topk,
     "sort_multi": q_sort_multi,
+    "zulia_id_count": q_zulia_id_count,
+    "zulia_id_sort_topk": q_zulia_id_sort_topk,
+    "score_sort_topk": q_score_sort_topk,
+    "timestamp_range_count": q_timestamp_range_count,
     "doc_terms": q_doc_terms,
     "wildcard_count": q_wildcard_count,
     "summary_terms": q_summary_terms,
@@ -2241,6 +2306,31 @@ ORDER BY round(c, 7) DESC, vec_id ASC LIMIT 10""",
     "numeric_set_count": _NUMERIC_SET_SQL,
     "sort_topk": _SORT_SQL,
     "sort_multi": _SORT_MULTI_SQL,
+    "zulia_id_count": """
+SELECT count(*)::BIGINT AS hits FROM documents WHERE doc_id IN (3, 7, 11, 19)""",
+    "zulia_id_sort_topk": f"""
+WITH {_TOKS_CTE}
+SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS uid
+FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan')
+ORDER BY uid DESC LIMIT 10""",
+    "score_sort_topk": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','query','merge') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY round(s, 7) ASC, doc_id ASC LIMIT 10""",
+    "timestamp_range_count": """
+SELECT count(*)::BIGINT AS in_range, 0::BIGINT AS before_range FROM documents""",
     "doc_terms": _DOC_TERMS_SQL,
     "wildcard_count": _WILDCARD_SQL,
     "summary_terms": _SUMMARY_SQL,

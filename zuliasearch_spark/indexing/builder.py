@@ -715,7 +715,12 @@ def _add_vector_encodings(doc_map: DataFrame, config: IndexConfig) -> DataFrame:
     return doc_map
 
 
-def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, ...] = ()) -> IndexTables:
+def build_index(
+    corpus: DataFrame,
+    config: IndexConfig,
+    stored_cols: tuple[str, ...] = (),
+    timestamp: int | None = None,
+) -> IndexTables:
     """Build all index tables from a corpus DataFrame (lazy plan).
 
     The returned postings/term_stats/field_stats share one lineage
@@ -723,6 +728,12 @@ def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, 
     one table should ``persist()`` (in-memory use) or ``write_index``
     (which materializes postings FIRST, then derives stats from the
     written parquet — the tokenize pass runs exactly once).
+
+    ``timestamp`` (epoch millis) stamps the ``_ztsf_`` store-timestamp
+    column when ``config.store_timestamp`` is set — the reference's
+    per-Store wall clock (ShardDocumentIndexer.java:82 LongPoint).
+    Defaults to the build wall clock, captured once driver-side so
+    every row of the build shares one deterministic value.
     """
     uid = config.unique_id_col
     if config.upsert_order_col:
@@ -764,12 +775,30 @@ def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, 
         narrow_cols.append(F.sha2(F.col(content_col).cast("string"), 256).alias("content_sha256"))
     for c in stored_cols:
         narrow_cols.append(F.col(c))
+    if config.store_timestamp:
+        # _ztsf_ store timestamp (ZuliaFieldConstants.TIMESTAMP_FIELD;
+        # SimpleTest.java:304-325 queries it with DATE range syntax).
+        # One literal per build: timestamp-typed so the DATE range
+        # coercion machinery treats it like any stored date column.
+        if timestamp is None:
+            import time as _time
+
+            timestamp = int(_time.time() * 1000)
+        narrow_cols.append(
+            F.timestamp_millis(F.lit(int(timestamp))).alias("_ztsf_")
+        )
     if config.store_length_meta:
         # _zcl_ char-length + _zll_ list-length meta columns
         # (ZuliaFieldConstants.java:14-15; FieldIndexer.java:19-35),
         # queryable as |field| / |||field||| through the parser
         dtypes = dict(corpus.dtypes)
-        for c in dict.fromkeys(sc for sc, _ in config.indexed_fields()):
+        # FieldConfig-listed columns only: the implicit zuliaId
+        # projection gets no |field| meta (FieldIndexer writes meta
+        # per configured field, not for ID_FIELD)
+        meta_cols = dict.fromkeys(
+            fc.stored_field_name for fc in config.field_configs for _ in fc.index_as
+        )
+        for c in meta_cols:
             if dtypes.get(c, "").startswith("array"):
                 # multivalued: char-length PER VALUE (StringFieldIndexer
                 # writes one charLength meta per list item — |field|:0
@@ -802,7 +831,9 @@ def build_index(corpus: DataFrame, config: IndexConfig, stored_cols: tuple[str, 
     ]
     if not field_specs:
         raise ValueError("index config has no indexed fields")
-    cols = list(dict.fromkeys(c for c, _, _ in field_specs))
+    # uid is always selected first; with index_id_field the implicit
+    # zuliaId spec references it too — don't select it twice
+    cols = list(dict.fromkeys(c for c, _, _ in field_specs if c != uid))
     tall = corpus.select(uid, *cols).mapInArrow(
         _make_tokenizer(
             field_specs,

@@ -2357,9 +2357,14 @@ class SearchEngine:
             return j.select(*meta_cols, *extra)
         if ft != "FULL":
             raise ValueError(f"unknown fetch type {fetch_type}")
-        cols = [c for c in all_cols if c not in meta_cols]
+        # internal engine columns (_zcl_/_zll_ length meta, _zvq_/_zvs_/
+        # _zvn_ quantized vectors, _ztsf_ store timestamp) are never
+        # part of the stored document — the reference keeps them as
+        # separate Lucene fields outside the _zsdf_ stored doc — so
+        # FULL returns user fields only unless one is named explicitly
+        cols = [c for c in all_cols if c not in meta_cols and not c.startswith("_z")]
         if document_fields:
-            cols = [c for c in cols if c in document_fields]
+            cols = [c for c in all_cols if c in document_fields and c not in meta_cols]
         if document_masked_fields:
             cols = [c for c in cols if c not in document_masked_fields]
         return j.select(*meta_cols, *cols)
@@ -2525,6 +2530,51 @@ class SearchEngine:
         out.sort(key=lambda t: (-t["score"], t["shard"], t["doc_id"]))
         return {"totalHits": len(out), "topk": out[:amount], "hitsExact": True}
 
+    def _sort_key_expr(self, col: str):
+        """Resolve a sort field name to its column expression,
+        including the implicit sort fields of the reference
+        (SortTest zuliaSort/lengthSort; ServerIndexConfigData.java:
+        140-149 registers them):
+
+        - ``zuliaScore`` → the query score (Sort(SCORE_FIELD))
+        - ``zuliaId`` → the uniqueId string (ID_SORT_FIELD)
+        - ``|||field|||`` / ``|field|`` → list-length / char-length
+          meta values (Sort("|||stringList|||")); an unknown base
+          field raises, like the reference's sort validation
+          (SortTest lengthSort asserts |||madeUp||| throws)
+        """
+        if col == "zuliaScore":
+            return F.col("zuliaScore")
+        if col == "zuliaId":
+            return F.col("uniqueId")
+        from zuliasearch_spark.search.parser import _meta_field
+
+        meta = _meta_field(col)
+        dm = self.tables.doc_map.columns
+        if meta != col:
+            # length-meta sort: stored meta column when the index
+            # wrote one, else computed on the fly from the stored col
+            if meta in dm:
+                return F.col(meta)
+            base = col.strip("|")
+            if base not in dm:
+                raise ValueError(
+                    f"cannot sort on {col!r}: field {base!r} is not stored"
+                )
+            dt = dict(self.tables.doc_map.dtypes)[base]
+            if col.startswith("|||"):
+                return F.size(base) if dt.startswith("array") else F.when(
+                    F.col(base).isNull(), None
+                ).otherwise(F.lit(1))
+            return (
+                F.transform(F.col(base), lambda x: F.length(x))
+                if dt.startswith("array")
+                else F.length(F.col(base).cast("string"))
+            )
+        if col not in dm:
+            raise ValueError(f"cannot sort on unknown field {col!r}")
+        return F.col(col)
+
     def sort_search(
         self,
         req: SearchRequest,
@@ -2557,18 +2607,21 @@ class SearchEngine:
         strictly-after predicate FILTERED BEFORE the top-k, so deep
         pages prune in-scan instead of re-sorting everything Spark
         already returned."""
-        matches = self.match_ids(req).select("shard", "doc_id")
-        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         if sort_keys is None:
             if sort_col is None:
                 raise ValueError("sort_search needs sort_col or sort_keys")
             sort_keys = ((sort_col, ascending, missing_last),)
+        needs_score = any(spec[0] == "zuliaScore" for spec in sort_keys)
+        matches = self.match_ids(req).select(
+            "shard", "doc_id", *( [F.col("score").alias("zuliaScore")] if needs_score else [] )
+        )
+        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
         keys = []
         exprs = []  # (col_expr, asc, nulls_last) per sort key
         for spec in sort_keys:
             col, asc, mlast = spec[0], spec[1], spec[2]
             selector = spec[3] if len(spec) > 3 else None
-            c = F.col(col)
+            c = self._sort_key_expr(col)
             if selector is not None:
                 sel = selector.upper()
                 if sel == "MIN":
@@ -2598,9 +2651,31 @@ class SearchEngine:
         equivalent (zulia_query.proto LastResult; selectors re-apply
         so the cursor holds the COMPARED value, like Lucene FieldDoc
         .fields)."""
+        from zuliasearch_spark.search.parser import _meta_field
+
         vals = []
         for spec in sort_keys:
-            v = row[spec[0]]
+            col = spec[0]
+            if col == "zuliaId":
+                v = row["uniqueId"]
+            elif _meta_field(col) != col:
+                # length-meta cursor value: recompute from whichever
+                # column the page carried (meta column or stored col)
+                meta = _meta_field(col)
+                if meta in row.__fields__:
+                    v = row[meta]
+                else:
+                    base = row[col.strip("|")]
+                    if base is None:
+                        v = None
+                    elif col.startswith("|||"):
+                        v = len(base) if isinstance(base, (list, tuple)) else 1
+                    elif isinstance(base, (list, tuple)):
+                        v = [len(str(x)) for x in base]
+                    else:
+                        v = len(str(base))
+            else:
+                v = row[col]
             selector = spec[3] if len(spec) > 3 else None
             if selector is not None and v is not None:
                 v = min(v) if selector.upper() == "MIN" else max(v)

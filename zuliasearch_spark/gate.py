@@ -1635,6 +1635,62 @@ def q_winnow(spark, sf_dir):
     return P.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_embed(spark, sf_dir):
+    """zulia-ai TextEmbeddingModel analogue (ai.text_embed): one
+    L2-normalized feature-hash vector per doc, pure Catalyst. The
+    gate compares four components + the nonzero count per doc."""
+    from zuliasearch_spark import ai
+
+    out = ai.text_embed(_docs(spark, sf_dir).select("doc_id", "text"), dim=16)
+    return out.select(
+        "doc_id",
+        *[
+            # +0.0 collapses IEEE -0.0 to 0.0 (repr-compared vs DuckDB)
+            (F.round(F.element_at("embedding", i + 1), 4) + F.lit(0.0)).alias(f"v{i}")
+            for i in range(4)
+        ],
+        F.expr("size(filter(embedding, x -> x <> 0.0D))").cast("bigint").alias("nnz"),
+    )
+
+
+def q_sparse_encode(spark, sf_dir):
+    """zulia-ai SparseEncoderModel analogue (ai.sparse_encode):
+    TF-IDF term→weight maps, positive + descending + maxTerms-capped
+    (SparseEncoderModelTest contract), top-3 per doc."""
+    from zuliasearch_spark import ai
+
+    return ai.sparse_encode(_docs(spark, sf_dir), max_terms=3)
+
+
+def q_classifier_stats(spark, sf_dir):
+    """BinaryClassifierStats confusion + metric math
+    (BinaryClassifierStats.java:30-66) over a deterministic
+    pseudo-probability column — the evaluator the trainer logs
+    per epoch (F1/precision/recall/accuracy)."""
+    from zuliasearch_spark import ai
+
+    docs = _docs(spark, sf_dir)
+    pred = docs.select(
+        ((F.col("n_chars") % 100) / 100.0).alias("p1"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    s = ai.classifier_stats(pred, "p1", "label", threshold=0.5)
+    cdf = spark.createDataFrame(
+        [(s["truePositive"], s["falsePositive"], s["trueNegative"], s["falseNegative"])],
+        "tp bigint, fp bigint, tn bigint, fn bigint",
+    )
+    # metrics rounded with Spark round (same decimal path the other
+    # gates rely on versus DuckDB round)
+    p = F.col("tp") / (F.col("tp") + F.col("fp"))
+    r = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return cdf.select(
+        "tp", "fp", "tn", "fn",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     return P.multimodal_meta(_docs(spark, sf_dir))
 
@@ -1922,6 +1978,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "winnow": q_winnow,
+    "text_embed": q_text_embed,
+    "sparse_encode": q_sparse_encode,
+    "classifier_stats": q_classifier_stats,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -2348,5 +2407,49 @@ SELECT count(*)::BIGINT AS in_range, 0::BIGINT AS before_range FROM documents"""
     "lang_id": _LANG_SQL,
     "quality": _QUALITY_SQL,
     "winnow": _WINNOW_SQL,
+    "text_embed": f"""
+WITH {_LST},
+hs AS (SELECT doc_id, list_transform(l, t -> {_H32D.format(x='t')}) AS hs FROM lst),
+raw AS (SELECT doc_id,
+  [coalesce(list_sum(list_transform(hs, h ->
+     CASE WHEN h % 16 = i THEN (CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+          ELSE 0 END)), 0)
+   FOR i IN generate_series(0, 15)] AS r FROM hs),
+n AS (SELECT doc_id, r,
+        sqrt(list_sum(list_transform(r, x -> CAST(x*x AS DOUBLE)))) AS nrm FROM raw)
+SELECT doc_id,
+  round(CASE WHEN nrm = 0 THEN 0.0 ELSE r[1]/nrm END, 4) + 0 AS v0,
+  round(CASE WHEN nrm = 0 THEN 0.0 ELSE r[2]/nrm END, 4) + 0 AS v1,
+  round(CASE WHEN nrm = 0 THEN 0.0 ELSE r[3]/nrm END, 4) + 0 AS v2,
+  round(CASE WHEN nrm = 0 THEN 0.0 ELSE r[4]/nrm END, 4) + 0 AS v3,
+  len(list_filter(r, x -> x <> 0))::BIGINT AS nnz
+FROM n""",
+    "sparse_encode": f"""
+WITH {_LST},
+tall AS (SELECT doc_id, t.term FROM lst, unnest(l) AS t(term)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tall GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tall GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (SELECT tf.doc_id, tf.term,
+        round(tf.tf * ln(1 + CAST(n.n AS DOUBLE) / dfq.df), 4) AS weight
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, weight,
+        row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rank
+      FROM w)
+SELECT doc_id, rank, term, weight FROM r WHERE rank <= 3""",
+    "classifier_stats": """
+WITH pred AS (SELECT (n_chars % 100) / 100.0 AS p1, (lang = 'en') AS label FROM documents),
+c AS (SELECT
+  sum(CASE WHEN p1 >= 0.5 AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+  sum(CASE WHEN p1 >= 0.5 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+  sum(CASE WHEN p1 < 0.5 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn,
+  sum(CASE WHEN p1 < 0.5 AND label THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM pred)
+SELECT tp, fp, tn, fn,
+  round(tp / CAST(tp + fp AS DOUBLE), 6) AS "precision",
+  round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+  round(2 * (tp / CAST(tp + fp AS DOUBLE)) * (tp / CAST(tp + fn AS DOUBLE))
+        / (tp / CAST(tp + fp AS DOUBLE) + tp / CAST(tp + fn AS DOUBLE)), 6) AS f1
+FROM c""",
     "multimodal_meta": _MULTIMODAL_SQL,
 }

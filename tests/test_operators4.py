@@ -285,7 +285,12 @@ def test_query_result_cache(spark):
             (C("SCORE_SHOULD", q="beta", qf=("content",)),), amount=5, pin_to_cache=True
         )
         eng.search(pinned_req, fetch="none")
-        assert (pinned_req, "none") in eng._pinned_query_cache
+        # cache identity excludes the pin flag (CacheTest: the
+        # unpinned repeat of a pinned warming search still hits)
+        import dataclasses as _dc
+
+        pinned_key = (_dc.replace(pinned_req, pin_to_cache=False), "none")
+        assert pinned_key in eng._pinned_query_cache
         for i in range(12):  # overflow the 8-entry LRU
             eng.search(
                 SearchRequest(

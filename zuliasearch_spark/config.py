@@ -271,6 +271,49 @@ class IndexConfig:
     # timestamp column "_ztsf_" stamped at build/upsert time and
     # queryable with DATE range syntax (SimpleTest.java:304-325).
     store_timestamp: bool = False
+    # warming searches (zulia_index.proto:58 ``repeated bytes
+    # warmingSearches``; ZuliaShard.tryWarmPrimary/warmPrimarySearches
+    # ZuliaShard.java:139-267): stored search requests the engine
+    # re-runs after load/refresh so the first user query hits warm
+    # caches (pinToCache entries land in the pinned query-cache
+    # region — CacheTest.java:51-53). Each entry is a JSON-safe dict
+    # (see search.query.warming_request for the accepted keys); a
+    # non-empty unique ``searchLabel`` is required, mirroring
+    # CreateIndexRequestValidator.java:165-186.
+    warming_searches: tuple = ()
+
+    def __post_init__(self):
+        ws = tuple(self.warming_searches or ())
+        object.__setattr__(self, "warming_searches", ws)
+        seen: set[str] = set()
+        for w in ws:
+            label = str(w.get("searchLabel", "") if isinstance(w, dict) else "")
+            if not label:
+                raise ValueError("A search label is required for a warming search")
+            if label in seen:
+                raise ValueError(
+                    f"Warming search list has duplicate search label <{label}>"
+                )
+            seen.add(label)
+
+    def with_warming_searches(
+        self, updates=(), operation: str = "MERGE", removed_keys=()
+    ) -> "IndexConfig":
+        """UpdateIndex warmingSearchesOperation analogue
+        (UpdateIndex.mergeWarmingSearches / replace / removedKeys,
+        zulia_index.proto:143-144): returns a new config with the
+        warming-search list updated under MERGE/REPLACE + removals,
+        keyed by searchLabel."""
+        import dataclasses
+
+        new = update_with_action(
+            self.warming_searches,
+            tuple(updates),
+            lambda w: str(w.get("searchLabel", "")),
+            operation=operation,
+            removed_keys=removed_keys,
+        )
+        return dataclasses.replace(self, warming_searches=tuple(new))
 
     def analyzer(self, name: str) -> AnalyzerSettings:
         if name in self.analyzers:
@@ -360,6 +403,7 @@ class IndexConfig:
 
         d = json.loads(text)
         d["default_search_fields"] = tuple(d.get("default_search_fields", ()))
+        d["warming_searches"] = tuple(d.get("warming_searches", ()) or ())
         d["field_configs"] = tuple(
             FieldConfig(
                 stored_field_name=fc["stored_field_name"],
@@ -382,6 +426,45 @@ class IndexConfig:
             for k, a in d.get("analyzers", {}).items()
         }
         return IndexConfig(**d)
+
+
+def update_with_action(existing, updates, key, operation: str = "MERGE", removed_keys=()):
+    """Keyed list-update semantics of UpdateIndexSettings.Operation
+    (zulia_index.proto:93-102; ZuliaIndexManager.updateWithAction:
+    1448-1485), shared by the warming-search / analyzer / field-config
+    / field-mapping update surfaces:
+
+    - MERGE: entries whose key matches an update are replaced IN
+      PLACE (list order preserved); updates with new keys append in
+      update order. Duplicate keys within ``updates``: first wins.
+    - REPLACE: the result is just ``updates`` (first wins on
+      duplicate keys), existing entries dropped.
+    - ``removed_keys`` then filters the result by key.
+    """
+    first_wins: dict[str, object] = {}
+    for u in updates:
+        first_wins.setdefault(key(u), u)
+    if operation == "MERGE":
+        if updates:
+            pending = dict(first_wins)
+            out = []
+            for v in existing:
+                k = key(v)
+                if k in pending:
+                    out.append(pending.pop(k))
+                else:
+                    out.append(v)
+            out.extend(pending.values())
+        else:
+            out = list(existing)
+    elif operation == "REPLACE":
+        out = list(first_wins.values())
+    else:
+        raise ValueError(f"Unknown operation type {operation!r}")
+    if removed_keys:
+        dead = set(removed_keys)
+        out = [v for v in out if key(v) not in dead]
+    return out
 
 
 def apply_doc_value_skip_index_policy(

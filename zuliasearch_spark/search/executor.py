@@ -1316,6 +1316,13 @@ class SearchEngine:
         )
         pinned.count()  # materialize the cache before serving
         self._pinned = pinned
+        # warming searches run after the resident copy is live, the
+        # analogue of ZuliaShard.tryWarmPrimary after reader refresh
+        # (ZuliaShard.java:148-170): pre-populates the query-result
+        # cache (pinToCache entries in the pinned region) so the
+        # first user query is warm
+        if self.config.warming_searches:
+            self.warm_searches()
         return self
 
     def unpin(self) -> None:
@@ -1407,6 +1414,7 @@ class SearchEngine:
         and results report ``fullyCached`` so callers can observe
         cache behavior like SearchResult.getFullyCached()."""
         import copy
+        import dataclasses
 
         cache_n = self.config.query_cache_size
         cacheable = (
@@ -1414,9 +1422,17 @@ class SearchEngine:
             and cache_n > 0
             and req.amount + req.start <= self.config.query_cache_max_amount
         )
+        # the cache key excludes searchLabel / pinToCache / realtime:
+        # CacheTest.searchTest issues the warming search WITHOUT its
+        # label or pin flag and still gets fullyCached=true with
+        # shardsPinned=1 — identity is the query, not its metadata
+        key = (
+            dataclasses.replace(req, pin_to_cache=False, realtime=False, search_label=""),
+            fetch,
+        )
         if cacheable:
-            key = (req, fetch)
-            hit = self._pinned_query_cache.get(key)
+            pinned_hit = self._pinned_query_cache.get(key)
+            hit = pinned_hit
             if hit is None:
                 hit = self._query_cache.get(key)
                 if hit is not None:
@@ -1424,16 +1440,42 @@ class SearchEngine:
             if hit is not None:
                 out = copy.deepcopy(hit)
                 out["fullyCached"] = True
+                out["shardsPinned"] = (
+                    self.config.number_of_shards if pinned_hit is not None else 0
+                )
                 return out
         out = self.search_many({"q": req}, fetch=fetch)["q"]
         out["fullyCached"] = False
+        out["shardsPinned"] = 0
         if cacheable:
             if req.pin_to_cache:
-                self._pinned_query_cache[(req, fetch)] = copy.deepcopy(out)
+                self._pinned_query_cache[key] = copy.deepcopy(out)
             else:
-                self._query_cache[(req, fetch)] = copy.deepcopy(out)
+                self._query_cache[key] = copy.deepcopy(out)
                 while len(self._query_cache) > cache_n:
                     self._query_cache.popitem(last=False)
+        return out
+
+    def warm_searches(self) -> list[dict]:
+        """Run the config's stored warming searches through the
+        normal search path (ZuliaShard.warmPrimarySearches:206-267;
+        triggered after load/refresh like tryWarmPrimary:148-170 —
+        here :meth:`pin` is the load/refresh analogue and calls this).
+        pinToCache entries land in the pinned query-cache region
+        (CacheTest.java:51-53), so the first user query that repeats
+        a warming search reports fullyCached. A failing warming
+        search is logged-and-skipped, never fatal (the reference
+        catches per search). Returns [{label, ok, error}]."""
+        from .query import warming_request
+
+        out = []
+        for entry in self.config.warming_searches:
+            req = warming_request(entry)
+            try:
+                self.search(req)
+                out.append({"label": req.search_label, "ok": True, "error": None})
+            except Exception as e:  # noqa: BLE001 — warming must not break serving
+                out.append({"label": req.search_label, "ok": False, "error": str(e)})
         return out
 
     def search_many(

@@ -115,6 +115,10 @@ class SearchRequest:
     # LRU eviction; realtime searches bypass the cache entirely
     pin_to_cache: bool = False
     realtime: bool = False
+    # QueryRequest.searchLabel: names the search in logs and is the
+    # REQUIRED unique key of a stored warming search
+    # (CreateIndexRequestValidator.java:171-177)
+    search_label: str = ""
 
 
 @dataclass(frozen=True)
@@ -220,6 +224,46 @@ class IntervalSpec:
     @property
     def stat_keys(self) -> tuple[tuple[str, str], ...]:
         return tuple((self.field, t) for t in self.terms)
+
+
+def warming_request(entry: dict) -> SearchRequest:
+    """Build the SearchRequest for one stored warming-search entry
+    (IndexConfig.warming_searches). Entries are JSON-safe dicts using
+    the client API's camelCase keys (ClientIndexConfig
+    addWarmingSearch → serialized QueryRequest):
+
+    - ``searchLabel`` (required), ``amount``, ``pinToCache``,
+      ``realtime``, ``mm``, ``defaultOp``, ``qf`` (default fields)
+    - ``qs``: a whole query string, OR
+    - ``query``: a list of clause dicts — ``{"q": "rating:[1 TO 3]",
+      "type": "FILTER"}`` like Search.addQuery(new FilterQuery(...))
+      (CacheTest.java:51-53); clause keys mirror QueryClause.
+    """
+    clauses = tuple(
+        QueryClause(
+            type=c.get("type", SCORE_SHOULD),
+            q=c.get("q"),
+            qf=tuple(c.get("qf", ())),
+            default_op=c.get("defaultOp", c.get("default_op", "OR")),
+            mm=int(c.get("mm", 0)),
+            boost=float(c.get("boost", 1.0)),
+            terms=tuple(c.get("terms", ())),
+            phrase=tuple(c.get("phrase", ())),
+            slop=int(c.get("slop", 0)),
+        )
+        for c in entry.get("query", ())
+    )
+    return SearchRequest(
+        clauses=clauses,
+        qs=entry.get("qs"),
+        qf=tuple(entry.get("qf", ())),
+        default_op=entry.get("defaultOp", entry.get("default_op", "OR")),
+        mm=int(entry.get("mm", 0)),
+        amount=int(entry.get("amount", 10)),
+        pin_to_cache=bool(entry.get("pinToCache", entry.get("pin_to_cache", False))),
+        realtime=bool(entry.get("realtime", False)),
+        search_label=str(entry.get("searchLabel", entry.get("search_label", ""))),
+    )
 
 
 def iter_stat_keys(resolved) -> set[tuple[str, str]]:

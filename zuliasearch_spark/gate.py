@@ -1896,6 +1896,96 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# events stream table: DATE-windowed search, stats, rollups, sorts
+
+_EVENTS_ENGINE_CACHE: dict = {}
+
+
+def events_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Index over the events stream table (event_id, ts, user_id,
+    event_type, value, props): event_type KEYWORD-indexed + faceted,
+    ts / value / user_id stored for doc-values DATE ranges, stats and
+    sorts — the DateStringTest / StatTest surface over a time-series
+    feed instead of a document corpus."""
+    eng = _EVENTS_ENGINE_CACHE.get(sf_dir)
+    if eng is not None:
+        return eng
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    corpus = ev.select(
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("uid"),
+        F.col("event_id").alias("orig_event_id"),
+        "event_type",
+        "user_id",
+        "value",
+        "ts",
+    )
+    cfg = IndexConfig(
+        index_name="events",
+        unique_id_col="uid",
+        number_of_shards=4,
+        default_search_fields=("event_type",),
+        field_configs=(
+            FieldConfig(
+                "event_type",
+                index_as=(IndexAs("event_type", "lcKeyword"),),
+                facet_as=("event_type",),
+            ),
+        ),
+        per_shard_stats=False,
+        quantize_norms=False,
+    )
+    tables = build_index(
+        corpus, cfg, stored_cols=("orig_event_id", "user_id", "value", "ts")
+    ).persist()
+    eng = SearchEngine(tables)
+    _EVENTS_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def q_events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE-period range + keyword filter, then numeric stats of the
+    value column over the match set (DateStringTest period coercion —
+    [2024-01-05 TO 2024-01-15] spans whole days — composed with
+    StatTest numeric stats)."""
+    eng = events_engine(spark, sf_dir)
+    q = "event_type:purchase AND ts:[2024-01-05 TO 2024-01-15]"
+    req = SearchRequest(qs=q, amount=1)
+    hits = eng.search_string(q, amount=1)["totalHits"]
+    stats = eng.numeric_stats(req, "value").select(
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+        F.round("sum_v", 2).alias("sum_v"),
+        F.col("count_v").cast("long").alias("count_v"),
+    )
+    return stats.withColumn("hits", F.lit(hits).cast("long"))
+
+
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event counts via a DATE facet (facet date handling —
+    DateStringTest date facets; format 'yyyy-MM-dd') over the error
+    events of one week."""
+    eng = events_engine(spark, sf_dir)
+    req = SearchRequest(
+        qs="event_type:error AND ts:[2024-01-08 TO 2024-01-14]", amount=1
+    )
+    return eng.facet_counts(req, "ts", top_n=7, date_format="yyyy-MM-dd")
+
+
+def q_events_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 purchase events by value DESC (field sort with id
+    tiebreak, SortTest semantics) from the stream table."""
+    eng = events_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="event_type:purchase"),), amount=1)
+    return eng.sort_search(
+        req, sort_col="value", ascending=False, amount=10, tiebreak=("orig_event_id",)
+    ).select(
+        F.col("orig_event_id").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -1959,6 +2049,9 @@ QUERIES = {
     "sort_multi": q_sort_multi,
     "zulia_id_count": q_zulia_id_count,
     "zulia_id_sort_topk": q_zulia_id_sort_topk,
+    "events_window_stats": q_events_window_stats,
+    "events_daily_rollup": q_events_daily_rollup,
+    "events_sort_topk": q_events_sort_topk,
     "score_sort_topk": q_score_sort_topk,
     "timestamp_range_count": q_timestamp_range_count,
     "doc_terms": q_doc_terms,
@@ -2390,6 +2483,25 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 ORDER BY round(s, 7) ASC, doc_id ASC LIMIT 10""",
     "timestamp_range_count": """
 SELECT count(*)::BIGINT AS in_range, 0::BIGINT AS before_range FROM documents""",
+    "events_window_stats": """
+SELECT round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
+       round(sum(value), 2) AS sum_v, count(value)::BIGINT AS count_v,
+       count(*)::BIGINT AS hits
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-15 23:59:59.999999'""",
+    "events_daily_rollup": """
+SELECT strftime(ts, '%Y-%m-%d') AS value, count(*)::BIGINT AS cnt
+FROM events
+WHERE event_type = 'error'
+  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'
+GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 7""",
+    "events_sort_topk": """
+SELECT event_id, user_id::BIGINT AS user_id, round(value, 2) AS value
+FROM events WHERE event_type = 'purchase'
+ORDER BY value DESC, event_id ASC LIMIT 10""",
     "doc_terms": _DOC_TERMS_SQL,
     "wildcard_count": _WILDCARD_SQL,
     "summary_terms": _SUMMARY_SQL,

@@ -1870,8 +1870,34 @@ class SearchEngine:
         """
         resolved, tree = self._resolve_request(req)
         if tree is not None:
-            if tree_ranges(tree):
-                raise ValueError("range clauses: use search_string()")
+            ranges = tree_ranges(tree)
+            if ranges:
+                # range conjuncts take the IndexOrDocValuesQuery split
+                # (SetQueryHelper.java:45-106), same composition as
+                # search_string: doc-values predicate over doc_map
+                # columns semi-joined with the postings match set — so
+                # every aggregation surface built on match_ids
+                # (facets, stats, percentiles) accepts DATE/numeric
+                # ranges anywhere in the query, like the reference's
+                # filter queries (DateStringTest + StatTest compose)
+                pred = self._range_predicate(ranges)
+                allowed = self.tables.doc_map.filter(pred).select("shard", "doc_id")
+                stripped = _strip_ranges(tree)
+                if stripped is None or not tree_has_positive_leaf(stripped):
+                    # pure doc-values match set: constant score, the
+                    # same contract as search_string's pure-range path
+                    return allowed.withColumn("score", F.lit(0.0))
+                sreq = SearchRequest(
+                    qs=_TREE_SENTINEL, qf=req.qf,
+                    default_op=req.default_op, mm=req.mm,
+                    amount=req.amount, start=req.start,
+                    similarities=req.similarities,
+                )
+                self._resolve_cache[
+                    ("qs", _TREE_SENTINEL, sreq.qf, sreq.default_op, sreq.mm)
+                ] = stripped
+                base = self.match_ids(sreq)
+                return base.join(allowed, ["shard", "doc_id"])
             if not tree_has_positive_leaf(tree):
                 raise ValueError("match_ids needs a positive clause")
             keys = tree_stat_keys(tree)

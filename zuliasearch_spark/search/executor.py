@@ -1724,8 +1724,9 @@ class SearchEngine:
         pred = self._range_predicate(ranges)
         stripped = _strip_ranges(tree)
         if stripped is None or not tree_has_positive_leaf(stripped):
-            # pure doc-values query: filter doc_map directly
-            allowed = self.tables.doc_map.filter(pred)
+            # pure doc-values query: filter LIVE doc_map directly
+            # (tombstoned docs never resurface through ranges)
+            allowed = self._live_doc_map().filter(pred)
             rows = (
                 allowed.orderBy(F.asc("shard"), F.asc("doc_id"))
                 .limit(start + amount)
@@ -1881,7 +1882,7 @@ class SearchEngine:
                 # ranges anywhere in the query, like the reference's
                 # filter queries (DateStringTest + StatTest compose)
                 pred = self._range_predicate(ranges)
-                allowed = self.tables.doc_map.filter(pred).select("shard", "doc_id")
+                allowed = self._live_doc_map().filter(pred).select("shard", "doc_id")
                 stripped = _strip_ranges(tree)
                 if stripped is None or not tree_has_positive_leaf(stripped):
                     # pure doc-values match set: constant score, the
@@ -3171,6 +3172,23 @@ class SearchEngine:
             return None
         return {s: np.fromiter(sorted(d), dtype=np.int64) for s, d in self._tombstones.items()}
 
+    def _live_doc_map(self):
+        """doc_map minus tombstoned docs — the Lucene liveDocs mask
+        for paths that bypass the postings kernels (pure doc-values
+        ranges, raw KNN): they must not resurface deletes the way
+        IndexReader.numDocs/liveDocs never would. Zero cost when
+        nothing is deleted; otherwise a broadcast anti-join of the
+        (shard, doc_id) tombstone set (already driver-resident, like
+        Lucene's live-docs bitset; optimize() purges it)."""
+        if not self._tombstones:
+            return self.tables.doc_map
+        spark = self.tables.doc_map.sparkSession
+        pairs = [(int(s), int(d)) for s, ds in self._tombstones.items() for d in ds]
+        dead = spark.createDataFrame(pairs, "shard int, doc_id bigint")
+        return self.tables.doc_map.join(
+            F.broadcast(dead), ["shard", "doc_id"], "left_anti"
+        )
+
     def get_field_names(self) -> list[str]:
         """Enumerate indexed fields (GetFieldNames,
         ShardReader.java:142-185)."""
@@ -3279,7 +3297,9 @@ class SearchEngine:
             )
 
         cos = dot(emb, qlit) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)))
-        base = self.tables.doc_map.filter(emb.isNotNull())
+        # LIVE docs only: Lucene KNN consults liveDocs, so deleted
+        # docs neither surface nor consume top-k slots
+        base = self._live_doc_map().filter(emb.isNotNull())
         vc = vf[1] if vf is not None else None
         if vc is not None and vc.encoding != "FLOAT32":
             base = self._quantized_candidates(base, col, vc, vector, k)

@@ -66,6 +66,28 @@ def test_range_aggregation_excludes_deleted(spark):
         tables.unpersist()
 
 
+def test_fetch_excludes_deleted(spark):
+    eng, tables = _engine(spark)
+    try:
+        assert eng.fetch(["d2", "d4"], fetch_type="NONE").count() == 2
+        eng.delete_by_unique_ids(["d2"])
+        got = [r["uniqueId"] for r in eng.fetch(["d2", "d4"], fetch_type="NONE").collect()]
+        assert got == ["d4"]
+    finally:
+        tables.unpersist()
+
+
+def test_pure_vector_matchall_excludes_deleted(spark):
+    eng, tables = _engine(spark)
+    try:
+        eng.delete_by_unique_ids(["d9"])
+        # no boolean clauses → injected MatchAll; must be LIVE docs
+        top = eng.search_vector(SearchRequest(amount=3), [9.0, 1.0, 0.0], "vec", k=3)
+        assert "d9" not in [t["uniqueId"] for t in top["topk"]]
+    finally:
+        tables.unpersist()
+
+
 def test_knn_excludes_deleted(spark):
     eng, tables = _engine(spark)
     try:

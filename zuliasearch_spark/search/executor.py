@@ -2415,7 +2415,10 @@ class SearchEngine:
         """
         spark = self.tables.doc_map.sparkSession
         ids_df = spark.createDataFrame([(str(u),) for u in unique_ids], "uniqueId string")
-        j = self.tables.doc_map.join(F.broadcast(ids_df), "uniqueId")
+        # LIVE docs only: the reference fetches through an id
+        # TermQuery on the IndexSearcher, so a deleted uniqueId
+        # fetches nothing (liveDocs)
+        j = self._live_doc_map().join(F.broadcast(ids_df), "uniqueId")
         meta_cols = ["uniqueId", "shard", "doc_id"]
         all_cols = self.tables.doc_map.columns
         ft = fetch_type.upper()
@@ -2522,7 +2525,8 @@ class SearchEngine:
         if req.clauses or req.qs is not None:
             matches = self.match_ids(req)
         else:
-            matches = self.tables.doc_map.select(
+            # injected MatchAll = all LIVE docs (liveDocs semantics)
+            matches = self._live_doc_map().select(
                 "shard", "doc_id", F.lit(0.0).alias("score")
             )
         j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
@@ -3543,7 +3547,10 @@ class SearchEngine:
                 )
             rows = {
                 r["uniqueId"]: r
-                for r in self.tables.doc_map.filter(
+                # LIVE docs only: a deleted MLT source id seeds
+                # nothing, like the reference's id search finding
+                # no document
+                for r in self._live_doc_map().filter(
                     F.col("uniqueId").isin(list(document_ids))
                 )
                 .select("uniqueId", *dict.fromkeys(want))

@@ -263,11 +263,13 @@ def test_query_result_cache(spark):
         finally:
             SparkDF.collect = orig
         assert not calls, "cache hit must not run Spark"
-        # the hit reports fullyCached (SearchResult.getFullyCached);
-        # everything else is identical
+        # the hit reports fullyCached/shardsCached (SearchResult
+        # cache observability); everything else is identical
         assert not r1["fullyCached"] and r2["fullyCached"]
-        assert {k: v for k, v in r2.items() if k != "fullyCached"} == {
-            k: v for k, v in r1.items() if k != "fullyCached"
+        assert r1["shardsCached"] == 0 and r2["shardsCached"] == 2
+        _cache_keys = ("fullyCached", "shardsCached", "shardsPinned")
+        assert {k: v for k, v in r2.items() if k not in _cache_keys} == {
+            k: v for k, v in r1.items() if k not in _cache_keys
         }
         # mutating the returned dict must not poison the cache
         r2["topk"].clear()

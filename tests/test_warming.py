@@ -167,6 +167,8 @@ def test_pin_runs_warming_searches_and_user_search_hits(spark):
         res = eng.search(user_req)
         assert res["fullyCached"] is True
         assert res["shardsPinned"] == cfg.number_of_shards
+        assert res["shardsCached"] == cfg.number_of_shards
+        assert res["shardsQueried"] == cfg.number_of_shards
         # LRU pressure cannot evict the pinned warming entry
         for i in range(5):
             eng.search(SearchRequest(qs="beta", amount=i + 1))

@@ -1438,15 +1438,24 @@ class SearchEngine:
                 if hit is not None:
                     self._query_cache.move_to_end(key)
             if hit is not None:
+                # SearchResult.getFullyCached/getShardsCached/
+                # getShardsPinned/getShardsQueried (CacheTest
+                # searchTest assertions): the whole-result cache is
+                # the single-shard-group analogue — a hit means every
+                # shard was served cached
                 out = copy.deepcopy(hit)
                 out["fullyCached"] = True
+                out["shardsCached"] = self.config.number_of_shards
                 out["shardsPinned"] = (
                     self.config.number_of_shards if pinned_hit is not None else 0
                 )
+                out["shardsQueried"] = self.config.number_of_shards
                 return out
         out = self.search_many({"q": req}, fetch=fetch)["q"]
         out["fullyCached"] = False
+        out["shardsCached"] = 0
         out["shardsPinned"] = 0
+        out["shardsQueried"] = self.config.number_of_shards
         if cacheable:
             if req.pin_to_cache:
                 self._pinned_query_cache[key] = copy.deepcopy(out)

@@ -43,8 +43,11 @@ def main() -> int:
     print(f"entry() smoke: {n} rows, schema={smoke.columns}")
 
     oracles = mod.oracle_sql()
+    only = set(sys.argv[1:])  # optional: gate names to check (default all)
     failures = 0
     for name, fn in mod.queries().items():
+        if only and name not in only:
+            continue
         sdf = fn(spark, SF_DIR)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns

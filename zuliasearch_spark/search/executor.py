@@ -2456,14 +2456,28 @@ class SearchEngine:
         The reference's IndexOrDocValuesQuery path (SetQueryHelper.java:
         45-106; numeric ranges ZuliaPointRangeQueryNodeBuilder): range/
         set predicates on non-inverted fields evaluate against doc
-        values instead of postings. Here the predicate filters doc_map
-        (Catalyst pushes it into the parquet scan) and semi-joins the
-        match set BEFORE the top-k cut, so totalHits and ranking see
-        only passing docs.
+        values instead of postings. Here the predicate filters the LIVE
+        doc_map (Catalyst pushes it into the scan; tombstones masked by
+        the same `_live_doc_map` invariant as every other non-kernel
+        path) and semi-joins the match set BEFORE the top-k cut, so
+        totalHits and ranking see only passing docs.
+
+        Scale note: the persisted frame is pruned to exactly
+        (shard, doc_id, score, uniqueId) BEFORE the persist — the
+        predicate columns are consumed by the filter and dropped, and
+        wide stored columns (text, embeddings) must never enter the
+        cache: cached bytes would grow with match-set size × document
+        width instead of with k (tests/test_plan_width.py pins this).
         """
         matches = self.match_ids(req)
-        allowed = self.tables.doc_map.filter(predicate)
-        j = matches.join(allowed, ["shard", "doc_id"]).persist()
+        allowed = self._live_doc_map().filter(predicate).select(
+            "shard", "doc_id", "uniqueId"
+        )
+        j = (
+            matches.select("shard", "doc_id", "score")
+            .join(allowed, ["shard", "doc_id"])
+            .persist()
+        )
         try:
             top = (
                 j.orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))

@@ -1989,24 +1989,73 @@ def q_events_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 
 QUERIES = {
+    # --- driver CORRECTNESS window: first 50 entries. r4 rotation policy:
+    # (a) the 15 gates never yet driver-verified, (b) the 21 gates last
+    # driver-verified in r02, (c) 14 gates whose code paths change in r4
+    # (vector/IVF, intervals, sorts, docvalues, headline). Gates rotated out
+    # stay covered by CORRECTNESS_r03 + tests/test_gate_parity.py.
+    "mlt_vector_topk": q_mlt_vector_topk,
+    "mlt_hybrid_topk": q_mlt_hybrid_topk,
+    "vector_int8_topk": q_vector_int8_topk,
+    "zulia_id_count": q_zulia_id_count,
+    "zulia_id_sort_topk": q_zulia_id_sort_topk,
+    "score_sort_topk": q_score_sort_topk,
+    "timestamp_range_count": q_timestamp_range_count,
+    "numeric_facet_coerce": q_numeric_facet_coerce,
+    "events_window_stats": q_events_window_stats,
+    "events_daily_rollup": q_events_daily_rollup,
+    "events_sort_topk": q_events_sort_topk,
+    "text_embed": q_text_embed,
+    "sparse_encode": q_sparse_encode,
+    "classifier_stats": q_classifier_stats,
+    "multimodal_meta": q_multimodal_meta,
+    "numeric_set_count": q_numeric_set_count,
+    "sort_topk": q_sort_topk,
+    "sort_multi": q_sort_multi,
+    "docvalue_range": q_docvalue_range,
+    "mlt_topk": q_mlt_topk,
+    "ivf_topk": q_ivf_topk,
+    "minhash_lsh": q_minhash_lsh,
+    "lsh_jaccard": q_lsh_jaccard,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "neardup_cosine": q_neardup_cosine,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "winnow": q_winnow,
+    "doc_terms": q_doc_terms,
+    "summary_terms": q_summary_terms,
+    "wildcard_count": q_wildcard_count,
+    "highlight": q_highlight,
+    "sim_tf": q_sim_tf,
+    "sim_constant": q_sim_constant,
+    "vector_clause_topk": q_vector_clause_topk,
+    "vector_should_topk": q_vector_should_topk,
+    "interval_ordered_count": q_interval_ordered_count,
+    "interval_within_count": q_interval_within_count,
+    "interval_atleast_count": q_interval_atleast_count,
+    "cosine_topk": q_cosine_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_filtered": q_bm25_filtered,
+    "phrase_topk": q_phrase_topk,
+    "qs_topk": q_qs_topk,
+    "facet_path": q_facet_path,
+    "multi_index_topk": q_multi_index_topk,
+    "stat_facet": q_stat_facet,
+    "get_terms": q_get_terms,
+    # --- below the 50-slot window (driver-green in r03; replica-tested) ---
     "and_count": q_and_count,
     "and_multifield": q_and_multifield,
     "sim_tfidf": q_sim_tfidf,
-    "phrase_topk": q_phrase_topk,
     "phrase_slop_count": q_phrase_slop_count,
-    "qs_topk": q_qs_topk,
     "qs_count": q_qs_count,
     "upsert_count": q_upsert_count,
-    "facet_path": q_facet_path,
     "drill_down_count": q_drill_down_count,
     "fetch_masked": q_fetch_masked,
-    "multi_index_topk": q_multi_index_topk,
     "highlight_tags": q_highlight_tags,
     "get_terms_fuzzy": q_get_terms_fuzzy,
     "len_meta_count": q_len_meta_count,
-    "interval_ordered_count": q_interval_ordered_count,
     "bool_count": q_bool_count,
     "bool_facet": q_bool_facet,
     "null_exists_counts": q_null_exists_counts,
@@ -2014,8 +2063,6 @@ QUERIES = {
     "stat_facet_sharded": q_stat_facet_sharded,
     "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
-    "interval_within_count": q_interval_within_count,
-    "interval_atleast_count": q_interval_atleast_count,
     "qs_zl_ns_count": q_qs_zl_ns_count,
     "qs_zl_tq_count": q_qs_zl_tq_count,
     "geo_bbox_count": q_geo_bbox_count,
@@ -2023,58 +2070,17 @@ QUERIES = {
     "geo_sort_topk": q_geo_sort_topk,
     "shingle_count": q_shingle_count,
     "concat_count": q_concat_count,
-    "vector_clause_topk": q_vector_clause_topk,
-    "vector_should_topk": q_vector_should_topk,
     "terms_set_count": q_terms_set_count,
     "facet_lang": q_facet_lang,
     "numeric_stats": q_numeric_stats,
-    "get_terms": q_get_terms,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
-    "cosine_topk": q_cosine_topk,
     "score_fn": q_score_fn,
-    "stat_facet": q_stat_facet,
     "percentiles": q_percentiles,
     "percentiles_sketch": q_percentiles_sketch,
     "stat_facet_percentiles": q_stat_facet_percentiles,
     "stat_facet_novalue": q_stat_facet_novalue,
     "stat_facet_pct_novalue": q_stat_facet_pct_novalue,
-    "numeric_facet_coerce": q_numeric_facet_coerce,
-    "sim_tf": q_sim_tf,
-    "sim_constant": q_sim_constant,
-    "highlight": q_highlight,
-    "docvalue_range": q_docvalue_range,
-    "numeric_set_count": q_numeric_set_count,
-    "sort_topk": q_sort_topk,
-    "sort_multi": q_sort_multi,
-    "zulia_id_count": q_zulia_id_count,
-    "zulia_id_sort_topk": q_zulia_id_sort_topk,
-    "events_window_stats": q_events_window_stats,
-    "events_daily_rollup": q_events_daily_rollup,
-    "events_sort_topk": q_events_sort_topk,
-    "score_sort_topk": q_score_sort_topk,
-    "timestamp_range_count": q_timestamp_range_count,
-    "doc_terms": q_doc_terms,
-    "wildcard_count": q_wildcard_count,
-    "summary_terms": q_summary_terms,
-    "mlt_topk": q_mlt_topk,
-    "mlt_vector_topk": q_mlt_vector_topk,
-    "mlt_hybrid_topk": q_mlt_hybrid_topk,
-    "vector_int8_topk": q_vector_int8_topk,
-    "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,
-    "simhash_pairs": q_simhash_pairs,
-    "lsh_jaccard": q_lsh_jaccard,
-    "ngram_jaccard": q_ngram_jaccard,
-    "neardup_cosine": q_neardup_cosine,
-    "ivf_topk": q_ivf_topk,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "winnow": q_winnow,
-    "text_embed": q_text_embed,
-    "sparse_encode": q_sparse_encode,
-    "classifier_stats": q_classifier_stats,
-    "multimodal_meta": q_multimodal_meta,
 }
 
 _BM25_SQL = """

@@ -373,7 +373,9 @@ def test_vector_config_validation():
     with pytest.raises(ValueError, match="encoding"):
         VectorConfig("v", encoding="INT2")
     with pytest.raises(ValueError, match="index type"):
-        VectorConfig("v", index_type="IVF")
+        VectorConfig("v", index_type="HNSW")
+    with pytest.raises(ValueError, match="nprobe"):
+        VectorConfig("v", index_type="IVF", ivf_cells=4, ivf_nprobe=5)
 
 
 def test_vector_config_json_roundtrip():

@@ -148,8 +148,21 @@ class VectorConfig:
       deviation (same contract: approximate first pass, exact
       rescore).
     - ``index_type``: FLAT = exact scan over the (quantized) vectors.
-      HNSW graphs are out of slice (SURVEY §2.14); IVF partitioning is
-      available separately (pipeline.ivf_topk).
+      IVF = coarse k-means partitioning built at index time
+      (pipeline.kmeans_centroids): each doc stores its nearest-cell
+      id in a ``_zvc_`` column, queries probe only the
+      ``ivf_nprobe`` cells nearest the query vector and rescore
+      exactly inside them. This is the Spark-first stand-in for the
+      reference's per-field graph index
+      (ZuliaPerFieldKnnVectorsFormat.java; query
+      ZuliaIndex.buildKnnQuery:597-615): both serve KNN from a
+      build-time structure instead of scanning the corpus, the
+      recall/latency dial being nprobe rather than HNSW's
+      efSearch. HNSW graphs themselves are out of slice (SURVEY
+      §2.14) — they need mutable adjacency state per segment, which
+      has no good columnar expression; IVF probing prunes at the
+      parquet row-group level instead (doc_map is written
+      cell-sorted).
     """
 
     indexed_field_name: str
@@ -160,14 +173,33 @@ class VectorConfig:
     # compact form before the full-precision rescore (Lucene's
     # quantized-KNN oversample; 3.0 mirrors its common default)
     oversample: float = 3.0
+    # IVF coarse-quantization dials (index_type="IVF"): number of
+    # k-means cells built at index time, and how many of the nearest
+    # cells a query probes (the recall/latency dial — HNSW's
+    # efSearch analogue). The effective probe count additionally
+    # scales with the request's k — min(cells, max(nprobe,
+    # ceil(k × probe_per_k))) — the same "more results, more search
+    # effort" rule as Lucene's efSearch ≥ k: a k near the per-cell
+    # occupancy saturates to probing every cell (≡ exact FLAT),
+    # degrading gracefully instead of silently losing recall.
+    ivf_cells: int = 8
+    ivf_nprobe: int = 3
+    ivf_probe_per_k: float = 0.5
 
     def __post_init__(self):
         if self.encoding not in VECTOR_ENCODINGS:
             raise ValueError(
                 f"Unknown vector encoding {self.encoding}; one of {VECTOR_ENCODINGS}"
             )
-        if self.index_type not in ("FLAT", "HNSW"):
+        if self.index_type not in ("FLAT", "IVF"):
             raise ValueError(f"Unknown vector index type {self.index_type}")
+        if self.index_type == "IVF" and (
+            self.ivf_cells < 2 or not (1 <= self.ivf_nprobe <= self.ivf_cells)
+        ):
+            raise ValueError(
+                f"IVF needs ivf_cells >= 2 and 1 <= ivf_nprobe <= ivf_cells "
+                f"(got cells={self.ivf_cells}, nprobe={self.ivf_nprobe})"
+            )
 
 
 @dataclass(frozen=True)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
+from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig, VectorConfig
 from zuliasearch_spark.indexing.builder import bool_coerce, build_index, int_coerce
 from zuliasearch_spark.search.executor import SearchEngine
 from zuliasearch_spark.search.query import QueryClause, SearchRequest
@@ -51,6 +51,17 @@ def documents_config() -> IndexConfig:
             # nullable derived column (NULL on every 5th doc, "" on
             # every 7th) for exists / null-empty gates (NullEmptyTest)
             FieldConfig("opt_note", index_as=(IndexAs("opt_note", "whitespace_lc"),)),
+            # dense-vector field served from a build-time IVF cell
+            # partitioning (VectorConfig index_type="IVF"): KNN gates
+            # probe nearest cells instead of scanning the corpus.
+            # Defaults: 8 cells, probes = max(3, ceil(k/2)) capped at
+            # 8 — k=10 gates probe 5/8 cells, the k≥15 MLT pools
+            # saturate to all cells (≡ exact FLAT). The synthetic
+            # embeddings are near-uniform (IVF's hardest case), so
+            # the gate-visible pruning is modest; clustered-data
+            # pruning + the recall contract live in
+            # tests/test_ivf_clause.py.
+            FieldConfig("embedding", vector_as=(VectorConfig("embedding", index_type="IVF"),)),
         ),
         per_shard_stats=False,  # SQL oracle computes collection-global stats
         quantize_norms=False,  # SQL oracle scores with exact field lengths

@@ -89,6 +89,11 @@ class IndexTables:
     # filesystem root when parquet-backed: enables durable tombstones
     # (<root>/tombstones/) that survive engine restarts
     root_path: str | None = None
+    # IVF coarse centroids per indexed vector field name (tiny —
+    # cells × dims floats, driver-side; persisted as
+    # <root>/vector_centroids.json). None when no field uses
+    # index_type="IVF".
+    vector_centroids: dict | None = None
 
     def persist(self) -> "IndexTables":
         for df in (self.doc_map, self.postings, self.term_stats, self.field_stats, self.shard_counts):
@@ -821,6 +826,21 @@ def build_index(
         *[c for c in narrow.columns if c != uid],
     )
     doc_map = _add_vector_encodings(doc_map, config)
+    centroids = _train_ivf_centroids(corpus, config)
+    if centroids:
+        from zuliasearch_spark.pipeline import ivf_cell_expr
+
+        for col, vc in config.vector_fields():
+            if vc.index_type == "IVF":
+                # nearest-cell assignment as a codegen argmax over the
+                # centroid literals — the cell id is a build-time
+                # column, so query-time probing is a plain filter that
+                # prunes at the parquet row-group level (write_index
+                # cell-sorts doc_map)
+                doc_map = doc_map.withColumn(
+                    f"_zvc_{vc.indexed_field_name}",
+                    ivf_cell_expr(centroids[vc.indexed_field_name], col=col),
+                )
 
     # postings path: ids assigned INSIDE the tokenizer kernel so the
     # wide corpus crosses JVM→Python exactly once (id_offsets is the
@@ -846,7 +866,55 @@ def build_index(
     postings = build_postings(tall, config)
     term_stats, field_stats = stats_from_postings(postings)
     shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
-    return IndexTables(config, doc_map, postings, term_stats, field_stats, shard_counts)
+    return IndexTables(
+        config,
+        doc_map,
+        postings,
+        term_stats,
+        field_stats,
+        shard_counts,
+        vector_centroids=centroids,
+    )
+
+
+def _train_ivf_centroids(corpus: DataFrame, config: IndexConfig) -> dict | None:
+    """Train IVF coarse centroids per index_type="IVF" vector field
+    (ZuliaPerFieldKnnVectorsFormat.java picks the per-field KNN
+    format at build; here the build-time structure is a k-means cell
+    partitioning instead of an HNSW graph).
+
+    The standard IVF recipe: TRAIN driver-side on a deterministic
+    sample (≤65k rows picked by a uid-hash filter — a column-pruned
+    scan, no shuffle, stable across runs and cluster sizes), ASSIGN
+    distributively (ivf_cell_expr codegen in build_index). Returns
+    {indexed_field_name: [[centroid floats]]} or None when no field
+    asks for IVF."""
+    ivf = [(c, vc) for c, vc in config.vector_fields() if vc.index_type == "IVF"]
+    if not ivf:
+        return None
+    from zuliasearch_spark.pipeline import kmeans_centroids_np
+
+    uid = config.unique_id_col
+    max_sample = 65536
+    n = corpus.count()
+    mod = max(1, n // max_sample)
+    out = {}
+    for col, vc in ivf:
+        sample = (
+            corpus.select(uid, col)
+            .filter(F.col(col).isNotNull())
+            .filter(F.crc32(F.col(uid).cast("string")) % mod == 0)
+            .orderBy(uid)
+            .collect()
+        )
+        if not sample:
+            raise ValueError(
+                f"IVF vector field {vc.indexed_field_name!r}: no non-null "
+                f"{col!r} values to train centroids on"
+            )
+        cents = kmeans_centroids_np([r[col] for r in sample], n_cells=vc.ivf_cells)
+        out[vc.indexed_field_name] = [[float(v) for v in row] for row in cents]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -870,7 +938,20 @@ def write_index(tables: IndexTables, path: str) -> IndexTables:
         .partitionBy("field")
         .parquet(os.path.join(path, "postings"))
     )
-    tables.doc_map.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
+    dm = tables.doc_map
+    zvc_cols = [c for c in dm.columns if c.startswith("_zvc_")]
+    if zvc_cols:
+        # cell-sort within partitions so each parquet row group spans
+        # few IVF cells: a probe filter (_zvc_ IN nearest cells) then
+        # prunes row groups via min/max stats instead of scanning
+        # every doc's vector
+        dm = dm.sortWithinPartitions(*zvc_cols, "shard", "doc_id")
+    dm.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
+    if tables.vector_centroids:
+        import json as _json
+
+        with open(os.path.join(path, "vector_centroids.json"), "w") as fh:
+            _json.dump(tables.vector_centroids, fh)
     postings = spark.read.parquet(os.path.join(path, "postings"))
     term_stats, field_stats = stats_from_postings(postings)
     (
@@ -888,6 +969,13 @@ def write_index(tables: IndexTables, path: str) -> IndexTables:
 
 
 def read_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTables:
+    centroids = None
+    cent_path = os.path.join(path, "vector_centroids.json")
+    if os.path.exists(cent_path):
+        import json as _json
+
+        with open(cent_path) as fh:
+            centroids = _json.load(fh)
     return IndexTables(
         config,
         spark.read.parquet(os.path.join(path, "doc_map")),
@@ -896,4 +984,5 @@ def read_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTabl
         spark.read.parquet(os.path.join(path, "field_stats")),
         spark.read.parquet(os.path.join(path, "shard_counts")),
         root_path=path,
+        vector_centroids=centroids,
     )

@@ -439,7 +439,22 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 8, iters: int = 20, max_samp
         .collect()
     )
     x = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    return kmeans_centroids_np(x, n_cells=n_cells, iters=iters)
+
+
+def kmeans_centroids_np(x, n_cells: int = 8, iters: int = 20):
+    """Driver-side spherical k-means over an already-collected sample
+    matrix (rows = vectors). Deterministic: maximin seeding from row
+    0, then Lloyd's iterations on the unit sphere — shared by
+    kmeans_centroids (pipeline IVF) and the index builder's
+    VectorConfig index_type="IVF" training."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    n_cells = min(n_cells, len(x))
     chosen = [0]
     d = 1.0 - x @ x[0]
     for _ in range(n_cells - 1):
@@ -460,21 +475,24 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 8, iters: int = 20, max_samp
     return cent
 
 
-def ivf_cell_expr(centroids) -> "F.Column":
+def ivf_cell_expr(centroids, col: str = "embedding") -> "F.Column":
     """Codegen expression assigning each row's nearest-centroid cell:
     argmax over dot products with the broadcast centroid literals —
-    no UDF, no shuffle."""
+    no UDF, no shuffle.
+
+    Expression size is LINEAR in #cells: each dot appears once inside
+    an array, argmax = array_position(arr, array_max(arr)). (A
+    when-chain carrying the running best would nest the previous best
+    3× per step — ~3^cells expression nodes, which stalls Catalyst
+    analysis beyond ~12 cells.) Ties break to the lowest cell id,
+    matching np.argmax."""
     # argmax over cells needs only raw dots with the UNIT centroids:
     # the row's own norm is constant across cells
     dots = [
-        _dot(F.col("embedding"), F.array(*[F.lit(float(v)) for v in c])) for c in centroids
+        _dot(F.col(col), F.array(*[F.lit(float(v)) for v in c])) for c in centroids
     ]
-    best = dots[0]
-    cell = F.lit(0)
-    for i, d in enumerate(dots[1:], 1):
-        cell = F.when(d > best, F.lit(i)).otherwise(cell)
-        best = F.when(d > best, d).otherwise(best)
-    return cell
+    arr = F.array(*dots)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
 def ivf_topk(

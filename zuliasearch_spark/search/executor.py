@@ -2567,6 +2567,10 @@ class SearchEngine:
 
         cos = dot(emb, qlit) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)))
         pool = j.filter(emb.isNotNull())
+        if vf is not None and vf[1].index_type == "IVF":
+            # IVF cell probe FIRST: the boolean pre-filter and the
+            # cell filter compose as one conjunctive scan predicate
+            pool = self._ivf_probe_filter(pool, vf[1], vector, k)
         if vf is not None and vf[1].encoding != "FLOAT32":
             # quantized first pass over the pre-filtered pool, exact
             # cosine rescore below (oversample+rescore, VectorConfig)
@@ -3328,6 +3332,8 @@ class SearchEngine:
         # docs neither surface nor consume top-k slots
         base = self._live_doc_map().filter(emb.isNotNull())
         vc = vf[1] if vf is not None else None
+        if vc is not None and vc.index_type == "IVF":
+            base = self._ivf_probe_filter(base, vc, vector, k)
         if vc is not None and vc.encoding != "FLOAT32":
             base = self._quantized_candidates(base, col, vc, vector, k)
         rows = (
@@ -3347,6 +3353,50 @@ class SearchEngine:
             }
             for r in rows
         ]
+
+    def _ivf_probe_filter(self, base, vc, vector, k: int):
+        """IVF probe: keep only rows in the cells whose trained
+        centroids are nearest the query vector (VectorConfig
+        index_type="IVF"; the reference's analogue is serving KNN from
+        the per-field index structure, ZuliaIndex.buildKnnQuery:
+        597-615, rather than scanning the corpus). Cell choice is a
+        tiny driver-side argsort over the centroid matrix; the filter
+        itself is a plain IN predicate on the build-time ``_zvc_``
+        column, so a parquet-backed index prunes row groups (doc_map
+        is cell-sorted by write_index) and the cosine rescore touches
+        ~probes/cells of the corpus instead of all of it.
+
+        The probe count scales with k — min(cells, max(ivf_nprobe,
+        ceil(k × ivf_probe_per_k))) — Lucene's efSearch ≥ k rule: when
+        k approaches per-cell occupancy, probing saturates to every
+        cell, which is exactly the FLAT scan (graceful degradation
+        instead of silent recall loss)."""
+        import math as _math
+
+        name = vc.indexed_field_name
+        cents = (self.tables.vector_centroids or {}).get(name)
+        if cents is None:
+            raise ValueError(
+                f"vector field {name!r} is configured index_type='IVF' but the "
+                f"index has no trained centroids — rebuild with this config"
+            )
+        if f"_zvc_{name}" not in base.columns:
+            raise ValueError(
+                f"vector field {name!r} is configured index_type='IVF' but the "
+                f"index has no _zvc_{name} column — rebuild with this config"
+            )
+        c = np.asarray(cents, dtype=np.float64)
+        n_probe = min(
+            len(c), max(vc.ivf_nprobe, int(_math.ceil(k * vc.ivf_probe_per_k)))
+        )
+        if n_probe >= len(c):
+            return base  # every cell probed — the filter is a no-op
+        v = np.asarray(list(vector), dtype=np.float64)
+        nv = np.linalg.norm(v)
+        if nv > 0:
+            v = v / nv
+        order = np.argsort(-(c @ v), kind="stable")[:n_probe]
+        return base.filter(F.col(f"_zvc_{name}").isin([int(i) for i in order]))
 
     def _quantized_candidates(self, base, col: str, vc, vector, k: int):
         """First pass of quantized KNN (VectorIndexingConfig encodings

@@ -464,9 +464,73 @@ def _interval_postings_tree(store: PostingsStore, ispec: IntervalSpec):
     )
 
 
+def _ordered_chain_docs(streams, common: np.ndarray) -> np.ndarray:
+    """Vectorized greedy earliest-chain for ordered intervals without
+    a gap bound: one (doc·2³² + pos) searchsorted per TERM instead of
+    a Python loop per candidate DOC. Per doc the chain state is the
+    last matched position; term i advances it to its smallest
+    same-doc position > state, and docs whose advance fails drop out.
+    Identical decision to _interval_match_doc's greedy chain — the
+    work is O(k · Σ|postings| log) independent of candidate count."""
+    prev = np.full(common.size, -1, dtype=np.int64)
+    alive = np.ones(common.size, dtype=bool)
+    for docs, tfs, _dls, pos in streams:
+        keys = np.repeat(docs, tfs) * _POS_SHIFT + pos
+        q = common * _POS_SHIFT + (prev + 1)
+        j = np.searchsorted(keys, q)
+        ok = j < keys.size
+        cand = keys[np.minimum(j, max(keys.size - 1, 0))]
+        ok &= (cand // _POS_SHIFT) == common
+        alive &= ok
+        prev = np.where(alive, cand % _POS_SHIFT, prev)
+        if not alive.any():
+            break
+    return common[alive]
+
+
+def _two_term_gap_docs(streams, common: np.ndarray, ordered: bool, max_gaps: int) -> np.ndarray:
+    """Vectorized two-term interval with a gap bound, the common
+    fn:maxgaps shape: per occurrence of the SECOND term, the nearest
+    same-doc occurrence of the first (strictly before when ordered,
+    either side when unordered) via key searchsorted — the sloppy-
+    phrase pattern of _phrase_postings, minimal span per end."""
+    docs_a, tf_a, _dla, pos_a = streams[0]
+    docs_b, tf_b, _dlb, pos_b = streams[1]
+    a_keys = np.repeat(docs_a, tf_a) * _POS_SHIFT + pos_a
+    b_keys = np.repeat(docs_b, tf_b) * _POS_SHIFT + pos_b
+    if a_keys.size == 0 or b_keys.size == 0:
+        return np.empty(0, np.int64)
+    j = np.searchsorted(a_keys, b_keys)
+    big = np.iinfo(np.int64).max
+    best = np.full(b_keys.size, big, dtype=np.int64)
+    neighbors = (j - 1,) if ordered else (j - 1, j)
+    for jj in neighbors:
+        valid = (jj >= 0) & (jj < a_keys.size)
+        cand = a_keys[np.clip(jj, 0, max(a_keys.size - 1, 0))]
+        same_doc = (cand // _POS_SHIFT) == (b_keys // _POS_SHIFT)
+        dist = np.abs(b_keys - cand)
+        if ordered:
+            # strict order: the a-occurrence must sit strictly before
+            dist = np.where(cand < b_keys, dist, big)
+        best = np.where(valid & same_doc, np.minimum(best, dist), best)
+    # covering width = dist + 1; internal gaps = width − 2 = dist − 1
+    occ_docs = (b_keys // _POS_SHIFT)[(best != big) & (best - 1 <= max_gaps)]
+    matched = np.unique(occ_docs)
+    # occurrence pairs only exist for docs holding both terms; common
+    # already intersected, so matched ⊆ common by construction
+    return matched
+
+
 def _interval_postings(store: PostingsStore, ispec: IntervalSpec):
-    """(docs, dls) of documents matching the interval function —
-    per-doc checks run only over the terms' posting intersection."""
+    """(docs, dls) of documents matching the interval function.
+
+    The three common shapes are fully vectorized (no Python loop over
+    candidate docs — interval queries over hot terms stay flat as df
+    grows): unordered without gaps = the postings intersection
+    itself; ordered without gaps = _ordered_chain_docs; two terms
+    with a gap bound = _two_term_gap_docs. Only 3+-term gap-bounded
+    intervals (rare: fn:maxgaps over a 3-term source) fall back to
+    the per-doc minimal-window walk."""
     if ispec.tree is not None:
         return _interval_postings_tree(store, ispec)
     streams = []
@@ -480,19 +544,33 @@ def _interval_postings(store: PostingsStore, ispec: IntervalSpec):
         common = np.intersect1d(common, docs, assume_unique=True)
         if common.size == 0:
             break
-    out_docs = []
-    for d in common:
-        pos_by_term = []
-        for docs, tfs, _dls, pos in streams:
-            i = int(np.searchsorted(docs, d))
-            starts = np.zeros(tfs.size, dtype=np.int64)
-            np.cumsum(tfs[:-1], out=starts[1:])
-            pos_by_term.append(pos[starts[i] : starts[i] + int(tfs[i])])
-        if _interval_match_doc(pos_by_term, ispec.ordered, ispec.max_gaps):
-            out_docs.append(int(d))
-    if not out_docs:
+    if common.size == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64))
-    out = np.array(out_docs, dtype=np.int64)
+    k = len(streams)
+    if k == 1:
+        # single term: any occurrence is a width-1 interval (gaps 0)
+        out = common
+    elif not ispec.ordered and ispec.max_gaps < 0:
+        # all terms present is the whole predicate — the intersection
+        out = common
+    elif ispec.ordered and ispec.max_gaps < 0:
+        out = _ordered_chain_docs(streams, common)
+    elif k == 2:
+        out = _two_term_gap_docs(streams, common, ispec.ordered, ispec.max_gaps)
+    else:
+        out_docs = []
+        for d in common:
+            pos_by_term = []
+            for docs, tfs, _dls, pos in streams:
+                i = int(np.searchsorted(docs, d))
+                starts = np.zeros(tfs.size, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+                pos_by_term.append(pos[starts[i] : starts[i] + int(tfs[i])])
+            if _interval_match_doc(pos_by_term, ispec.ordered, ispec.max_gaps):
+                out_docs.append(int(d))
+        out = np.array(out_docs, dtype=np.int64)
+    if out.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
     d0, _, dls0 = store.decode((ispec.field, ispec.terms[0]))[:3]
     return out, dls0[np.searchsorted(d0, out)]
 

@@ -38,7 +38,7 @@ def _rows():
     return rows
 
 
-def _cfg(encoding="FLOAT32", unit=True, oversample=4.0):
+def _cfg(encoding="FLOAT32", unit=True, oversample=4.0, calibration="QUANTILE"):
     return IndexConfig(
         index_name="mlt_vec",
         unique_id_col="uid",
@@ -49,7 +49,13 @@ def _cfg(encoding="FLOAT32", unit=True, oversample=4.0):
             FieldConfig(
                 "emb",
                 vector_as=(
-                    VectorConfig("emb", unit=unit, encoding=encoding, oversample=oversample),
+                    VectorConfig(
+                        "emb",
+                        unit=unit,
+                        encoding=encoding,
+                        oversample=oversample,
+                        calibration=calibration,
+                    ),
                 ),
             ),
         ),
@@ -294,20 +300,38 @@ def int8_engine(spark, rows):
 
 
 def test_int8_columns_and_values(int8_engine, rows):
-    """INT8 doc_map columns: _zvq_ symmetric max-abs quantized
-    tinyints, _zvs_ the scale, _zvn_ the quantized norm."""
+    """INT8 doc_map columns under the default QUANTILE calibration:
+    _zvq_ tinyint codes clipped at ±127 against the shard's calibrated
+    scale, _zvs_ that scale (ONE constant per shard — the Lucene-104
+    segment-calibration shape), _zvn_ the quantized norm."""
     dm = int8_engine.tables.doc_map
     assert {"_zvq_emb", "_zvs_emb", "_zvn_emb"} <= set(dm.columns)
     assert dict(dm.dtypes)["_zvq_emb"] == "array<tinyint>"
+    assert dm.select("shard", "_zvs_emb").distinct().count() == 5
     r = dm.filter(F.col("uniqueId") == "d0000").select("emb", "_zvq_emb", "_zvs_emb", "_zvn_emb").head()
     v = np.array(r["emb"], dtype=np.float64)
-    scale = np.abs(v).max() / 127.0
+    scale = float(r["_zvs_emb"])
+    assert scale > 0
     # Spark round() is HALF_UP; values here are nowhere near .5 ties
-    expect = np.round(v / scale).astype(np.int64)
+    expect = np.clip(np.round(v / scale), -127, 127).astype(np.int64)
     got = np.array(r["_zvq_emb"], dtype=np.int64)
     assert np.abs(expect - got).max() <= 1  # rounding-mode slack
-    assert r["_zvs_emb"] == pytest.approx(scale, rel=1e-6)
     assert r["_zvn_emb"] == pytest.approx(float(np.sqrt((got * got).sum())), rel=1e-6)
+
+
+def test_int8_maxabs_columns(spark, rows):
+    """calibration="MAXABS" keeps the legacy per-vector scheme:
+    _zvs_ = max|component|/127 per VECTOR, codes = round(v/scale)."""
+    df = spark.createDataFrame(rows[:20], "uid string, text string, emb array<float>")
+    tables = build_index(df, _cfg("INT8", calibration="MAXABS"), stored_cols=("text", "emb"))
+    r = tables.doc_map.filter(F.col("uniqueId") == "d0000").select(
+        "emb", "_zvq_emb", "_zvs_emb"
+    ).head()
+    v = np.array(r["emb"], dtype=np.float64)
+    scale = np.abs(v).max() / 127.0
+    assert r["_zvs_emb"] == pytest.approx(scale, rel=1e-6)
+    got = np.array(r["_zvq_emb"], dtype=np.int64)
+    assert np.abs(np.round(v / scale).astype(np.int64) - got).max() <= 1
 
 
 def test_int8_rescore_matches_exact(engine, int8_engine, rows):

@@ -185,6 +185,12 @@ class VectorConfig:
     ivf_cells: int = 8
     ivf_nprobe: int = 3
     ivf_probe_per_k: float = 0.5
+    # INT8/INT4 scale derivation. "QUANTILE" (default, Lucene-104
+    # shape): one scale per SHARD/segment from the component-magnitude
+    # quantile at confidence 1 − 1/(dim+1) over a deterministic build
+    # sample — outliers clamp instead of stretching every code.
+    # "MAXABS": legacy per-vector max-abs symmetric scaling.
+    calibration: str = "QUANTILE"
 
     def __post_init__(self):
         if self.encoding not in VECTOR_ENCODINGS:
@@ -200,6 +206,8 @@ class VectorConfig:
                 f"IVF needs ivf_cells >= 2 and 1 <= ivf_nprobe <= ivf_cells "
                 f"(got cells={self.ivf_cells}, nprobe={self.ivf_nprobe})"
             )
+        if self.calibration not in ("QUANTILE", "MAXABS"):
+            raise ValueError(f"Unknown quantization calibration {self.calibration}")
 
 
 @dataclass(frozen=True)

@@ -648,7 +648,80 @@ def int_coerce(col, bits: int = 32, string_input: bool = False):
     return c.cast(t)
 
 
-def _add_vector_encodings(doc_map: DataFrame, config: IndexConfig) -> DataFrame:
+def _calibrate_quantization(corpus: DataFrame, config: IndexConfig) -> dict | None:
+    """Per-shard scalar-quantization scales for INT8/INT4 fields with
+    calibration="QUANTILE" — the Lucene-104 shape
+    (Lucene99ScalarQuantizedVectorsFormat: each segment calibrates its
+    quantizer from value quantiles rather than per-vector extremes;
+    the reference inherits it through ZuliaPerFieldKnnVectorsFormat).
+
+    Symmetric variant: per shard, scale = quantile(|component|,
+    1 − 1/(dim+1)) / levels, computed driver-side over the same
+    deterministic ≤65k uid-hash sample the IVF trainer uses (Lucene
+    likewise calibrates from a bounded sample). Codes CLIP at
+    ±levels: only components rarer than one full dimension's share of
+    value mass can clamp (1 − 1/(dim+1) keeps any dense dimension,
+    e.g. an embedding-model bias, inside range). The point is shape
+    parity + storage/arithmetic: _zvs_ becomes one constant per shard
+    (RLE-trivial in parquet instead of a float per vector), which is
+    what permits an all-integer first pass; recall matches the
+    per-vector max-abs baseline (tests/test_quantile_calibration.py)
+    provided the query is quantized with the same shard scale
+    (executor._quantized_candidates symmetric branch).
+    Returns {indexed_field_name: {shard: scale}} or None."""
+    import numpy as np
+
+    fields = [
+        (c, vc)
+        for c, vc in config.vector_fields()
+        if vc.encoding in ("INT8", "INT4") and vc.calibration == "QUANTILE"
+    ]
+    if not fields:
+        return None
+    import pandas as pd
+
+    from zuliasearch_spark.util.hashing import shard_for_series
+
+    uid = config.unique_id_col
+    n = corpus.count()
+    mod = max(1, n // 65536)
+    out = {}
+    for col, vc in fields:
+        rows = (
+            corpus.select(uid, col)
+            .filter(F.col(col).isNotNull())
+            .filter(F.crc32(F.col(uid).cast("string")) % mod == 0)
+            .orderBy(uid)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(
+                f"quantized vector field {vc.indexed_field_name!r}: no non-null "
+                f"{col!r} values to calibrate on"
+            )
+        shards = shard_for_series(pd.Series([r[0] for r in rows]), config.number_of_shards)
+        comps = [np.abs(np.asarray(r[1], dtype=np.float64)) for r in rows]
+        dim = comps[0].size
+        conf = 1.0 - 1.0 / (dim + 1)
+        levels = 127.0 if vc.encoding == "INT8" else 7.0
+        all_comps = np.concatenate(comps)
+        global_scale = float(np.quantile(all_comps, conf) / levels)
+        per_shard = {}
+        for s in range(config.number_of_shards):
+            mine = [c for c, sh in zip(comps, shards) if sh == s]
+            if mine:
+                q = float(np.quantile(np.concatenate(mine), conf))
+                per_shard[s] = q / levels if q > 0 else global_scale
+            else:
+                # unsampled shard (tiny corpora): global-sample scale
+                per_shard[s] = global_scale
+        out[vc.indexed_field_name] = per_shard
+    return out
+
+
+def _add_vector_encodings(
+    doc_map: DataFrame, config: IndexConfig, calib: dict | None = None
+) -> DataFrame:
     """Materialize quantized copies of vector fields whose
     VectorConfig asks for a non-FLOAT32 encoding
     (zulia_index.proto VectorIndexingConfig; codec
@@ -683,13 +756,33 @@ def _add_vector_encodings(doc_map: DataFrame, config: IndexConfig) -> DataFrame:
         vec = F.col(col)
         if vc.encoding in ("INT8", "INT4"):
             levels = 127.0 if vc.encoding == "INT8" else 7.0
-            maxabs = F.aggregate(
-                vec, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
-            )
-            scale = maxabs / F.lit(levels)
+            scales = (calib or {}).get(name)
+            if scales is not None:
+                # per-shard quantile-calibrated scale (Lucene-104
+                # segment calibration): one literal per shard indexed
+                # by the routing column; codes clip at ±levels
+                arr = F.array(
+                    *[
+                        F.lit(float(scales[s]))
+                        for s in range(config.number_of_shards)
+                    ]
+                )
+                scale = F.element_at(arr, F.col("shard") + 1)
+            else:
+                # per-vector max-abs (calibration="MAXABS")
+                maxabs = F.aggregate(
+                    vec, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
+                )
+                scale = maxabs / F.lit(levels)
             q = F.transform(
                 vec,
-                lambda x: F.when(scale > 0, F.round(x.cast("double") / scale))
+                lambda x: F.when(
+                    scale > 0,
+                    F.least(
+                        F.greatest(F.round(x.cast("double") / scale), F.lit(-levels)),
+                        F.lit(levels),
+                    ),
+                )
                 .otherwise(F.lit(0.0))
                 .cast("tinyint"),
             )
@@ -825,7 +918,9 @@ def build_index(
         F.col(uid).alias("uniqueId"),
         *[c for c in narrow.columns if c != uid],
     )
-    doc_map = _add_vector_encodings(doc_map, config)
+    doc_map = _add_vector_encodings(
+        doc_map, config, calib=_calibrate_quantization(corpus, config)
+    )
     centroids = _train_ivf_centroids(corpus, config)
     if centroids:
         from zuliasearch_spark.pipeline import ivf_cell_expr

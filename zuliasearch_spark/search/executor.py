@@ -3512,6 +3512,40 @@ class SearchEngine:
                 lambda acc, x: acc + x.cast("long"),
             )
             approx = (F.size(F.col(col)) - F.lit(2) * ham).cast("double")
+        elif getattr(vc, "calibration", "MAXABS") == "QUANTILE":
+            # Symmetric quantization: the index quantized docs with the
+            # per-shard calibrated scale (_zvs_ is one constant per
+            # shard, builder._calibrate_quantization), so the QUERY
+            # must be quantized with the SAME scale — clipping at the
+            # same ±levels — or the two sides carry mismatched rounding
+            # distortion and the approximate ranking degrades. The
+            # query codes are a per-row transform of a literal array;
+            # within a shard the scale is constant so whole-stage
+            # codegen folds it.
+            levels = 127.0 if vc.encoding == "INT8" else 7.0
+            s = F.col(f"_zvs_{name}")
+            vlit = F.array(*[F.lit(float(x)) for x in v])
+            qq = F.transform(
+                vlit,
+                lambda x: F.when(
+                    s > 0,
+                    F.least(
+                        F.greatest(F.round(x / s), F.lit(-levels)), F.lit(levels)
+                    ),
+                ).otherwise(F.lit(0.0)),
+            )
+            dotq = F.aggregate(
+                F.zip_with(qcol, qq, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            qn = F.sqrt(
+                F.aggregate(qq, F.lit(0.0), lambda acc, x: acc + x * x)
+            )
+            dn = F.col(f"_zvn_{name}")
+            approx = F.when((dn > 0) & (qn > 0), dotq / (dn * qn)).otherwise(
+                F.lit(-2.0)
+            )
         else:
             levels = 127.0 if vc.encoding == "INT8" else 7.0
             maxabs = float(np.abs(v).max()) if v.size else 0.0

@@ -14,21 +14,26 @@ form). ``gaps`` mirrors Lucene's ``IntervalIterator.gaps()``: the
 number of uncovered positions inside the interval, the quantity
 ``fn:maxgaps`` filters on.
 
-Documented deviation (docstring-level, matching the repo's constant-
-score interval simplification): Lucene rewrites disjunctions out of
-ordered/phrase sources (``Intervals.java`` pullUpDisjunctions) so a
-long or()-alternative suppressed by minimalization can still seed a
-block; this evaluator applies clean minimal-stream semantics without
-the pull-up rewrite. Doc-level match results differ only when a
-phrase/ordered source nests an or() whose alternatives overlap with
-different lengths.
+Disjunction pull-up (Lucene ``Intervals.java`` pullUpDisjunctions):
+a long or()-alternative suppressed by minimalization could never seed
+a block/ordered chain, so Lucene rewrites disjunctions OUT of
+positional conjunctions before evaluation —
+``ordered(a, or(b, c))`` → ``or(ordered(a, b), ordered(a, c))`` —
+and pulls through extend and the positive filter sides
+(ContainedBy's small side, Containing's big side,
+ExtendedIntervalsSource). ``pull_up_disjunctions`` applies the same
+rewrite at parse time (parser._resolve_isrc); the evaluator below
+keeps clean minimal-stream semantics per (rewritten) node. Variant
+fan-out is capped per node (``_PULL_UP_LIMIT``) the way Lucene's
+``Intervals.or(rewrite=false, …)`` escape hatch bounds wildcard-sized
+disjunctions — past the cap the node keeps minimal-stream semantics.
 """
 
 from __future__ import annotations
 
 from bisect import bisect_left, bisect_right
 from dataclasses import dataclass
-from itertools import combinations
+from itertools import combinations, product
 
 import numpy as np
 
@@ -69,6 +74,79 @@ def leaf_terms(node: ISrc) -> tuple[str, ...]:
     for c in node.children:
         out.extend(leaf_terms(c))
     return tuple(dict.fromkeys(out))
+
+
+# Max ordered/phrase/unordered variants one node may expand into.
+# 64 covers hand-written or() nesting; a 128-term wildcard expansion
+# under fn:ordered stays un-rewritten (Lucene callers pass
+# rewrite=false to Intervals.or for exactly that case).
+_PULL_UP_LIMIT = 64
+
+
+def _alts(node: "ISrc") -> tuple:
+    """A rewritten node's disjunctive alternatives (Lucene
+    IntervalsSource.pullUpDisjunctions): an or() offers its children,
+    anything else offers itself."""
+    return node.children if node.kind == "or" else (node,)
+
+
+def pull_up_disjunctions(node: "ISrc", limit: int = _PULL_UP_LIMIT) -> "ISrc":
+    """Bottom-up disjunction pull-up (Lucene Intervals.java /
+    Disjunctions.pullUp; OrderedIntervalsSource.build,
+    BlockIntervalsSource.build, UnorderedIntervalsSource.build,
+    ExtendedIntervalsSource / ContainedBy / Containing
+    pullUpDisjunctions). Semantics-changing exactly where Lucene's is:
+    an alternative suppressed by the or()'s minimal stream (because a
+    shorter alternative is nested inside it) is evaluated in its own
+    variant and can seed a block/ordered chain. Negative filters
+    (not_*, non_overlapping), maxgaps/maxwidth, atleast, before/after
+    and unordered_no_overlaps do NOT pull through — they filter the
+    minimal stream, matching Lucene's singleton pullUpDisjunctions on
+    those sources."""
+    k = node.kind
+    if k in ("term", "none") or not node.children:
+        return node
+    kids = tuple(pull_up_disjunctions(c, limit) for c in node.children)
+    if k == "or":
+        flat: list[ISrc] = []
+        for c in kids:
+            flat.extend(_alts(c))
+        return flat[0] if len(flat) == 1 else ISrc("or", tuple(flat))
+    if k in ("ordered", "phrase", "unordered"):
+        per_child = [_alts(c) for c in kids]
+        total = 1
+        for a in per_child:
+            total *= len(a)
+            if total > limit:
+                break
+        if 1 < total <= limit:
+            variants = tuple(ISrc(k, combo) for combo in product(*per_child))
+            return ISrc("or", variants)
+        return ISrc(k, kids)
+    if k == "extend" and kids[0].kind == "or":
+        return ISrc(
+            "or",
+            tuple(ISrc(k, (c,), n=node.n, n2=node.n2) for c in kids[0].children),
+        )
+    if k in ("contained_by", "within") and kids[0].kind == "or":
+        # small-side pull-up (ContainedByIntervalsSource)
+        return ISrc(
+            "or",
+            tuple(
+                ISrc(k, (c, kids[1]), n=node.n, n2=node.n2)
+                for c in kids[0].children
+            ),
+        )
+    if k == "containing" and kids[0].kind == "or":
+        # big-side pull-up (ContainingIntervalsSource)
+        return ISrc(
+            "or",
+            tuple(
+                ISrc(k, (c, kids[1]), n=node.n, n2=node.n2)
+                for c in kids[0].children
+            ),
+        )
+    return ISrc(k, kids, term=node.term, n=node.n, n2=node.n2)
 
 
 def _minimalize(ivs):

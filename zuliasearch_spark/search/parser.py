@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field as dfield
 
-from zuliasearch_spark.search.intervals import ISrc
+from zuliasearch_spark.search.intervals import ISrc, pull_up_disjunctions
 from zuliasearch_spark.search.query import PhraseSpec, TermSpec
 
 MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
@@ -906,7 +906,9 @@ def resolve_tree(
         ispecs = []
         for sub, (f, fb) in enumerate(fields):
             if node.tree is not None:
-                rtree = _resolve_isrc(node.tree, f, analyze, expand_wildcard, expand_fuzzy)
+                rtree = pull_up_disjunctions(
+                    _resolve_isrc(node.tree, f, analyze, expand_wildcard, expand_fuzzy)
+                )
                 terms = leaf_terms(rtree)
                 if terms:
                     ispecs.append(

@@ -1912,17 +1912,14 @@ FROM documents
 _EVENTS_ENGINE_CACHE: dict = {}
 
 
-def events_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
-    """Index over the events stream table (event_id, ts, user_id,
-    event_type, value, props): event_type KEYWORD-indexed + faceted,
-    ts / value / user_id stored for doc-values DATE ranges, stats and
-    sorts — the DateStringTest / StatTest surface over a time-series
-    feed instead of a document corpus."""
-    eng = _EVENTS_ENGINE_CACHE.get(sf_dir)
-    if eng is not None:
-        return eng
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    corpus = ev.select(
+EVENTS_STORED_COLS = ("orig_event_id", "user_id", "value", "ts")
+
+
+def events_corpus(ev: DataFrame) -> DataFrame:
+    """Shape the raw events table into the index corpus (shared by the
+    one-shot gate build and the streaming availableNow build so the
+    two are comparable row-for-row)."""
+    return ev.select(
         F.lpad(F.col("event_id").cast("string"), 12, "0").alias("uid"),
         F.col("event_id").alias("orig_event_id"),
         "event_type",
@@ -1930,7 +1927,11 @@ def events_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         "value",
         "ts",
     )
-    cfg = IndexConfig(
+
+
+def events_config() -> IndexConfig:
+    """Index settings for the events feed (shared one-shot/streaming)."""
+    return IndexConfig(
         index_name="events",
         unique_id_col="uid",
         number_of_shards=4,
@@ -1945,8 +1946,20 @@ def events_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         per_shard_stats=False,
         quantize_norms=False,
     )
+
+
+def events_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Index over the events stream table (event_id, ts, user_id,
+    event_type, value, props): event_type KEYWORD-indexed + faceted,
+    ts / value / user_id stored for doc-values DATE ranges, stats and
+    sorts — the DateStringTest / StatTest surface over a time-series
+    feed instead of a document corpus."""
+    eng = _EVENTS_ENGINE_CACHE.get(sf_dir)
+    if eng is not None:
+        return eng
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     tables = build_index(
-        corpus, cfg, stored_cols=("orig_event_id", "user_id", "value", "ts")
+        events_corpus(ev), events_config(), stored_cols=EVENTS_STORED_COLS
     ).persist()
     eng = SearchEngine(tables)
     _EVENTS_ENGINE_CACHE[sf_dir] = eng

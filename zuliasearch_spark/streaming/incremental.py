@@ -30,13 +30,20 @@ STREAM_SEGMENT_BASE = 1_000_000  # stream segments above any batch build's
 
 
 def append_stream_segment(
-    batch_df: DataFrame, batch_id: int, index_path: str, config: IndexConfig
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    config: IndexConfig,
+    stored_cols: tuple[str, ...] = (),
 ) -> None:
     """foreachBatch body: micro-batch → one committed segment.
 
     Idempotent per batch_id: a restart that replays a batch finds its
     segment committed and skips (exactly-once append on top of
-    Spark's at-least-once foreachBatch contract).
+    Spark's at-least-once foreachBatch contract). ``stored_cols``
+    ride into every segment so doc-values paths (ranges, stats,
+    facets, sorts) work over streamed segments exactly as over a
+    one-shot build.
     """
     segment = STREAM_SEGMENT_BASE + int(batch_id)
     writer = SegmentedIndexWriter(index_path, config, n_segments=0)
@@ -45,7 +52,7 @@ def append_stream_segment(
     if batch_df.rdd.isEmpty():
         return
     t0 = time.time()
-    tables = build_index(batch_df, config)
+    tables = build_index(batch_df, config, stored_cols=stored_cols)
     tables = write_index(tables, writer.segment_dir(segment))
     writer._commit(segment, tables, time.time() - t0)
 
@@ -58,17 +65,31 @@ def incremental_index(
     checkpoint_dir: str,
     schema: str,
     available_now: bool = True,
+    stored_cols: tuple[str, ...] = (),
+    max_files_per_trigger: int | None = None,
 ):
     """Watch ``source_dir`` for new parquet files and index them.
 
     ``available_now=True`` processes everything currently available
-    and stops (batch-incremental); False leaves a continuous stream
-    running. Returns the StreamingQuery.
+    and stops (batch-incremental — the reference's "index the backlog,
+    commit, become searchable" loop); False leaves a continuous stream
+    running. ``max_files_per_trigger`` bounds each micro-batch (and
+    therefore each committed segment) to N source files — availableNow
+    honors it, so a backlog of K files lands as ⌈K/N⌉ segments instead
+    of one monolith, matching the reference's shardCommitInterval-sized
+    commits (zulia_index.proto:47). Returns the StreamingQuery.
     """
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     writer = (
         stream.writeStream.option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, bid: append_stream_segment(df, bid, index_path, config))
+        .foreachBatch(
+            lambda df, bid: append_stream_segment(
+                df, bid, index_path, config, stored_cols=stored_cols
+            )
+        )
     )
     if available_now:
         return writer.trigger(availableNow=True).start()

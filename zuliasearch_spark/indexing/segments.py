@@ -54,10 +54,41 @@ from zuliasearch_spark.indexing.builder import (
 )
 
 MANIFEST = "manifest.jsonl"
+SUPERSEDED = "superseded.jsonl"
 
 
 def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST)
+
+
+def _superseded_path(path: str) -> str:
+    return os.path.join(path, SUPERSEDED)
+
+
+def read_superseded(path: str) -> list[dict]:
+    """Replace-by-uniqueId records across segments: each entry
+    ``{"uid": u, "below": s}`` means every copy of ``u`` in a segment
+    < ``s`` is dead (a later Store replaced it — ZuliaShard.java:
+    337-352 updateDocument semantics, which Lucene realizes as a
+    delete-then-add across segments). SearchEngine masks these like
+    live-docs holes; ``optimize`` physically purges them."""
+    p = _superseded_path(path)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def append_superseded(path: str, entries: list[dict]) -> None:
+    if not entries:
+        return
+    existing = read_superseded(path)
+    existing.extend(entries)
+    tmp = _superseded_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        for e in existing:
+            f.write(json.dumps(e) + "\n")
+    os.replace(tmp, _superseded_path(path))
 
 
 def read_manifest(path: str) -> list[dict]:
@@ -162,6 +193,87 @@ class SegmentedIndexWriter:
         )
 
 
+def commit_batch_segment(
+    batch_df: DataFrame,
+    segment: int,
+    path: str,
+    config: IndexConfig,
+    stored_cols: tuple[str, ...] = (),
+) -> bool:
+    """Store a batch of documents as ONE committed segment with
+    replace-by-uniqueId against every earlier segment (the Store
+    operator over a segmented index: ZuliaShard.java:337-352
+    updateDocument = delete-then-add, realized here as a superseded
+    record masking the older copy until optimize purges it).
+
+    Idempotent per segment id (a replayed batch finds its segment
+    committed and skips). Scale note: the replaced-uid probe is a
+    broadcast semi-join of the (small) batch's uids against earlier
+    segments' column-pruned uniqueId scans — at warehouse scale you'd
+    keep a bucketed uid index or bloom per segment instead of
+    rescanning, but the join shape (broadcast small side, no shuffle
+    of the corpus) is already the right one. Returns True if a
+    segment was committed."""
+    if segment in committed_segments(path):
+        return False
+    if batch_df.rdd.isEmpty():
+        return False
+    writer = SegmentedIndexWriter(path, config, n_segments=0)
+    earlier = sorted(committed_segments(path))
+    t0 = time.time()
+    tables = build_index(batch_df, config, stored_cols=stored_cols)
+    tables = write_index(tables, writer.segment_dir(segment))
+    replaced: list[str] = []
+    if earlier:
+        spark = batch_df.sparkSession
+        uid = config.unique_id_col
+        batch_uids = spark.read.parquet(
+            os.path.join(writer.segment_dir(segment), "doc_map")
+        ).select("uniqueId")
+        old_uids = None
+        for s in earlier:
+            d = spark.read.parquet(
+                os.path.join(path, "segments", f"seg={s}", "doc_map")
+            ).select("uniqueId")
+            old_uids = d if old_uids is None else old_uids.unionByName(d)
+        replaced = [
+            r["uniqueId"]
+            for r in old_uids.join(F.broadcast(batch_uids), "uniqueId", "left_semi")
+            .distinct()
+            .collect()
+        ]
+    writer._commit(segment, tables, time.time() - t0)
+    append_superseded(path, [{"uid": u, "below": segment} for u in replaced])
+    return True
+
+
+def _reconcile_types(dfs: list[tuple[int, DataFrame]]) -> list[DataFrame]:
+    """Union-compatible doc_map frames across segments built under
+    DIFFERENT index settings (UpdateIndex/createIndex REPLACE with a
+    field-type change — FieldChangeTest.java): for each column the
+    NEWEST segment's type wins (latest settings), older segments
+    try_cast into it (uncastable old-typed values become null =
+    missing, Lucene's behavior for a doc with no doc-value of the
+    new type), and columns absent from a segment ride as nulls."""
+    target: dict[str, str] = {}
+    for _, df in sorted(dfs, key=lambda t: t[0]):
+        for name, dtype in df.dtypes:
+            target[name] = dtype  # later segments overwrite
+    out = []
+    for _, df in dfs:
+        have = dict(df.dtypes)
+        cols = []
+        for name, dtype in target.items():
+            if name not in have:
+                cols.append(F.lit(None).cast(dtype).alias(name))
+            elif have[name] != dtype:
+                cols.append(F.col(name).try_cast(dtype).alias(name))
+            else:
+                cols.append(F.col(name))
+        out.append(df.select(*cols))
+    return out
+
+
 def read_segmented_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTables:
     """Union all committed segments into one IndexTables.
 
@@ -186,7 +298,10 @@ def read_segmented_index(spark: SparkSession, path: str, config: IndexConfig) ->
         return out
 
     postings = union_all("postings")
-    doc_map = union_all("doc_map")
+    reconciled = _reconcile_types([(s, load(s, "doc_map")) for s in segs])
+    doc_map = reconciled[0]
+    for d in reconciled[1:]:
+        doc_map = doc_map.unionByName(d)
     term_stats, field_stats = stats_from_postings(postings)
     shard_counts = doc_map.groupBy("shard").agg(F.count(F.lit(1)).alias("num_docs"))
     return IndexTables(
@@ -234,6 +349,8 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
     # relative to the corpus, so the dead lists ride the closure
     dead_by_pid: dict[int, np.ndarray] = {}
     tomb_uids = load_tombstone_uids(path)
+    superseded = read_superseded(path)
+    tmp: dict[int, set[int]] = {}
     if tomb_uids:
         ids_df = spark.createDataFrame([(u,) for u in tomb_uids], "uniqueId string")
         rows = (
@@ -241,9 +358,25 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
             .select("shard", "doc_id")
             .collect()
         )
-        tmp: dict[int, set[int]] = {}
         for r in rows:
             tmp.setdefault(int(r["shard"]), set()).add(int(r["doc_id"]))
+    if superseded:
+        # replaced-by-later-Store copies are holes too: purge the
+        # copies living in segments below the superseding one
+        rec_df = spark.createDataFrame(
+            [(r["uid"], int(r["below"])) for r in superseded],
+            "uniqueId string, below int",
+        )
+        rows = (
+            seg_tables.doc_map.join(F.broadcast(rec_df), "uniqueId")
+            .filter((F.col("shard") / stride).cast("int") < F.col("below"))
+            .select("shard", "doc_id")
+            .distinct()
+            .collect()
+        )
+        for r in rows:
+            tmp.setdefault(int(r["shard"]), set()).add(int(r["doc_id"]))
+    if tmp:
         dead_by_pid = {p: np.fromiter(sorted(v), dtype=np.int64) for p, v in tmp.items()}
 
     # offsets[seg][shard] = Σ LIVE docs of earlier segments in that shard
@@ -390,6 +523,8 @@ def optimize(spark: SparkSession, path: str, out_path: str, config: IndexConfig)
     from zuliasearch_spark.indexing.tombstones import clear_tombstones
 
     clear_tombstones(out_path)  # purged docs are gone: fresh tombstone set
+    if os.path.exists(_superseded_path(out_path)):
+        os.remove(_superseded_path(out_path))  # replaced copies purged too
     if os.path.exists(_manifest_path(out_path)):
         os.remove(_manifest_path(out_path))
     _append_manifest(

@@ -1219,6 +1219,38 @@ class SearchEngine:
         if persisted:
             self._tombstone_uids = set(persisted)
             self._mark_tombstones(persisted)
+        self._mark_superseded()
+
+    def _mark_superseded(self) -> None:
+        """Mask copies replaced by a later Store in a segmented index
+        (segments.commit_batch_segment): each superseded record
+        ``(uid, below)`` kills the copies of ``uid`` living in
+        segments < ``below`` — the older (pid, doc_id) pairs join the
+        in-memory live-docs holes but are NEVER persisted as uid
+        tombstones (that would kill the replacement too). Lucene gets
+        this for free from updateDocument's delete-then-add."""
+        root = getattr(self.tables, "root_path", None)
+        stride = self.config.segment_stride
+        if not root or not stride:
+            return
+        from zuliasearch_spark.indexing.segments import read_superseded
+
+        recs = read_superseded(root)
+        if not recs:
+            return
+        spark = self.tables.doc_map.sparkSession
+        rec_df = spark.createDataFrame(
+            [(r["uid"], int(r["below"])) for r in recs], "uniqueId string, below int"
+        )
+        rows = (
+            self.tables.doc_map.join(F.broadcast(rec_df), "uniqueId")
+            .filter((F.col("shard") / stride).cast("int") < F.col("below"))
+            .select("shard", "doc_id")
+            .distinct()
+            .collect()
+        )
+        for r in rows:
+            self._tombstones.setdefault(int(r["shard"]), set()).add(int(r["doc_id"]))
 
     # -- planning ---------------------------------------------------------
 

@@ -18,13 +18,10 @@ ids disjoint across segments; BM25 stats still pool per true shard).
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import DataFrame
 
 from zuliasearch_spark.config import IndexConfig
-from zuliasearch_spark.indexing.builder import build_index, write_index
-from zuliasearch_spark.indexing.segments import SegmentedIndexWriter, committed_segments
+from zuliasearch_spark.indexing.segments import commit_batch_segment
 
 STREAM_SEGMENT_BASE = 1_000_000  # stream segments above any batch build's
 
@@ -46,15 +43,7 @@ def append_stream_segment(
     one-shot build.
     """
     segment = STREAM_SEGMENT_BASE + int(batch_id)
-    writer = SegmentedIndexWriter(index_path, config, n_segments=0)
-    if segment in committed_segments(index_path):
-        return
-    if batch_df.rdd.isEmpty():
-        return
-    t0 = time.time()
-    tables = build_index(batch_df, config, stored_cols=stored_cols)
-    tables = write_index(tables, writer.segment_dir(segment))
-    writer._commit(segment, tables, time.time() - t0)
+    commit_batch_segment(batch_df, segment, index_path, config, stored_cols=stored_cols)
 
 
 def incremental_index(

@@ -397,7 +397,9 @@ def test_vector_config_validation():
     with pytest.raises(ValueError, match="encoding"):
         VectorConfig("v", encoding="INT2")
     with pytest.raises(ValueError, match="index type"):
-        VectorConfig("v", index_type="HNSW")
+        VectorConfig("v", index_type="ANNOY")
+    with pytest.raises(ValueError, match="hnsw_m"):
+        VectorConfig("v", index_type="HNSW", hnsw_m=1)
     with pytest.raises(ValueError, match="nprobe"):
         VectorConfig("v", index_type="IVF", ivf_cells=4, ivf_nprobe=5)
 

@@ -158,11 +158,16 @@ class VectorConfig:
       ZuliaIndex.buildKnnQuery:597-615): both serve KNN from a
       build-time structure instead of scanning the corpus, the
       recall/latency dial being nprobe rather than HNSW's
-      efSearch. HNSW graphs themselves are out of slice (SURVEY
-      §2.14) — they need mutable adjacency state per segment, which
-      has no good columnar expression; IVF probing prunes at the
-      parquet row-group level instead (doc_map is written
-      cell-sorted).
+      efSearch. HNSW = the reference's actual structure: a per-shard
+      hierarchical graph built at index time (indexing/hnsw.py,
+      Malkov & Yashunin 2016 — the paper Lucene's HnswGraphBuilder
+      implements), stored as a columnar adjacency table partitioned
+      by (field, shard), traversed per shard in a grouped pandas
+      kernel with beam efSearch. Un-pre-filtered KNN (the injected
+      MatchAll — also MoreLikeThis vector sources) serves from the
+      graph; a boolean-pre-filtered VECTOR clause keeps the exact
+      scan over the already-pruned match set, Lucene's
+      filtered-KNN exact-fallback shape.
     """
 
     indexed_field_name: str
@@ -185,6 +190,15 @@ class VectorConfig:
     ivf_cells: int = 8
     ivf_nprobe: int = 3
     ivf_probe_per_k: float = 0.5
+    # HNSW graph dials (index_type="HNSW"; zulia_index.proto
+    # VectorIndexingConfig → Lucene Lucene99HnswVectorsFormat(M,
+    # efConstruction) via ZuliaPerFieldKnnVectorsFormat.java). The
+    # graph is built per shard at index time (indexing/hnsw.py) and
+    # queries traverse it with beam max(hnsw_ef_search, k) — Lucene's
+    # efSearch ≥ k rule.
+    hnsw_m: int = 16
+    hnsw_ef_construction: int = 100
+    hnsw_ef_search: int = 100
     # INT8/INT4 scale derivation. "QUANTILE" (default, Lucene-104
     # shape): one scale per SHARD/segment from the component-magnitude
     # quantile at confidence 1 − 1/(dim+1) over a deterministic build
@@ -197,8 +211,16 @@ class VectorConfig:
             raise ValueError(
                 f"Unknown vector encoding {self.encoding}; one of {VECTOR_ENCODINGS}"
             )
-        if self.index_type not in ("FLAT", "IVF"):
+        if self.index_type not in ("FLAT", "IVF", "HNSW"):
             raise ValueError(f"Unknown vector index type {self.index_type}")
+        if self.index_type == "HNSW" and (
+            self.hnsw_m < 2 or self.hnsw_ef_construction < 1 or self.hnsw_ef_search < 1
+        ):
+            raise ValueError(
+                f"HNSW needs hnsw_m >= 2 and positive ef dials (got m="
+                f"{self.hnsw_m}, efC={self.hnsw_ef_construction}, "
+                f"efSearch={self.hnsw_ef_search})"
+            )
         if self.index_type == "IVF" and (
             self.ivf_cells < 2 or not (1 <= self.ivf_nprobe <= self.ivf_cells)
         ):

@@ -1102,6 +1102,80 @@ def quantized_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return eng
 
 
+def hnsw_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """A third embeddings index served by per-shard HNSW graphs
+    (VectorConfig index_type="HNSW"; the reference's Lucene HNSW via
+    ZuliaPerFieldKnnVectorsFormat.java, query
+    ZuliaIndex.buildKnnQuery:597-615). efSearch is set saturating for
+    this corpus size so the gate's graph traversal is exhaustive —
+    the oracle is exact brute-force cosine and the hash must match."""
+    eng = _ENGINE_CACHE.get(("h", sf_dir))
+    if eng is not None:
+        return eng
+    from zuliasearch_spark.config import VectorConfig
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(
+        F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("uid"),
+        F.lit("x").alias("tag"),
+        "embedding",
+    )
+    cfg = IndexConfig(
+        index_name="emb_hnsw",
+        unique_id_col="uid",
+        number_of_shards=2,
+        default_search_fields=("tag",),
+        field_configs=(
+            FieldConfig("tag", index_as=(IndexAs("tag", "lcKeyword"),)),
+            FieldConfig(
+                "embedding",
+                vector_as=(
+                    VectorConfig(
+                        "embedding", index_type="HNSW", hnsw_ef_search=256
+                    ),
+                ),
+            ),
+        ),
+        per_shard_stats=False,
+        quantize_norms=False,
+        store_positions=False,
+    )
+    tables = build_index(corpus, cfg, stored_cols=("embedding",))
+    tables.persist()
+    eng = SearchEngine(tables)
+    _ENGINE_CACHE[("h", sf_dir)] = eng
+    return eng
+
+
+def q_vector_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-served KNN (index_type="HNSW"): an un-pre-filtered VECTOR
+    clause traverses the per-shard graphs (beam efSearch) instead of
+    scanning the corpus — the reference's per-segment Lucene HNSW
+    serve path. The oracle is EXACT brute-force cosine: at this
+    corpus size the saturating beam makes the graph answer exact, so
+    the gate pins both the plumbing and the recall contract."""
+    eng = hnsw_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    res = eng.search_vector(SearchRequest(), qv, "embedding", k=10)
+    rows = [(int(t["uniqueId"]), float(round(t["score"], 4))) for t in res["topk"]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+_VECTOR_HNSW_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
+c AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+  FROM embeddings e CROSS JOIN q
+)
+SELECT doc_id, round(c, 4) AS score FROM c
+ORDER BY c DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_vector_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT8-quantized KNN with oversample + full-precision rescore
     (VectorIndexingConfig.Encoding INT8, zulia_index.proto:250-270;
@@ -2021,6 +2095,7 @@ QUERIES = {
     "mlt_vector_topk": q_mlt_vector_topk,
     "mlt_hybrid_topk": q_mlt_hybrid_topk,
     "vector_int8_topk": q_vector_int8_topk,
+    "vector_hnsw_topk": q_vector_hnsw_topk,
     "zulia_id_count": q_zulia_id_count,
     "zulia_id_sort_topk": q_zulia_id_sort_topk,
     "score_sort_topk": q_score_sort_topk,
@@ -2539,6 +2614,7 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "mlt_vector_topk": _MLT_VECTOR_SQL,
     "mlt_hybrid_topk": _MLT_HYBRID_SQL,
     "vector_int8_topk": _VECTOR_INT8_SQL,
+    "vector_hnsw_topk": _VECTOR_HNSW_SQL,
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -94,15 +94,25 @@ class IndexTables:
     # <root>/vector_centroids.json). None when no field uses
     # index_type="IVF".
     vector_centroids: dict | None = None
+    # HNSW adjacency table for fields with index_type="HNSW"
+    # (indexing/hnsw.py): field, graph_id, shard, doc_id, level,
+    # neighbors array<long>, vector array<float> (level-0 rows only).
+    # None when no field uses a graph. Written partitioned by
+    # (field, shard) so a traversal task scans only its partition.
+    vector_graphs: DataFrame | None = None
 
     def persist(self) -> "IndexTables":
         for df in (self.doc_map, self.postings, self.term_stats, self.field_stats, self.shard_counts):
             df.persist()
+        if self.vector_graphs is not None:
+            self.vector_graphs.persist()
         return self
 
     def unpersist(self) -> None:
         for df in (self.doc_map, self.postings, self.term_stats, self.field_stats, self.shard_counts):
             df.unpersist()
+        if self.vector_graphs is not None:
+            self.vector_graphs.unpersist()
 
 
 def _make_tokenizer(field_specs, store_positions: bool = True, id_cfg=None, uid_col: str | None = None):
@@ -936,6 +946,7 @@ def build_index(
                     f"_zvc_{vc.indexed_field_name}",
                     ivf_cell_expr(centroids[vc.indexed_field_name], col=col),
                 )
+    vector_graphs = _build_hnsw_graphs(doc_map, config)
 
     # postings path: ids assigned INSIDE the tokenizer kernel so the
     # wide corpus crosses JVM→Python exactly once (id_offsets is the
@@ -969,7 +980,74 @@ def build_index(
         field_stats,
         shard_counts,
         vector_centroids=centroids,
+        vector_graphs=vector_graphs,
     )
+
+
+GRAPH_SCHEMA = (
+    "field string, graph_id string, shard int, doc_id long, uniqueId string, "
+    "level int, neighbors array<long>, vector array<float>"
+)
+
+
+def _build_hnsw_graphs(doc_map: DataFrame, config: IndexConfig) -> DataFrame | None:
+    """Per-shard HNSW graphs for fields with index_type="HNSW"
+    (indexing/hnsw.py; the reference's per-segment Lucene HNSW via
+    ZuliaPerFieldKnnVectorsFormat.java). One grouped-pandas pass per
+    field over (shard, doc_id, uniqueId, vector) — each task builds
+    its shard's graph independently, the exact parallelism of Lucene
+    building one graph per segment at flush. Level-0 rows carry the
+    raw vector and uniqueId so query-time traversal never joins back
+    to doc_map (the graph table doubles as the .vec file)."""
+    hnsw = [(c, vc) for c, vc in config.vector_fields() if vc.index_type == "HNSW"]
+    if not hnsw:
+        return None
+    import uuid
+
+    cols = [
+        "field", "graph_id", "shard", "doc_id", "uniqueId",
+        "level", "neighbors", "vector",
+    ]
+    out = None
+    for col, vc in hnsw:
+        name = vc.indexed_field_name
+        m, efc = vc.hnsw_m, vc.hnsw_ef_construction
+        gid = uuid.uuid4().hex
+
+        def make_kernel(col=col, name=name, m=m, efc=efc, gid=gid):
+            def kernel(key, pdf):
+                import pandas as pd
+
+                from zuliasearch_spark.indexing.hnsw import graph_rows
+
+                pdf = pdf[pdf[col].notna()]
+                if pdf.empty:
+                    return pd.DataFrame(columns=cols)
+                vecs = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[col]])
+                rows = graph_rows(
+                    pdf["doc_id"].to_numpy(np.int64),
+                    vecs,
+                    m,
+                    efc,
+                    uids=pdf["uniqueId"].to_numpy(object),
+                )
+                df = pd.DataFrame(rows)
+                df.insert(0, "shard", int(key[0]))
+                df.insert(0, "graph_id", gid)
+                df.insert(0, "field", name)
+                return df
+
+            return kernel
+
+        kernel = make_kernel()
+
+        g = (
+            doc_map.select("shard", "doc_id", "uniqueId", col)
+            .groupBy("shard")
+            .applyInPandas(kernel, GRAPH_SCHEMA)
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
 
 
 def _train_ivf_centroids(corpus: DataFrame, config: IndexConfig) -> dict | None:
@@ -1047,6 +1125,15 @@ def write_index(tables: IndexTables, path: str) -> IndexTables:
 
         with open(os.path.join(path, "vector_centroids.json"), "w") as fh:
             _json.dump(tables.vector_centroids, fh)
+    if tables.vector_graphs is not None:
+        # partitioned by (field, shard): a query's per-shard traversal
+        # task partition-prunes to exactly its own graph file
+        (
+            tables.vector_graphs.repartition("field", "shard")
+            .write.mode("overwrite")
+            .partitionBy("field", "shard")
+            .parquet(os.path.join(path, "vector_graphs"))
+        )
     postings = spark.read.parquet(os.path.join(path, "postings"))
     term_stats, field_stats = stats_from_postings(postings)
     (
@@ -1071,6 +1158,10 @@ def read_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTabl
 
         with open(cent_path) as fh:
             centroids = _json.load(fh)
+    graphs = None
+    graphs_path = os.path.join(path, "vector_graphs")
+    if os.path.exists(graphs_path):
+        graphs = spark.read.parquet(graphs_path)
     return IndexTables(
         config,
         spark.read.parquet(os.path.join(path, "doc_map")),
@@ -1080,4 +1171,5 @@ def read_index(spark: SparkSession, path: str, config: IndexConfig) -> IndexTabl
         spark.read.parquet(os.path.join(path, "shard_counts")),
         root_path=path,
         vector_centroids=centroids,
+        vector_graphs=graphs,
     )

@@ -1202,6 +1202,11 @@ class SearchEngine:
         # construction, so deletes survive restarts.
         self._tombstones: dict[int, set[int]] = {}
         self._tombstone_uids: set[str] = set()
+        # HNSW graph frames per vector field, persisted shard-
+        # partitioned on first use (the reader-held graph, Lucene's
+        # per-segment HnswGraph kept open by the IndexReader)
+        self._hnsw_frames: dict[str, DataFrame] = {}
+        self._hnsw_shards: dict[str, list[int]] = {}
         # query-result cache (shardQueryCacheSize /
         # shardQueryCacheMaxAmount, zulia_index.proto:43-44): LRU over
         # frozen requests, invalidated by deletes. Off unless the
@@ -2689,6 +2694,26 @@ class SearchEngine:
             "shard", "doc_id", "score", "uniqueId", F.round(cos, 6).alias("cosine")
         )
         top = scored.orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id")).limit(k)
+        if (
+            not req.clauses
+            and req.qs is None
+            and vf is not None
+            and vf[1].index_type == "HNSW"
+            and self.tables.vector_graphs is not None
+        ):
+            # un-pre-filtered KNN (the injected MatchAll) serves from
+            # the per-shard HNSW graphs instead of scanning; a
+            # boolean-pre-filtered request keeps the exact scan over
+            # the already-pruned match set — Lucene's filtered-KNN
+            # exact-fallback shape (ZuliaIndex.buildKnnQuery:597-615)
+            knn_rows = self._hnsw_top_rows(vector, vector_field, k)
+            top = self.tables.doc_map.sparkSession.createDataFrame(
+                [
+                    (r["shard"], r["doc_id"], 0.0, r["uniqueId"], r["cosine"])
+                    for r in knn_rows
+                ],
+                "shard int, doc_id long, score double, uniqueId string, cosine double",
+            )
         if should:
             # SHOULD-occur KNN (ZuliaIndex.java:802-805 composes the knn
             # query as a BooleanClause.Occur.SHOULD inside one Lucene
@@ -3424,8 +3449,16 @@ class SearchEngine:
         column (KnnFloatVectorQuery over the whole index). The cosine
         runs as codegen array expressions in-plan; only the k result
         rows reach the driver. Returns [{shard, doc_id, uniqueId,
-        cosine}] sorted by cosine desc, (shard, doc_id) asc on ties."""
+        cosine}] sorted by cosine desc, (shard, doc_id) asc on ties.
+        HNSW-configured fields serve from the per-shard graph
+        (_hnsw_top_rows) instead of scanning."""
         vf = self.config.vector_field(vector_field)
+        if (
+            vf is not None
+            and vf[1].index_type == "HNSW"
+            and self.tables.vector_graphs is not None
+        ):
+            return self._hnsw_top_rows(vector, vector_field, k)
         col = vf[0] if vf is not None else vector_field
         qlit = F.array(*[F.lit(float(x)) for x in vector])
         emb = F.col(col)
@@ -3451,6 +3484,132 @@ class SearchEngine:
                 "shard", "doc_id", "uniqueId", F.round(cos, 6).alias("cosine")
             )
             .orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [
+            {
+                "shard": int(r["shard"]),
+                "doc_id": int(r["doc_id"]),
+                "uniqueId": r["uniqueId"],
+                "cosine": float(r["cosine"]),
+            }
+            for r in rows
+        ]
+
+    def _hnsw_top_rows(self, vector, vector_field: str, k: int) -> list[dict]:
+        """Global KNN served from the per-shard HNSW graphs
+        (VectorConfig index_type="HNSW"; the reference's
+        ZuliaIndex.buildKnnQuery:597-615 over Lucene's per-segment
+        graph). One grouped-pandas job traverses every shard's graph
+        concurrently — beam max(efSearch, k) per shard, Lucene's
+        per-leaf KNN then a top-k merge — and only shards × k
+        candidate rows leave the kernels; the global cut is a
+        TakeOrderedAndProject over those.
+
+        Serving shape: when the index is parquet-backed the job's
+        input is a one-row-per-shard SKELETON and each task loads its
+        own ``vector_graphs/field=…/shard=…`` partition worker-side
+        (pyarrow), cached across queries keyed by the partition's
+        mtime — a query stream pays graph decode once per (worker,
+        shard), like Lucene holding the graph reader open. In-memory
+        indexes fall back to shipping the grouped graph rows through
+        Arrow each query (decode still cached by graph_id).
+
+        liveDocs parity: tombstoned docs route during traversal but
+        are never collected, and the beam widens by the shard's dead
+        count (hnsw.shard_topk) so deletes cannot starve k."""
+        import os as _os
+
+        vf = self.config.vector_field(vector_field)
+        col, vc = vf
+        name = vc.indexed_field_name
+        graphs = self.tables.vector_graphs
+        if graphs is None:
+            raise ValueError(
+                f"vector field {name!r} is configured index_type='HNSW' but the "
+                f"index has no graph table — rebuild with this config"
+            )
+        spark = graphs.sparkSession
+        ef = max(vc.hnsw_ef_search, k)
+        dead = {s: sorted(ids) for s, ids in self._tombstones.items() if ids}
+        q = [float(x) for x in vector]
+        out_schema = "shard int, doc_id long, uniqueId string, cosine double"
+        root = getattr(self.tables, "root_path", None)
+        gdir = _os.path.join(root, "vector_graphs", f"field={name}") if root else None
+        if gdir is not None and _os.path.isdir(gdir):
+            shards = self._hnsw_shards.get(name)
+            if shards is None:
+                shards = sorted(
+                    int(d.split("=", 1)[1])
+                    for d in _os.listdir(gdir)
+                    if d.startswith("shard=")
+                )
+                self._hnsw_shards[name] = shards
+            probe = spark.createDataFrame([(s,) for s in shards], "shard int")
+
+            def make_kernel(gdir=gdir, q=q, ef=ef, k=k, dead=dead):
+                def kernel(key, pdf):
+                    import os
+
+                    import pandas as pd
+
+                    from zuliasearch_spark.indexing.hnsw import (
+                        decode_graph_parquet,
+                        shard_topk,
+                    )
+
+                    shard = int(key[0])
+                    part = os.path.join(gdir, f"shard={shard}")
+                    decoded = decode_graph_parquet(
+                        part, cache_key=(part, os.path.getmtime(part))
+                    )
+                    rows = shard_topk(decoded, q, ef, k, dead_ids=dead.get(shard))
+                    return pd.DataFrame(
+                        [(shard, d, u, c) for d, u, c in rows],
+                        columns=["shard", "doc_id", "uniqueId", "cosine"],
+                    )
+
+                return kernel
+
+            kernel = make_kernel()
+
+            cand = probe.groupBy("shard").applyInPandas(kernel, out_schema)
+        else:
+            frame = self._hnsw_frames.get(name)
+            if frame is None:
+                frame = (
+                    graphs.filter(F.col("field") == name)
+                    .repartition("shard")
+                    .persist()
+                )
+                self._hnsw_frames[name] = frame
+
+            def make_kernel(q=q, ef=ef, k=k, dead=dead):
+                def kernel(key, pdf):
+                    import pandas as pd
+
+                    from zuliasearch_spark.indexing.hnsw import (
+                        decode_graph,
+                        shard_topk,
+                    )
+
+                    shard = int(key[0])
+                    gid = str(pdf["graph_id"].iloc[0])
+                    decoded = decode_graph(pdf, cache_key=(gid, shard))
+                    rows = shard_topk(decoded, q, ef, k, dead_ids=dead.get(shard))
+                    return pd.DataFrame(
+                        [(shard, d, u, c) for d, u, c in rows],
+                        columns=["shard", "doc_id", "uniqueId", "cosine"],
+                    )
+
+                return kernel
+
+            kernel = make_kernel()
+
+            cand = frame.groupBy("shard").applyInPandas(kernel, out_schema)
+        rows = (
+            cand.orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id"))
             .limit(k)
             .collect()
         )

@@ -1,0 +1,170 @@
+"""KStem (Krovetz) stemmer — AnalyzerTest.java's KSTEM filter analogue.
+
+The reference wires Lucene's KStemFilter for Filter.KSTEM
+(ZuliaFieldAnalyzer.java:111-113). These vectors assert the
+dictionary-driven contract that distinguishes KStem from suffix
+strippers: transformations are kept only when they land on a known
+head word, real words survive intact, and inflectional endings get
+spelling repair (undoubling, +e restoration, i→y)."""
+
+import pytest
+
+from zuliasearch_spark.analysis.kstem import (
+    DIRECT_CONVERSIONS,
+    LEXICON,
+    kstem_stem,
+)
+
+
+INFLECTIONAL = {
+    # plural
+    "dogs": "dog",
+    "indexes": "index",
+    "churches": "church",
+    "boxes": "box",
+    "flies": "fly",
+    "movies": "movie",
+    "dies": "die",
+    "ties": "tie",
+    "studies": "study",
+    "buildings": "building",
+    # past tense
+    "walked": "walk",
+    "baked": "bake",
+    "stopped": "stop",
+    "planned": "plan",
+    "carried": "carry",
+    "studied": "study",
+    "died": "die",
+    # aspect (-ing)
+    "walking": "walk",
+    "baking": "bake",
+    "running": "run",
+    "singing": "sing",
+}
+
+DERIVATIONAL = {
+    # dictionary-gated: result is a known head word
+    "happiness": "happy",
+    "darkness": "dark",
+    "quickly": "quick",
+    "happily": "happy",
+    "happier": "happy",
+    "carrier": "carry",
+    "creation": "create",
+    "organization": "organize",
+    "formality": "formal",
+    "readable": "read",
+    "probably": "probable",
+    "logical": "logic",
+    "singer": "sing",
+    "writer": "write",
+    "urgency": "urgent",
+}
+
+# The property Porter-style strippers get wrong: words that ARE the
+# head form (in the lexicon) come back untouched. Porter2 truncates
+# every one of these.
+DICTIONARY_PRESERVED = [
+    "meeting", "building", "police", "news", "series", "species",
+    "during", "something", "everything", "movement", "decision",
+    "activity", "arrival", "actor", "being", "doing", "data",
+]
+
+IRREGULAR = {
+    "feet": "foot",
+    "children": "child",
+    "indices": "index",
+    "matrices": "matrix",
+    "wives": "wife",
+    "analyses": "analysis",
+    "criteria": "criterion",
+    "people": "person",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(INFLECTIONAL.items()))
+def test_inflectional(word, want):
+    assert kstem_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", sorted(DERIVATIONAL.items()))
+def test_derivational_dictionary_gated(word, want):
+    assert kstem_stem(word) == want
+
+
+@pytest.mark.parametrize("word", DICTIONARY_PRESERVED)
+def test_lexicon_words_preserved(word):
+    assert kstem_stem(word) == word
+
+
+@pytest.mark.parametrize("word,want", sorted(IRREGULAR.items()))
+def test_direct_conversions(word, want):
+    assert kstem_stem(word) == want
+
+
+def test_differs_from_porter2_where_it_should():
+    """The point of shipping real KStem: Porter2 mangles head words."""
+    from zuliasearch_spark.analysis.stem import porter2_stem
+
+    for w in ("meeting", "police", "activity"):
+        assert kstem_stem(w) == w
+        assert porter2_stem(w) != w
+
+
+def test_non_candidates_pass_through():
+    # short / non-alpha / mixed-case tokens bypass (KStemFilter stems
+    # only all-lowercase alpha tokens)
+    for w in ("ab", "x1y", "AIDS", "Running", "a-b", "42"):
+        assert kstem_stem(w) == w
+
+
+def test_oov_inflectional_repair():
+    # unknown words still get deterministic inflectional handling...
+    assert kstem_stem("zorbs") == "zorb"
+    assert kstem_stem("frobbed") == "frob"
+    # ...but derivational endings never fire off-dictionary
+    assert kstem_stem("zorbness") == "zorbness"
+    assert kstem_stem("frobment") == "frobment"
+
+
+def test_idempotent_on_outputs():
+    for w in list(INFLECTIONAL) + list(DERIVATIONAL) + DICTIONARY_PRESERVED:
+        out = kstem_stem(w)
+        assert kstem_stem(out) == out, (w, out)
+
+
+def test_load_lexicon_extends(tmp_path):
+    from zuliasearch_spark.analysis import kstem as K
+
+    assert kstem_stem("blorting") == "blort"  # OOV default: plain strip
+    p = tmp_path / "extra.txt"
+    p.write_text("# custom head words\nblorte\n")
+    try:
+        added = K.load_lexicon(str(p))
+        assert added == 1
+        assert kstem_stem("blorting") == "blorte"  # +e repair now gated in
+    finally:
+        K.LEXICON.discard("blorte")
+        K.kstem_stem.cache_clear()
+
+
+def test_analyzer_chain_integration():
+    """DefaultAnalyzers 'kstem' preset end-to-end through the
+    vectorized analyzer (AnalyzerTest.java KSTEMMED)."""
+    import pandas as pd
+
+    from zuliasearch_spark.analysis.analyzers import tokenize
+    from zuliasearch_spark.config import DEFAULT_ANALYZERS
+
+    ts = tokenize(pd.Series(["Police meetings were running smoothly"]),
+                  DEFAULT_ANALYZERS["kstem"])
+    vocab = ts.vocab.to_pylist()
+    toks = [vocab[c] for c in ts.codes]
+    # "were" is not in Lucene's English stop set; "smoothly" gates
+    # through the -ly rule onto the head word "smooth"
+    assert toks == ["police", "meeting", "were", "run", "smooth"]
+
+
+def test_direct_conversion_heads_are_words():
+    assert set(DIRECT_CONVERSIONS.values()) <= LEXICON

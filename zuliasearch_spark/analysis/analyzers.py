@@ -521,9 +521,12 @@ def _apply_vocab_filters(ts: TokenStream, settings: AnalyzerSettings) -> TokenSt
             ts, protected = _map_terms(ts, protected, _stem.english_possessive, honor_protected=False)
         elif f == ENGLISH_MIN_STEM:
             ts, protected = _map_terms(ts, protected, _stem.english_minimal_stem)
-        elif f in (SNOWBALL_STEM, KSTEM):
-            # KSTEM → Porter2 is a documented deviation (stem.py)
+        elif f == SNOWBALL_STEM:
             ts, protected = _map_terms(ts, protected, _stem.porter2_stem)
+        elif f == KSTEM:
+            from zuliasearch_spark.analysis.kstem import kstem_stem
+
+            ts, protected = _map_terms(ts, protected, kstem_stem)
         elif f == GERMAN_NORMALIZATION:
             ts, protected = _map_terms(ts, protected, _stem.german_normalize, honor_protected=False)
         elif f == BRITISH_US:

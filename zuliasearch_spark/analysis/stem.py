@@ -7,11 +7,9 @@ reference's filter enum (ZuliaFieldAnalyzer.java:51-160):
   S-stemmer (Harman 1991, "How effective is suffixing?"), plural-only.
 - ``porter2_stem`` — the Snowball English ("Porter2") stemmer from the
   published specification (snowballstem.org/algorithms/english/stemmer
-  .html), used for SNOWBALL_STEM. KSTEM maps to this as a DOCUMENTED
-  DEVIATION: Lucene's KStem needs its bundled exception lexicons,
-  which are data files this rebuild does not ship; Porter2 is the
-  closest spec-defined stemmer. Both query and document sides use the
-  same chain, so retrieval is internally consistent.
+  .html), used for SNOWBALL_STEM. (KSTEM is the Krovetz
+  dictionary-driven stemmer in the sibling module
+  ``analysis/kstem.py``.)
 - ``german_normalize`` — Lucene GermanNormalizationFilter's automaton
   (snowball German2 variant): folds ä/ö/ü, ß→ss, and collapses
   ae/oe/ue to a/o/u except after q or another vowel.

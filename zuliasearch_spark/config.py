@@ -85,7 +85,8 @@ class AnalyzerSettings:
 
 # Built-in analyzers, mirroring ServerIndexConfigData.getAnalyzerMap
 # (ServerIndexConfigData.java:197-224) / DefaultAnalyzers.java:10-22.
-# KSTEM maps to Porter2 (documented deviation — analysis/stem.py).
+# KSTEM is the Krovetz dictionary-driven stemmer (analysis/kstem.py;
+# curated lexicon, extensible via kstem.load_lexicon).
 DEFAULT_ANALYZERS: dict[str, AnalyzerSettings] = {
     "standard": AnalyzerSettings("standard", STANDARD, (LOWERCASE, STOPWORDS)),
     "standardHtml": AnalyzerSettings(

@@ -250,3 +250,174 @@ def test_json_lines_roundtrip(spark, tmpdir):
     back = read_json_lines(spark, out, schema="id string, n bigint, r double")
     rows = sorted(back.collect(), key=lambda r: r["id"])
     assert [(r["id"], r["n"], r["r"]) for r in rows] == [("a", 1, 1.5), ("b", 2, None)]
+
+
+# --- Excel .xlsx source/target (ExcelSource/ExcelTarget via stdlib) ---
+
+
+def _mk_typed_df(spark):
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DateType, DoubleType, LongType,
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+        StructField("flag", BooleanType()),
+        StructField("day", DateType()),
+        StructField("ts", TimestampType()),
+        StructField("tags", ArrayType(StringType())),
+    ])
+    rows = [
+        (1, 'plain "quoted" <xml&>', 3.25, True,
+         dt.date(2024, 5, 17), dt.datetime(2024, 5, 17, 9, 30, 15), ["a", "b"]),
+        (2, None, -0.5, False, None, None, ["x", None, "z"]),
+        (3, "third", 1e300, None, dt.date(1999, 1, 2), None, None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_xlsx_roundtrip_typed_cells(spark, tmpdir):
+    # ExcelTarget typed cell handlers -> ExcelSource typed read:
+    # numbers stay numeric (exact doubles), booleans stay boolean,
+    # dates/timestamps come back as the DateCellHandler ISO strings,
+    # collections as list-delimited strings, nulls as null cells.
+    from zuliasearch_spark.sources import read_xlsx, write_xlsx
+
+    path = os.path.join(tmpdir, "typed.xlsx")
+    write_xlsx(_mk_typed_df(spark), path)
+    back = read_xlsx(spark, path)
+    assert back.columns == ["id", "name", "score", "flag", "day", "ts", "tags"]
+    got = {r["id"]: r.asDict() for r in back.collect()}
+    assert dict(back.dtypes)["id"] == "bigint"
+    assert dict(back.dtypes)["score"] == "double"
+    assert dict(back.dtypes)["flag"] == "boolean"
+    assert got[1]["name"] == 'plain "quoted" <xml&>'
+    assert got[1]["score"] == 3.25 and got[3]["score"] == 1e300
+    assert got[1]["flag"] is True and got[2]["flag"] is False and got[3]["flag"] is None
+    assert got[1]["day"] == "2024-05-17"
+    assert got[1]["ts"] == "2024-05-17T09:30:15"
+    assert got[1]["tags"] == "a;b" and got[2]["tags"] == "x;;z" and got[3]["tags"] is None
+    assert got[2]["name"] is None
+
+
+def test_xlsx_multi_sheet_and_switch(spark, tmpdir):
+    # ExcelTarget.newSheet + ExcelSource.switchSheet(index|name) and
+    # the unknown-name IllegalArgumentException
+    from zuliasearch_spark.sources import (
+        read_xlsx, write_xlsx_sheets, xlsx_sheet_names,
+    )
+
+    path = os.path.join(tmpdir, "multi.xlsx")
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(10,), (20,)], "n long")
+    write_xlsx_sheets({"alpha": a, "beta": b}, path)
+    assert xlsx_sheet_names(path) == ["alpha", "beta"]
+    assert read_xlsx(spark, path, sheet=1).count() == 2
+    assert [r["n"] for r in read_xlsx(spark, path, sheet="beta").collect()] == [10, 20]
+    assert read_xlsx(spark, path, sheet="active").columns == ["k", "v"]
+    with pytest.raises(ValueError, match="No sheet named"):
+        read_xlsx(spark, path, sheet="gamma")
+
+
+def test_xlsx_no_headers_and_empty(spark, tmpdir):
+    from zuliasearch_spark.sources import read_xlsx, write_xlsx
+
+    path = os.path.join(tmpdir, "nohdr.xlsx")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x long, y string")
+    write_xlsx(df, path, headers=False)
+    back = read_xlsx(spark, path, headers=False)
+    assert back.columns == ["_c0", "_c1"]
+    assert back.count() == 2
+
+    # truly-empty sheet with headers=True raises like ExcelSource /
+    # the delimited trulyEmpty contract
+    empty = os.path.join(tmpdir, "empty.xlsx")
+    write_xlsx(df.limit(0), empty, headers=False)
+    with pytest.raises(OSError):
+        read_xlsx(spark, empty, headers=True)
+    # headers written + zero data rows iterates to 0 rows
+    hdr_only = os.path.join(tmpdir, "hdronly.xlsx")
+    write_xlsx(df.limit(0), hdr_only, headers=True)
+    out = read_xlsx(spark, hdr_only, headers=True)
+    assert out.columns == ["x", "y"] and out.count() == 0
+
+
+def test_xlsx_shared_strings_and_date_styles(spark, tmpdir):
+    # Files from other producers use sharedStrings + date-styled
+    # numeric cells (POI writes these); craft one by hand and check
+    # the DefaultExcelCellHandler-equivalent decode: shared string
+    # lookup, rich-text concatenation, serial->ISO for date styles.
+    import zipfile
+
+    from zuliasearch_spark.sources import read_xlsx
+
+    path = os.path.join(tmpdir, "foreign.xlsx")
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    wb = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">'
+        "<si><t>hdr</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    )
+    styles = (
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>'
+    )
+    sheet = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+        '<row r="3"><c r="A3" s="1"><v>45429</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr(
+            "_rels/.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>',
+        )
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    got = [r["hdr"] for r in read_xlsx(spark, path).collect()]
+    assert got == ["rich", "2024-05-17"]
+
+
+def test_xlsx_row_cap_enforced(spark, tmpdir):
+    from zuliasearch_spark.sources.xlsx import EXCEL_MAX_ROWS
+    assert EXCEL_MAX_ROWS == 1_048_576  # SpreadsheetVersion.EXCEL2007
+
+
+def test_read_spreadsheet_dispatches_xlsx(spark, tmpdir):
+    from zuliasearch_spark.sources import write_xlsx
+
+    path = os.path.join(tmpdir, "disp.xlsx")
+    write_xlsx(spark.createDataFrame([(5, "q")], "a long, b string"), path)
+    df = read_spreadsheet(spark, path)
+    assert df.columns == ["a", "b"] and df.count() == 1
+    # legacy .xls stays an honest NotImplementedError (binary BIFF)
+    with pytest.raises(NotImplementedError):
+        read_spreadsheet(spark, os.path.join(tmpdir, "old.xls"))

@@ -599,6 +599,95 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zulia-data Excel connector parity (ExcelTarget typed cell
+    handlers / ExcelSource + DefaultExcelCellHandler, both
+    re-expressed on stdlib zipfile+XML in sources/xlsx.py):
+    documents → .xlsx target → .xlsx source → aggregate. The oracle
+    aggregates the ORIGINAL parquet, so matching hashes prove the
+    write+read round-trip is lossless including numeric cells."""
+    import os
+    import tempfile
+
+    from zuliasearch_spark.sources import read_xlsx, write_xlsx
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(), f"zulia_gate_xlsx_{os.path.basename(sf_dir.rstrip('/'))}.xlsx"
+    )
+    write_xlsx(docs, out)
+    back = read_xlsx(spark, out)
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .select(F.col("lang").alias("value"), "cnt", "sum_chars")
+        .orderBy("value")
+    )
+
+
+_KSTEM_ENGINE_CACHE: dict = {}
+
+
+def kstem_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Index over documents with a KSTEM-filtered analyzer
+    (ZuliaFieldAnalyzer.java:111-113 Filter.KSTEM → KStemFilter;
+    analysis/kstem.py). The ``wtext`` column is a deterministic
+    inflected form per doc — plural/-ing surface variants plus the
+    irregular 'indices' — so both the lexicon-checked inflectional
+    repair and the direct-conversion table are on the query path."""
+    eng = _KSTEM_ENGINE_CACHE.get(sf_dir)
+    if eng is not None:
+        return eng
+    from zuliasearch_spark.config import KSTEM, LOWERCASE, WHITESPACE, AnalyzerSettings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("uid"),
+        F.col("doc_id").alias("orig_doc_id"),
+        F.element_at(
+            F.array(F.lit("merges"), F.lit("merging"), F.lit("indices"), F.lit("tables")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("wtext"),
+    )
+    cfg = IndexConfig(
+        index_name="documents_kstem",
+        unique_id_col="uid",
+        number_of_shards=4,
+        default_search_fields=("wtext",),
+        field_configs=(
+            FieldConfig("wtext", index_as=(IndexAs("wtext", "ws_kstem"),)),
+        ),
+        analyzers={
+            # WHITESPACE tokenizer so the oracle's doc_id arithmetic is
+            # token-identical; the KSTEM filter is the surface under test
+            "ws_kstem": AnalyzerSettings("ws_kstem", WHITESPACE, (LOWERCASE, KSTEM)),
+        },
+        per_shard_stats=False,
+        quantize_norms=False,
+    )
+    tables = build_index(corpus, cfg, stored_cols=("orig_doc_id",)).persist()
+    eng = SearchEngine(tables)
+    _KSTEM_ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def q_kstem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStem analyzer surface: 'merges'/'merging' docs match
+    wtext:merge (inflectional plural + aspect repair against the
+    lexicon), 'indices' docs match wtext:index (Krovetz
+    direct-conversion table), 'tables' docs match wtext:table —
+    query-side terms stem identically, so a single stemmed term
+    recalls every surface form (AnalyzerTest kstem cases)."""
+    eng = kstem_engine(spark, sf_dir)
+    merge_hits = eng.search_string("wtext:merge", amount=1)["totalHits"]
+    index_hits = eng.search_string("wtext:index", amount=1)["totalHits"]
+    table_hits = eng.search_string("wtext:table", amount=1)["totalHits"]
+    return spark.createDataFrame(
+        [(merge_hits, index_hits, table_hits)],
+        "merge_hits bigint, index_hits bigint, table_hits bigint",
+    )
+
+
 _GEO_ENGINE_CACHE: dict = {}
 
 
@@ -2139,11 +2228,13 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "phrase_topk": q_phrase_topk,
     "qs_topk": q_qs_topk,
-    "facet_path": q_facet_path,
     "multi_index_topk": q_multi_index_topk,
+    "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
+    "kstem_counts": q_kstem_counts,
+    # --- below the 50-slot window (driver-green in r03; replica-tested) ---
+    "facet_path": q_facet_path,
     "stat_facet": q_stat_facet,
     "get_terms": q_get_terms,
-    # --- below the 50-slot window (driver-green in r03; replica-tested) ---
     "and_count": q_and_count,
     "and_multifield": q_and_multifield,
     "sim_tfidf": q_sim_tfidf,
@@ -2517,6 +2608,14 @@ FROM documents GROUP BY lang ORDER BY value""",
     "source_csv_roundtrip": """
 SELECT lang AS value, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY lang ORDER BY value""",
+    "source_xlsx_roundtrip": """
+SELECT lang AS value, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang ORDER BY value""",
+    "kstem_counts": """
+SELECT sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END)::BIGINT AS merge_hits,
+       sum(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END)::BIGINT AS index_hits,
+       sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)::BIGINT AS table_hits
+FROM documents""",
     "numeric_stats": f"""
 WITH {_TOKS_CTE}
 SELECT min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,

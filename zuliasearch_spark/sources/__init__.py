@@ -12,6 +12,12 @@ from zuliasearch_spark.sources.data import (
     write_delimited,
     write_json_lines,
 )
+from zuliasearch_spark.sources.xlsx import (
+    read_xlsx,
+    write_xlsx,
+    write_xlsx_sheets,
+    xlsx_sheet_names,
+)
 
 __all__ = [
     "read_delimited",
@@ -20,6 +26,10 @@ __all__ = [
     "read_spreadsheet",
     "split_list_column",
     "spreadsheet_type",
+    "read_xlsx",
     "write_delimited",
     "write_json_lines",
+    "write_xlsx",
+    "write_xlsx_sheets",
+    "xlsx_sheet_names",
 ]

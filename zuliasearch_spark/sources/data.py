@@ -160,11 +160,10 @@ def read_spreadsheet(
 ) -> DataFrame:
     """Extension-dispatched spreadsheet source
     (SpreadsheetSourceFactory.fromStreamWithHeaders): csv/tsv go to
-    the delimited reader; xls/xlsx need an Excel codec this
-    environment does not ship (no openpyxl/xlrd), so they import-try
-    pandas' reader and raise NotImplementedError when absent — the
-    Spark-side contract (schema, headers, distribution via
-    createDataFrame) is the same as the delimited path."""
+    the delimited reader; xlsx goes to the stdlib SpreadsheetML
+    reader (sources/xlsx.py). Legacy .xls is the binary BIFF format,
+    which genuinely needs a codec this environment does not ship
+    (no POI/xlrd) — it raises NotImplementedError."""
     kind = spreadsheet_type(path, content_type)
     if kind is None:
         raise ValueError(f"cannot detect spreadsheet type for {path!r}")
@@ -172,16 +171,14 @@ def read_spreadsheet(
         return read_delimited(spark, path, ",", headers)
     if kind == "tsv":
         return read_delimited(spark, path, "\t", headers)
-    try:
-        import pandas as pd
+    if kind == "xlsx":
+        from zuliasearch_spark.sources.xlsx import read_xlsx
 
-        pdf = pd.read_excel(path, header=0 if headers else None)  # needs openpyxl/xlrd
-    except ImportError as e:
-        raise NotImplementedError(
-            "xls/xlsx sources need openpyxl or xlrd, which this environment "
-            "does not provide; convert to csv/tsv or install a codec"
-        ) from e
-    return spark.createDataFrame(pdf)
+        return read_xlsx(spark, path, headers=headers)
+    raise NotImplementedError(
+        "legacy binary .xls needs a BIFF codec this environment does not "
+        "provide; save as .xlsx or csv/tsv"
+    )
 
 
 def split_list_column(col, item_type: str = "string", list_delimiter: str = ";"):

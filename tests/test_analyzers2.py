@@ -17,6 +17,7 @@ from zuliasearch_spark.config import (
     DEFAULT_ANALYZERS,
     KEYWORD,
     STANDARD,
+    WHITESPACE,
     AnalyzerSettings,
 )
 
@@ -151,10 +152,47 @@ def test_lsh_analyzer_shapes():
     s = DEFAULT_ANALYZERS["lsh"]
     out = toks("the quick brown fox jumps over the lazy dog again and again", s)
     assert out, "lsh analyzer should emit fingerprint tokens"
-    assert all(":" in t for t in out)
+    # MinHashFilter withRotation: every doc emits exactly bucketCount
+    # positions, each a 128-bit hash as 32 hex digits
+    assert len(out) == 512
+    assert all(len(t) == 32 and set(t) <= set("0123456789abcdef") for t in out)
     # deterministic
     out2 = toks("the quick brown fox jumps over the lazy dog again and again", s)
     assert out == out2
+
+
+def test_murmur3_x64_128_vectors():
+    # published mmh3 vectors (MurmurHash3.cpp x64_128, seed 0)
+    from zuliasearch_spark.util.hashing import murmur3_x64_128
+
+    v1, v2 = murmur3_x64_128(b"foo")
+    signed = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+    assert (signed(v1), signed(v2)) == (-2129773440516405919, 9128664383759220103)
+    assert (v2 << 64) | v1 == 168394135621993849475852668931176482145
+    assert murmur3_x64_128(b"") == (0, 0)
+    # >16 bytes exercises the block loop; 17..31 exercises both tails
+    a = murmur3_x64_128(b"abcdefghijklmnopq")
+    b = murmur3_x64_128(b"abcdefghijklmnopQ")
+    assert a != b and a != murmur3_x64_128(b"abcdefghijklmnop")
+
+
+def test_minhash_rotation_and_bucketing():
+    # single-token doc: the one hash rotates into all 512 buckets →
+    # 512 positions, ONE distinct term (tf=512), like Lucene's
+    # withRotation stream collapses to one term with high tf
+    from zuliasearch_spark.util.hashing import murmur3_x64_128
+
+    s = _an("MINHASH", tokenizer=WHITESPACE)
+    out = toks("solo", s)
+    assert len(out) == 512 and len(set(out)) == 1
+    v1, v2 = murmur3_x64_128("solo".encode("utf-16-le"))
+    assert out[0] == f"{v1:016x}{v2:016x}"
+    # two docs sharing a token share that token's fingerprint term
+    out_b = toks("solo other words here", s)
+    assert out[0] in set(out_b)
+    # bucket layout: top 32 bits of val2 over bucketSize 2^32/512
+    bucket = (v2 >> 32) // ((1 << 32) // 512)
+    assert 0 <= bucket < 512
 
 
 def test_case_protected_words_skip_stemming():

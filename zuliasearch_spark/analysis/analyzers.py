@@ -455,41 +455,82 @@ def _shingle(ts: TokenStream, k: int) -> TokenStream:
 
 
 _MINHASH_BUCKETS = 512
+# Lucene MinHashFilter: bucketSize = (1<<32)/bucketCount, rounded up on
+# remainder; 2^32/512 divides exactly → 8388608
+_MINHASH_BUCKET_SIZE = (1 << 32) // _MINHASH_BUCKETS
 
 
 def _minhash_stream(ts: TokenStream) -> TokenStream:
     """MINHASH filter: per document, bucketed min-hash fingerprint
-    tokens over the incoming stream (Lucene MinHashFilter defaults —
-    one hash, 512 buckets, set size 1). DOCUMENTED DEVIATION: Lucene
-    hashes with murmur3-128; this uses the engine's md5-derived 64-bit
-    hash (util/hashing-compatible, reproducible in SQL) and emits only
-    non-empty buckets (no rotation fill). Retrieval is consistent —
-    both index and query sides run the same chain."""
-    import hashlib
+    tokens over the incoming stream — Lucene MinHashFilter with the
+    MinHashFilterFactory defaults the reference instantiates
+    (ZuliaFieldAnalyzer.java:139-141): hashCount=1, bucketCount=512,
+    hashSetSize=1, withRotation. Parity with the Lucene filter:
+
+    - terms hash with murmur3_x64_128 over their UTF-16LE bytes
+      (MinHashFilter.murmurhash3_x64_128 / getBytes);
+    - the bucket is the top 32 bits of val2 divided by
+      bucketSize=2^32/512 (incrementToken's
+      ``(rehashed.val2 >>> 32) / bucketSize``);
+    - each bucket keeps the unsigned-least (val1, val2) pair
+      (LongPair.compareTo);
+    - withRotation fills every empty bucket from the next non-empty
+      bucket to its right, wrapping, so every document emits exactly
+      512 fingerprint positions (repeats collapse to one term with
+      tf>1, exactly like the Lucene stream).
+
+    DOCUMENTED DEVIATION (cosmetic): Lucene additionally folds the
+    hash-function index through combineOrdered(hash, getIntHash(i))
+    even at hashCount=1 and emits the 128-bit value as UTF-16 chars;
+    this emits the raw murmur3 value as 32 hex digits. Both are
+    term-set-preserving bijections of the same hash, so bucket
+    occupancy, tf profile, and retrieval behavior match; only the
+    literal token spelling differs (both sides of our engine run the
+    same chain)."""
+    from zuliasearch_spark.util.hashing import murmur3_x64_128
 
     if len(ts) == 0:
         return ts
     vocab = ts.vocab.to_pylist()
-    hv = np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in vocab],
-        dtype=np.uint64,
+    hv = np.empty((len(vocab), 2), dtype=np.uint64)
+    for i, t in enumerate(vocab):  # O(distinct terms), not per row
+        v1, v2 = murmur3_x64_128(t.encode("utf-16-le"))
+        hv[i, 0] = v1
+        hv[i, 1] = v2
+    v1 = hv[ts.codes, 0]
+    v2 = hv[ts.codes, 1]
+    bucket = ((v2 >> np.uint64(32)) // np.uint64(_MINHASH_BUCKET_SIZE)).astype(np.int64)
+    # unsigned-lexicographic min per (doc, bucket)
+    order = np.lexsort((v2, v1, bucket, ts.doc_idx))
+    d_s, b_s = ts.doc_idx[order], bucket[order]
+    first = np.ones(order.size, dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1])
+    sel = order[first]  # sorted by (doc, bucket)
+    docs_min, buck_min = ts.doc_idx[sel], bucket[sel]
+    toks = pa.array(
+        [f"{int(a):016x}{int(b):016x}" for a, b in zip(v1[sel], v2[sel])],
+        type=pa.string(),
     )
-    h = hv[ts.codes]
-    bucket = (h % _MINHASH_BUCKETS).astype(np.int64)
-    key = ts.doc_idx * _MINHASH_BUCKETS + bucket
-    order = np.lexsort((h, key))
-    ks = key[order]
-    first = np.ones(ks.size, dtype=bool)
-    first[1:] = ks[1:] != ks[:-1]
-    sel = order[first]
-    doc = ts.doc_idx[sel]
-    toks = [f"{int(b)}:{int(v):016x}" for b, v in zip(bucket[sel], h[sel])]
-    dict2 = pc.dictionary_encode(pa.array(toks, type=pa.string()))
+    dict2 = pc.dictionary_encode(toks)
+    sel_codes = dict2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # rotation fill: bucket b's source is the first non-empty bucket
+    # >= b within the doc, wrapping to the doc's first non-empty
+    doc_starts = np.flatnonzero(np.r_[True, docs_min[1:] != docs_min[:-1]])
+    doc_ends = np.r_[doc_starts[1:], docs_min.size]
+    all_b = np.arange(_MINHASH_BUCKETS, dtype=np.int64)
+    out_codes = np.empty(doc_starts.size * _MINHASH_BUCKETS, dtype=np.int64)
+    out_docs = np.empty_like(out_codes)
+    for gi, (s, e) in enumerate(zip(doc_starts, doc_ends)):
+        idx = np.searchsorted(buck_min[s:e], all_b)
+        idx[idx == e - s] = 0
+        o = gi * _MINHASH_BUCKETS
+        out_codes[o : o + _MINHASH_BUCKETS] = sel_codes[s + idx]
+        out_docs[o : o + _MINHASH_BUCKETS] = docs_min[s]
     return TokenStream(
-        doc,
-        dict2.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        out_docs,
+        out_codes,
         dict2.dictionary,
-        np.zeros(doc.size, dtype=np.int64),
+        np.tile(all_b, doc_starts.size),
     )
 
 

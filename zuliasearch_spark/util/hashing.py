@@ -76,3 +76,79 @@ def shard_for_series(unique_ids: pd.Series, num_shards: int) -> np.ndarray:
     """Vectorized ShardUtil.findShardForUniqueId over a Series."""
     h = djb2_hash_series(unique_ids)
     return (np.abs(h) % num_shards).astype(np.int32)
+
+
+# ---------------------------------------------------------------------
+# MurmurHash3 x64 128 — Austin Appleby's public-domain MurmurHash3.cpp,
+# the function Lucene's MinHashFilter ports (murmurhash3_x64_128) and
+# hashes term bytes with. Verified against the published mmh3 test
+# vectors: hash64("foo") == (-2129773440516405919, 9128664383759220103)
+# and hash128("foo") == 168394135621993849475852668931176482145.
+
+_M64 = (1 << 64) - 1
+_MM3_C1 = 0x87C37B91114253D5
+_MM3_C2 = 0x4CF5AD432745937F
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """128-bit MurmurHash3 (x64 variant) → (val1, val2) unsigned.
+
+    Pure-Python reference port; callers hash O(distinct terms), never
+    per row, so this stays off the hot path.
+    """
+    length = len(data)
+    h1 = h2 = seed & _M64
+    nblocks = length // 16
+    for i in range(nblocks):
+        o = i * 16
+        k1 = int.from_bytes(data[o : o + 8], "little")
+        k2 = int.from_bytes(data[o + 8 : o + 16], "little")
+        k1 = (k1 * _MM3_C1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _MM3_C2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * _MM3_C2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _MM3_C1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[nblocks * 16 :]
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        k2 = (k2 * _MM3_C2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _MM3_C1) & _M64
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        k1 = (k1 * _MM3_C1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _MM3_C2) & _M64
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2

@@ -326,6 +326,25 @@ def q_drill_down_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
 
 
+def q_drill_down_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DrillDown surface in one request (ZuliaIndex.getQuery:
+    726-758): a multi-value OR group with minimum-should-match over
+    the source/lang taxonomy, composed with an exclude (MUST_NOT)
+    group on a nested (value, path) drill-down term."""
+    from zuliasearch_spark.search.query import DrillDown
+
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("SCORE_SHOULD", q="index scan", qf=("text",)),), amount=1)
+    pred = eng.drill_downs_predicate(
+        (
+            DrillDown("src_path", (("src1",), ("src2",), ("src3",)), operator="OR", mm=1),
+            DrillDown("src_path", (("src2", "fr"),), exclude=True),
+        )
+    )
+    res = eng.search_docvalues(req, pred, amount=1)
+    return spark.createDataFrame([(res["totalHits"],)], "hits bigint")
+
+
 def q_fetch_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BatchFetch with projection + masking (documentFields /
     documentMaskedFields, zulia_service.proto:71-73): request lang +
@@ -2197,6 +2216,7 @@ QUERIES = {
     "sparse_encode": q_sparse_encode,
     "classifier_stats": q_classifier_stats,
     "multimodal_meta": q_multimodal_meta,
+    "drill_down_multi": q_drill_down_multi,
     "numeric_set_count": q_numeric_set_count,
     "sort_topk": q_sort_topk,
     "sort_multi": q_sort_multi,
@@ -2223,7 +2243,6 @@ QUERIES = {
     "interval_ordered_count": q_interval_ordered_count,
     "interval_within_count": q_interval_within_count,
     "interval_atleast_count": q_interval_atleast_count,
-    "cosine_topk": q_cosine_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_filtered": q_bm25_filtered,
     "phrase_topk": q_phrase_topk,
@@ -2232,6 +2251,7 @@ QUERIES = {
     "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
     "kstem_counts": q_kstem_counts,
     # --- below the 50-slot window (driver-green in r03; replica-tested) ---
+    "cosine_topk": q_cosine_topk,
     "facet_path": q_facet_path,
     "stat_facet": q_stat_facet,
     "get_terms": q_get_terms,
@@ -2538,6 +2558,12 @@ WITH {_TOKS_CTE}
 SELECT count(*)::BIGINT AS hits FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ('index','scan'))
   AND source = 'src2'""",
+    "drill_down_multi": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ('index','scan'))
+  AND source IN ('src1','src2','src3')
+  AND NOT (source = 'src2' AND lang = 'fr')""",
     "phrase_topk": f"""
 WITH {_TOKS_CTE},
 lst AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l FROM documents),

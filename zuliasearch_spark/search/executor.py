@@ -65,6 +65,7 @@ data stays columnar in executors.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 import numpy as np
@@ -94,6 +95,7 @@ from zuliasearch_spark.search.parser import (
 
 _TREE_SENTINEL = "\x00tree\x00"  # cache key for a pre-stripped AST
 from zuliasearch_spark.search.query import (
+    DrillDown,
     IntervalSpec,
     PhraseSpec,
     ResolvedClause,
@@ -2425,6 +2427,42 @@ class SearchEngine:
             f"size(split(`{facet_field}`, '{separator}')) >= {len(path)} AND "
             f"slice(split(`{facet_field}`, '{separator}'), 1, {len(path)}) = {arr}"
         )
+
+    def drill_downs_predicate(
+        self, drilldowns: Sequence[DrillDown], separator: str = "/"
+    ) -> str:
+        """Combined SQL predicate for a full drill-down list
+        (ZuliaIndex.getQuery:726-758). Per DrillDown: OR builds SHOULD
+        clauses over the values with ``setMinimumNumberShouldMatch(mm)``
+        semantics (mm=0 on a pure-SHOULD boolean requires >=1; mm
+        greater than the clause count matches nothing, Lucene's
+        BooleanQuery rewrite); AND requires every value (and any mm>0
+        with zero SHOULD clauses also matches nothing). Each group is
+        attached FILTER, or MUST_NOT when ``exclude`` — in predicate
+        algebra NOT(group) over all docs, so the reference's
+        all-negative MatchAll fix-up (:754-756) is implicit. Value
+        predicates are coalesced to false so docs without the facet
+        column match excludes (Lucene MUST_NOT only rejects docs that
+        HAVE the term)."""
+        parts: list[str] = []
+        for dd in drilldowns:
+            terms = [
+                f"coalesce(({self.drill_down_predicate(dd.label, tuple(v), separator)}), false)"
+                for v in dd.values
+            ]
+            if dd.operator == "OR":
+                need = max(1, dd.mm)
+                if need > len(terms):
+                    inner = "false"
+                elif need == 1:
+                    inner = "(" + " OR ".join(terms) + ")"
+                else:
+                    hits = " + ".join(f"(CASE WHEN {t} THEN 1 ELSE 0 END)" for t in terms)
+                    inner = f"(({hits}) >= {need})"
+            else:  # AND: every value MUST; mm>0 with no SHOULD = no match
+                inner = "false" if dd.mm > 0 else "(" + " AND ".join(terms) + ")"
+            parts.append(f"(NOT {inner})" if dd.exclude else inner)
+        return " AND ".join(parts) if parts else "true"
 
     def numeric_stats(
         self,

@@ -74,6 +74,26 @@ class QueryClause:
 
 
 @dataclass(frozen=True)
+class DrillDown:
+    """One facet drill-down (zulia_query.proto DrillDown:104-110;
+    applied ZuliaIndex.getQuery:726-758).
+
+    ``label`` names the facet dimension (our stored facet column);
+    each entry of ``values`` is the component path of one drill-down
+    term — Lucene's ``FacetLabel(facet.value, facet.path)``, i.e.
+    ``(value, *path)``. ``operator`` OR makes the values SHOULD
+    clauses with ``mm`` minimum-should-match (0 behaves like 1, the
+    pure-SHOULD BooleanQuery default); AND requires every value.
+    ``exclude`` adds the whole group as MUST_NOT."""
+
+    label: str
+    values: tuple[tuple[str, ...], ...]
+    operator: str = "OR"  # OR | AND
+    mm: int = 0
+    exclude: bool = False
+
+
+@dataclass(frozen=True)
 class LastResult:
     """Search-after cursor: per-shard last (score, doc_id)
     (zulia_query.proto:208-244; ZuliaIndex.java:1034-1104)."""

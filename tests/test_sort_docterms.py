@@ -100,7 +100,7 @@ def test_doc_terms_per_doc_topn(engine, spark, corpus_t1):
         F.abs(F.xxhash64("uniqueId")).alias("nid"), "uniqueId", F.col("content").alias("text")
     )
     out = eng.analysis_doc_terms(
-        req, docs2, ["uniqueId"], "text", "nid", "whitespace_lc", top_n=3
+        req, docs2, ["uniqueId"], "text", "nid", "whitespace_lc", top_n=3, term_sort="TF"
     ).toPandas()
     assert not out.empty
     # per-doc oracle: re-analyze in python, top-3 by (tf desc, term asc)

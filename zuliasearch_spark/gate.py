@@ -1080,7 +1080,8 @@ def q_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("orig_doc_id"), "text"
     )
     out = eng.analysis_doc_terms(
-        req, docs, ["orig_doc_id"], "text", "orig_doc_id", "whitespace_lc", top_n=3
+        req, docs, ["orig_doc_id"], "text", "orig_doc_id", "whitespace_lc", top_n=3,
+        term_sort="TF",
     )
     return out.select(
         F.col("orig_doc_id").alias("doc_id"), "term", F.col("tf").cast("long").alias("tf")
@@ -1107,7 +1108,89 @@ def q_summary_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").alias("orig_doc_id"), "text"
     )
-    return eng.analysis_summary(req, docs, ["orig_doc_id"], "text", "whitespace_lc", top_n=15)
+    out = eng.analysis_summary(
+        req, docs, ["orig_doc_id"], "text", "whitespace_lc", top_n=15, term_sort="TF"
+    )
+    return out.select("term", F.col("term_freq").cast("long").alias("sum_tf"))
+
+
+def _analysis_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("orig_doc_id"), "text"
+    )
+
+
+def q_analysis_tfidf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summaryTerms with the proto-default TFIDF termSort + minWordLen
+    filter (AnalysisRequest.termSort=TFIDF, minWordLen;
+    DocFreq.getScoreForTerm = ClassicSimilarity sqrt(tf)·idf with the
+    index's docFreq and live numDocs — per_shard_stats=False pools the
+    whole collection, so the oracle's global df/numDocs are exact)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    out = eng.analysis_summary(
+        req, _analysis_docs(spark, sf_dir), ["orig_doc_id"], "text", "whitespace_lc",
+        top_n=10, term_sort="TFIDF", min_word_len=4,
+    )
+    return out.select(
+        "term",
+        F.col("term_freq").cast("long").alias("term_freq"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.round("score", 4).alias("score"),
+    ).orderBy(F.desc(F.round("score", 7)), F.asc("term"))
+
+
+def q_analysis_doc_terms_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docTerms with word-length + shard doc-freq bounds
+    (AnalysisHandler.handleDocument:128-152: tokens shorter than
+    minWordLen skipped, then terms whose shard docFreq exceeds
+    maxShardFreq skipped) — top-2 per doc by TF."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:dup"),), amount=1)
+    out = eng.analysis_doc_terms(
+        req, _analysis_docs(spark, sf_dir), ["orig_doc_id"], "text", "orig_doc_id",
+        "whitespace_lc", top_n=2, term_sort="TF", min_word_len=3, max_shard_freq=350,
+    )
+    return out.select(
+        F.col("orig_doc_id").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+    ).orderBy("doc_id", "term")
+
+
+def q_analysis_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalysisRequest.tokens: the raw ordered token stream of every
+    matched doc, BEFORE length/freq filters (AnalysisHandler
+    .java:124-126)."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:dup"),), amount=1)
+    out = eng.analysis_tokens(
+        req, _analysis_docs(spark, sf_dir), ["orig_doc_id"], "text", "orig_doc_id",
+        "whitespace_lc",
+    )
+    return out.select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        "token",
+    ).orderBy("doc_id", "pos")
+
+
+def q_analysis_top_terms_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summaryType=TOP_TERMS_TOP_N: only each doc's topN terms feed the
+    summary (AnalysisHandler.java:169-177), versus ALL_TERMS_TOP_N's
+    every-token accumulation; one final topN cut at the combiner."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    out = eng.analysis_summary(
+        req, _analysis_docs(spark, sf_dir), ["orig_doc_id"], "text", "whitespace_lc",
+        top_n=5, term_sort="TF", summary_type="TOP_TERMS_TOP_N",
+    )
+    return out.select(
+        "term",
+        F.col("term_freq").cast("long").alias("term_freq"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+    ).orderBy(F.desc("term_freq"), F.asc("term"))
 
 
 def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,6 +1465,67 @@ WITH {_TOKS_CTE}
 SELECT term, count(*)::BIGINT AS sum_tf FROM toks
 WHERE doc_id IN {_MATCH_MERGE}
 GROUP BY term ORDER BY sum_tf DESC, term ASC LIMIT 15
+"""
+
+_MATCH_DUP = "(SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')"
+
+# ClassicSimilarity tf·idf with float32 factors exactly as the engine
+# computes them (DocFreq.getScoreForTerm: tf() and idf() return Java
+# floats) — DuckDB REAL is float32, so the ::REAL casts replicate the
+# rounding bit-for-bit; global df/numDocs because documents_config has
+# per_shard_stats=False.
+_ANALYSIS_TFIDF_SUMMARY_SQL = f"""
+WITH {_TOKS_CTE},
+dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM toks
+       WHERE doc_id IN {_MATCH_MERGE} AND length(term) >= 4 GROUP BY term),
+scored AS (SELECT t.term, t.tf, d.df,
+  CAST(CAST(sqrt(t.tf) AS REAL) * CAST(ln((nd.n + 1) / (d.df + 1.0)) + 1.0 AS REAL) AS REAL)::DOUBLE AS score
+  FROM tf t JOIN dfv d USING (term), nd)
+SELECT term, tf::BIGINT AS term_freq, df::BIGINT AS doc_freq, round(score, 4) AS score
+FROM scored ORDER BY round(score, 7) DESC, term ASC LIMIT 10
+"""
+
+_ANALYSIS_DOC_TERMS_F_SQL = f"""
+WITH {_TOKS_CTE},
+dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE doc_id IN {_MATCH_DUP} AND length(term) >= 3 GROUP BY doc_id, term),
+filt AS (SELECT t.doc_id, t.term, t.tf, d.df
+         FROM tf t JOIN dfv d USING (term) WHERE d.df <= 350),
+ranked AS (SELECT doc_id, term, tf, df,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+           FROM filt)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df
+FROM ranked WHERE rn <= 2 ORDER BY doc_id, term
+"""
+
+# pos renumbered post-filter: the engine's tokenizer never emits empty
+# tokens, so positions index the EMITTED stream
+_ANALYSIS_TOKENS_SQL = f"""
+WITH {_TOKS_CTE},
+s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE doc_id IN {_MATCH_DUP}),
+u AS (SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS ord FROM s),
+ranked AS (SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos,
+           lower(tok) AS token FROM u WHERE tok <> '')
+SELECT doc_id, pos::BIGINT AS pos, token FROM ranked ORDER BY doc_id, pos
+"""
+
+_ANALYSIS_TOP_TERMS_SQL = f"""
+WITH {_TOKS_CTE},
+dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE doc_id IN {_MATCH_MERGE} GROUP BY doc_id, term),
+ranked AS (SELECT doc_id, term, tf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+           FROM tf),
+summed AS (SELECT term, sum(tf) AS term_freq FROM ranked WHERE rn <= 5 GROUP BY term)
+SELECT s.term, s.term_freq::BIGINT AS term_freq, d.df::BIGINT AS doc_freq
+FROM summed s JOIN dfv d USING (term)
+ORDER BY term_freq DESC, term ASC LIMIT 5
 """
 
 # Lucene MoreLikeThis term selection + setBoost(true): each derived
@@ -2234,10 +2378,14 @@ QUERIES = {
     "winnow": q_winnow,
     "doc_terms": q_doc_terms,
     "summary_terms": q_summary_terms,
-    "wildcard_count": q_wildcard_count,
-    "highlight": q_highlight,
-    "sim_tf": q_sim_tf,
-    "sim_constant": q_sim_constant,
+    # new in r4: the full AnalysisRequest surface (termSort/filters/
+    # summaryType/tokens) — never driver-verified, so they take the
+    # window slots of four r02-green gates (wildcard_count, highlight,
+    # sim_tf, sim_constant → below the window, replica-tested)
+    "analysis_tfidf_summary": q_analysis_tfidf_summary,
+    "analysis_doc_terms_filtered": q_analysis_doc_terms_filtered,
+    "analysis_tokens": q_analysis_tokens,
+    "analysis_top_terms_summary": q_analysis_top_terms_summary,
     "vector_clause_topk": q_vector_clause_topk,
     "vector_should_topk": q_vector_should_topk,
     "interval_ordered_count": q_interval_ordered_count,
@@ -2251,6 +2399,10 @@ QUERIES = {
     "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
     "kstem_counts": q_kstem_counts,
     # --- below the 50-slot window (driver-green in r03; replica-tested) ---
+    "wildcard_count": q_wildcard_count,
+    "highlight": q_highlight,
+    "sim_tf": q_sim_tf,
+    "sim_constant": q_sim_constant,
     "cosine_topk": q_cosine_topk,
     "facet_path": q_facet_path,
     "stat_facet": q_stat_facet,
@@ -2735,6 +2887,10 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "doc_terms": _DOC_TERMS_SQL,
     "wildcard_count": _WILDCARD_SQL,
     "summary_terms": _SUMMARY_SQL,
+    "analysis_tfidf_summary": _ANALYSIS_TFIDF_SUMMARY_SQL,
+    "analysis_doc_terms_filtered": _ANALYSIS_DOC_TERMS_F_SQL,
+    "analysis_tokens": _ANALYSIS_TOKENS_SQL,
+    "analysis_top_terms_summary": _ANALYSIS_TOP_TERMS_SQL,
     "mlt_topk": _MLT_SQL,
     "mlt_vector_topk": _MLT_VECTOR_SQL,
     "mlt_hybrid_topk": _MLT_HYBRID_SQL,

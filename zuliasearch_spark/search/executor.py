@@ -3274,18 +3274,82 @@ class SearchEngine:
             schema=f"value string, count_v bigint, all_doc_count bigint, {pcols}",
         )
 
-    def analysis_summary(
+    # ---- query-time analysis (AnalysisRequest surface) ----------------
+    #
+    # zulia_query.proto:260-286 AnalysisRequest: field, tokens, docTerms,
+    # summaryTerms, topN, termSort (TFIDF|TF|ABC), min/maxWordLen,
+    # min/maxShardFreq(Perc), analyzerOverride, summaryType
+    # (ALL_TERMS_TOP_N | TOP_TERMS_TOP_N). Evaluated by
+    # AnalysisHandler.java:44-209 per shard and merged by
+    # QueryCombiner.java:208-235 (docFreq/score/termFreq summed across
+    # shards, then one getTopTerms cut).
+
+    def _analysis_stat_group(self):
+        """Shard → stat-pool group column, the same pooling rule as
+        BM25's ``_stat_peers``: per-shard (reference semantics),
+        segmented (segment_stride), or one global pool when
+        ``per_shard_stats=False`` (the SQL-oracle-checkable mode)."""
+        if not self.config.per_shard_stats:
+            return F.lit(0)
+        stride = self.config.segment_stride
+        if stride:
+            return F.col("shard") % stride
+        return F.col("shard")
+
+    def _analysis_num_docs(self) -> dict[int, int]:
+        """Live numDocs per stat group (DocFreq.java:29 uses
+        shardReader.numDocs(), which excludes deletions)."""
+        live = self.get_number_of_docs()
+        if not self.config.per_shard_stats:
+            return {0: sum(live.values())}
+        stride = self.config.segment_stride
+        out: dict[int, int] = {}
+        for s, n in live.items():
+            g = s % stride if stride else s
+            out[g] = out.get(g, 0) + n
+        return out
+
+    @staticmethod
+    def _group_map_expr(mapping: dict[int, int]):
+        """CASE expression mapping stat_group → a per-group constant
+        (thresholds / numDocs). Groups are few (≤ shards), so this
+        stays whole-stage-codegen — no UDF, no join."""
+        expr = F.lit(None).cast("long")
+        for g, v in mapping.items():
+            expr = F.when(F.col("stat_group") == g, F.lit(int(v))).otherwise(expr)
+        return expr
+
+    def _analysis_term_frame(
         self,
         req: SearchRequest,
         docs_df,
         join_on: list[str],
         text_col: str,
+        id_col: str | None,
         analyzer_name: str,
-        top_n: int = 10,
+        field: str,
+        min_word_len: int = 0,
+        max_word_len: int = 0,
+        min_shard_freq: int = 0,
+        max_shard_freq: int = 0,
+        min_shard_freq_perc: float = 0.0,
+        max_shard_freq_perc: float = 0.0,
+        need_df: bool = False,
     ):
-        """Query-time term summary over the match set (AnalysisHandler
-        .java:44-209 `summaryTerms`): RE-ANALYZE matched docs' text —
-        exactly like the reference — and rank terms by summed tf."""
+        """Filtered per-(doc, term) tf frame over the match set —
+        the shared core of docTerms / summaryTerms
+        (AnalysisHandler.handleDocument:117-167).
+
+        Returns ``(frame, ndocs)``: columns (shard, stat_group, _aid,
+        term, tf [, df]) where ``_aid`` is the caller's id column (or
+        the internal doc_id), plus the live numDocs per stat group.
+        Filter order mirrors the reference: word-length skips first
+        (:128-137), then shard doc-freq bounds (:139-152) with
+        percentage thresholds resolved to round(numDocs·perc)
+        (DocFreq.getNumDocsForPercent) and absolute counts overriding
+        percentages (AnalysisHandler ctor :70-84). docFreq itself is
+        Lucene ``IndexReader.docFreq`` — the term_stats table as
+        written, deletes NOT subtracted — while numDocs is live."""
         import pyarrow as pa
 
         from zuliasearch_spark.analysis.analyzers import term_freqs as _tfs
@@ -3297,26 +3361,206 @@ class SearchEngine:
         # and duplicate column names with docs_df would be ambiguous
         dm = self.tables.doc_map.select("shard", "doc_id", *join_on)
         j = matched.join(dm, ["shard", "doc_id"]).join(docs_df, join_on)
+        aid = id_col or "doc_id"
 
         def tok(batches):
             for rb in batches:
                 names = rb.schema.names
+                shards = rb.column(names.index("shard")).to_numpy(zero_copy_only=False)
+                ids = rb.column(names.index(aid)).to_numpy(zero_copy_only=False)
                 doc_idx, term_arr, tf, _dl = _tfs(rb.column(names.index(text_col)), settings)
                 yield pa.RecordBatch.from_arrays(
                     [
+                        pa.array(shards[doc_idx].astype("int32"), type=pa.int32()),
+                        pa.array(ids[doc_idx].astype("int64"), type=pa.int64()),
                         term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr,
                         pa.array(tf.astype("int64"), type=pa.int64()),
                     ],
-                    names=["term", "tf"],
+                    names=["shard", "_aid", "term", "tf"],
                 )
 
-        terms = j.select(text_col).mapInArrow(tok, "term string, tf long")
-        return (
-            terms.groupBy("term")
-            .agg(F.sum("tf").alias("sum_tf"))
-            .orderBy(F.desc("sum_tf"), F.asc("term"))
-            .limit(top_n)
+        cols = ["shard", aid, text_col] if aid != "doc_id" else ["shard", "doc_id", text_col]
+        frame = j.select(*cols).mapInArrow(tok, "shard int, _aid long, term string, tf long")
+        if min_word_len > 0:
+            frame = frame.filter(F.length("term") >= min_word_len)
+        if max_word_len > 0:
+            frame = frame.filter(F.length("term") <= max_word_len)
+        frame = frame.withColumn("stat_group", self._analysis_stat_group())
+        ndocs = self._analysis_num_docs()
+
+        lo = {
+            g: (min_shard_freq or (int(round(n * min_shard_freq_perc)) if min_shard_freq_perc else 0))
+            for g, n in ndocs.items()
+        }
+        hi = {
+            g: (max_shard_freq or (int(round(n * max_shard_freq_perc)) if max_shard_freq_perc else 0))
+            for g, n in ndocs.items()
+        }
+        freq_filter = any(lo.values()) or any(hi.values())
+        if need_df or freq_filter:
+            dfreq = (
+                self.tables.term_stats.filter(F.col("field") == field)
+                .withColumn("stat_group", self._analysis_stat_group())
+                .groupBy("stat_group", "term")
+                .agg(F.sum("df").alias("df"))
+            )
+            frame = frame.join(dfreq, ["stat_group", "term"], "left").withColumn(
+                "df", F.coalesce(F.col("df"), F.lit(0))
+            )
+            if any(lo.values()):
+                frame = frame.filter(F.col("df") >= self._group_map_expr(lo))
+            if any(hi.values()):
+                # a 0 threshold means "no bound" (proto default)
+                cap = self._group_map_expr({g: v if v else (1 << 62) for g, v in hi.items()})
+                frame = frame.filter(F.col("df") <= cap)
+        return frame, ndocs
+
+    @staticmethod
+    def _analysis_order(term_sort: str):
+        """ORDER BY for a TermSort (TermFreq.getTopTerms:73-97): TF →
+        termFreq desc, TFIDF → score desc, ABC → value ascending.
+        Reference ties are comparator-0 (arbitrary); we break by term
+        ascending for determinism (documented deviation)."""
+        if term_sort == "TF":
+            return (F.desc("tf"), F.asc("term"))
+        if term_sort == "TFIDF":
+            return (F.desc("score"), F.asc("term"))
+        if term_sort == "ABC":
+            return (F.asc("term"),)
+        raise ValueError(f"unknown termSort {term_sort!r}")
+
+    def _analysis_score(self, tf_col, ndocs: dict[int, int]):
+        """ClassicSimilarity tf·idf as float32 math (DocFreq
+        .getScoreForTerm:43-45: ``tf(termFreq) · idf(docFreq,
+        numDocs)``; both return Java floats, so each factor is rounded
+        to float32 before the product)."""
+        nd = self._group_map_expr(ndocs)
+        idf = (F.log((nd + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)).cast("float")
+        return (F.sqrt(tf_col.cast("double")).cast("float") * idf).cast("float").cast("double")
+
+    def analysis_tokens(
+        self,
+        req: SearchRequest,
+        docs_df,
+        join_on: list[str],
+        text_col: str,
+        id_col: str,
+        analyzer_name: str,
+    ):
+        """Raw ordered token stream per matched doc (AnalysisRequest
+        .tokens, AnalysisHandler.java:124-126: every emitted token in
+        document order, BEFORE the word-length / shard-freq filters).
+        Returns (id, pos, token) with pos the emitted index."""
+        import pyarrow as pa
+
+        from zuliasearch_spark.analysis.analyzers import analyze_series as _an
+
+        settings = self.config.analyzer(analyzer_name)
+        matched = self.match_ids(req).select("shard", "doc_id")
+        dm = self.tables.doc_map.select("shard", "doc_id", *join_on)
+        j = matched.join(dm, ["shard", "doc_id"]).join(docs_df, join_on)
+
+        def tok(batches):
+            for rb in batches:
+                names = rb.schema.names
+                ids = rb.column(names.index(id_col)).to_numpy(zero_copy_only=False)
+                texts = rb.column(names.index(text_col)).to_pandas()
+                doc_idx, terms = _an(texts, settings)
+                if len(doc_idx) == 0:
+                    continue
+                # within-doc position: arange minus each run's start
+                # (doc_idx ascends in document order)
+                starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+                run_start = np.zeros(len(doc_idx), dtype=np.int64)
+                run_start[starts] = starts
+                run_start = np.maximum.accumulate(run_start)
+                pos = np.arange(len(doc_idx), dtype=np.int64) - run_start
+                term_arr = terms if isinstance(terms, pa.Array) else pa.array(terms, type=pa.string())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids[doc_idx].astype("int64"), type=pa.int64()),
+                        pa.array(pos, type=pa.int64()),
+                        term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr,
+                    ],
+                    names=[id_col, "pos", "token"],
+                )
+
+        return j.select(id_col, text_col).mapInArrow(
+            tok, f"{id_col} long, pos long, token string"
         )
+
+    def analysis_summary(
+        self,
+        req: SearchRequest,
+        docs_df,
+        join_on: list[str],
+        text_col: str,
+        analyzer_name: str,
+        top_n: int = 10,
+        *,
+        field: str | None = None,
+        term_sort: str = "TFIDF",
+        summary_type: str = "ALL_TERMS_TOP_N",
+        min_word_len: int = 0,
+        max_word_len: int = 0,
+        min_shard_freq: int = 0,
+        max_shard_freq: int = 0,
+        min_shard_freq_perc: float = 0.0,
+        max_shard_freq_perc: float = 0.0,
+    ):
+        """Query-time term summary over the match set (AnalysisRequest
+        .summaryTerms, AnalysisHandler.java:44-209): RE-ANALYZE matched
+        docs' text — exactly like the reference — then rank by
+        ``termSort``.
+
+        ALL_TERMS_TOP_N (proto default) accumulates every filtered
+        token into the per-stat-group summary (:157-159);
+        TOP_TERMS_TOP_N accumulates only each doc's topN terms
+        (:169-177). Each group's TFIDF score is ClassicSimilarity
+        sqrt(tf)·idf over the group's summed tf (TermFreq.getTopTerms
+        :55-70 re-scores at shard-result time); the cross-shard merge
+        then SUMS termFreq, docFreq and score per term and applies one
+        final topN cut (QueryCombiner.java:208-235). topN == 0 returns
+        all terms (TermFreq.getTopTerms:88-96).
+
+        Output: (term, term_freq, doc_freq, score) in termSort order.
+        """
+        field = field or text_col
+        frame, ndocs = self._analysis_term_frame(
+            req, docs_df, join_on, text_col, None, analyzer_name, field,
+            min_word_len, max_word_len, min_shard_freq, max_shard_freq,
+            min_shard_freq_perc, max_shard_freq_perc, need_df=True,
+        )
+        if summary_type == "TOP_TERMS_TOP_N":
+            from pyspark.sql import Window
+
+            frame = frame.withColumn("score", self._analysis_score(F.col("tf"), ndocs))
+            # (shard, _aid) is the document key — the internal doc_id is
+            # only unique within a shard
+            w = Window.partitionBy("shard", "_aid").orderBy(*self._analysis_order(term_sort))
+            frame = (
+                frame.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= top_n)
+                .drop("_rn", "score")
+            )
+        elif summary_type != "ALL_TERMS_TOP_N":
+            raise ValueError(f"unknown summaryType {summary_type!r}")
+        per_group = frame.groupBy("stat_group", "term").agg(
+            F.sum("tf").alias("tf"), F.first("df").alias("df")
+        )
+        per_group = per_group.withColumn("score", self._analysis_score(F.col("tf"), ndocs))
+        merged = per_group.groupBy("term").agg(
+            F.sum("tf").alias("tf"),
+            F.sum("df").alias("doc_freq"),
+            F.sum("score").alias("score"),
+        )
+        out = merged.orderBy(*self._analysis_order(term_sort)).select(
+            "term",
+            F.col("tf").alias("term_freq"),
+            "doc_freq",
+            F.when(F.lit(term_sort == "TFIDF"), F.col("score")).otherwise(F.lit(0.0)).alias("score"),
+        )
+        return out.limit(top_n) if top_n > 0 else out
 
     def analysis_doc_terms(
         self,
@@ -3327,49 +3571,47 @@ class SearchEngine:
         id_col: str,
         analyzer_name: str,
         top_n: int = 10,
+        *,
+        field: str | None = None,
+        term_sort: str = "TFIDF",
+        min_word_len: int = 0,
+        max_word_len: int = 0,
+        min_shard_freq: int = 0,
+        max_shard_freq: int = 0,
+        min_shard_freq_perc: float = 0.0,
+        max_shard_freq_perc: float = 0.0,
     ):
-        """Per-document top-N terms by tf over the match set
-        (AnalysisHandler.java:44-209 ``docTerms``: the reference
+        """Per-document top-N terms over the match set (AnalysisRequest
+        .docTerms, AnalysisHandler.java:169-174: the reference
         re-analyzes each result doc's stored text and returns its own
-        term vector, one ranked list PER doc — versus
-        :meth:`analysis_summary`'s corpus-level ranking). The window
-        partitions by doc, so its state is bounded by one document's
-        vocabulary regardless of corpus size."""
-        import pyarrow as pa
+        term vector ranked by ``termSort``, one list PER doc — versus
+        :meth:`analysis_summary`'s corpus-level ranking). TFIDF scores
+        each doc-term as ClassicSimilarity sqrt(doc tf)·idf with the
+        stat group's docFreq/numDocs (TermFreq.getTopTerms:55-70). The
+        window partitions by doc, so its state is bounded by one
+        document's vocabulary regardless of corpus size.
 
+        Output: (id, term, tf, df, score), topN rows per doc."""
         from pyspark.sql import Window
 
-        from zuliasearch_spark.analysis.analyzers import term_freqs as _tfs
-
-        settings = self.config.analyzer(analyzer_name)
-        matched = self.match_ids(req).select("shard", "doc_id")
-        # project doc_map to the join keys only: wide stored columns
-        # (incl. a stored copy of the text) must not reach this join,
-        # and duplicate column names with docs_df would be ambiguous
-        dm = self.tables.doc_map.select("shard", "doc_id", *join_on)
-        j = matched.join(dm, ["shard", "doc_id"]).join(docs_df, join_on)
-
-        def tok(batches):
-            for rb in batches:
-                names = rb.schema.names
-                ids = rb.column(names.index(id_col)).to_numpy(zero_copy_only=False)
-                doc_idx, term_arr, tf, _dl = _tfs(rb.column(names.index(text_col)), settings)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ids[doc_idx].astype("int64"), type=pa.int64()),
-                        term_arr.cast(pa.string()) if term_arr.type != pa.string() else term_arr,
-                        pa.array(tf.astype("int64"), type=pa.int64()),
-                    ],
-                    names=[id_col, "term", "tf"],
-                )
-
-        terms = j.select(id_col, text_col).mapInArrow(tok, f"{id_col} long, term string, tf long")
-        w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
-        return (
-            terms.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= top_n)
-            .drop("_rn")
+        field = field or text_col
+        frame, ndocs = self._analysis_term_frame(
+            req, docs_df, join_on, text_col, id_col, analyzer_name, field,
+            min_word_len, max_word_len, min_shard_freq, max_shard_freq,
+            min_shard_freq_perc, max_shard_freq_perc,
+            need_df=True,
         )
+        frame = frame.withColumn(
+            "score",
+            F.when(F.lit(term_sort == "TFIDF"), self._analysis_score(F.col("tf"), ndocs)).otherwise(F.lit(0.0)),
+        )
+        w = Window.partitionBy("shard", "_aid").orderBy(*self._analysis_order(term_sort))
+        out = (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_n)
+            .select(F.col("_aid").alias(id_col), "term", "tf", "df", "score")
+        )
+        return out
 
     def _tombstone_arrays(self) -> dict[int, np.ndarray] | None:
         if not self._tombstones:

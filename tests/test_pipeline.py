@@ -137,3 +137,51 @@ def test_ivf_matches_brute_force(spark):
         .collect()
     )
     assert [r["vec_id"] for r in bf] == [v for v, _ in ivf]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (0, "mail me at bob@example.com or jo.doe+x@sub.ex.org thanks"),
+        (1, "call 555-123-4567 ssn 123-45-6789 host 10.0.0.1 ok"),
+        (2, "nothing sensitive here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.pii_scrub(docs).collect()}
+    assert out[0]["n_email"] == 2 and out[0]["n_redacted"] == 2
+    assert out[1]["n_phone"] == 1 and out[1]["n_ssn"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[2]["n_redacted"] == 0
+    # redacted text never re-matches any PII pattern
+    import re
+
+    clean = "call [PII] ssn [PII] host [PII] ok"
+    import hashlib
+
+    assert out[1]["clean_sha"] == hashlib.sha256(clean.encode()).hexdigest()
+    for _name, pat in P.PII_PATTERNS:
+        assert not re.search(pat, clean)
+
+
+def test_url_stats_domains(spark):
+    rows = [
+        (0, "see https://a.org/x and http://a.org/y and https://b.net/z"),
+        (1, "no links"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.url_stats(docs).collect()}
+    assert out[0]["n_urls"] == 3 and out[0]["n_domains"] == 2
+    assert out[0]["domains"] == "a.org,b.net"
+    assert out[1]["n_urls"] == 0 and out[1]["domains"] == ""
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (0, "a a a a"),                    # one type, all dup 2-grams
+        (1, "w x y z"),                    # all distinct
+        (2, "solo"),                       # single token: no 2-grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.repetition_stats(docs).collect()}
+    assert out[0]["type_token_ratio"] == 0.25 and out[0]["top_tok_frac"] == 1.0
+    assert out[0]["dup_2gram_frac"] == round((3 - 1) / 3, 4)
+    assert out[1]["type_token_ratio"] == 1.0 and out[1]["dup_2gram_frac"] == 0.0
+    assert out[2]["n_toks"] == 1 and out[2]["dup_2gram_frac"] == 0.0

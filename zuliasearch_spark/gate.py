@@ -1972,6 +1972,53 @@ def q_winnow(spark, sf_dir):
     return P.winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic PII-shaped spans appended (the
+    corpus itself has none — the injection is mirrored verbatim in
+    the oracle SQL)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-mail.org"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" at 10.0.42.7")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII counts + redacted-text sha over the injected corpus."""
+    return P.pii_scrub(_pii_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_url_stats(spark, sf_dir):
+    """URL extraction + distinct-domain stats over injected URLs."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" see https://ex"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".org/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" and http://mirror.net/x")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return P.url_stats(docs).orderBy("doc_id")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (type/token ratio,
+    top-token fraction, duplicate-2-gram fraction)."""
+    return P.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_text_embed(spark, sf_dir):
     """zulia-ai TextEmbeddingModel analogue (ai.text_embed): one
     L2-normalized feature-hash vector per doc, pure Catalyst. The
@@ -2225,6 +2272,77 @@ f AS (SELECT doc_id, CASE WHEN len(gs) >= {P.WINNOW_W} THEN
 SELECT doc_id, len(fps)::BIGINT AS n_fp, list_min(fps)::BIGINT AS min_fp FROM f
 """
 
+# PII / URL / repetition oracles — built from the SAME pattern constants
+# as the Spark ops (pipeline.PII_PATTERNS / URL_PATTERN / URL_DOMAIN), so
+# the two engines compile the identical RE2 ∩ Java-regex automaton.
+
+_PII_INJECT = (
+    "p AS (SELECT doc_id, text || ' reach u' || doc_id::VARCHAR || '@ex-mail.org'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' at 10.0.42.7' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text"
+    " FROM documents)"
+)
+
+_PII_COUNT_COLS = ", ".join(
+    f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+    for name, pat in P.PII_PATTERNS
+)
+_PII_TOTAL = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))" for _n, pat in P.PII_PATTERNS
+)
+_PII_CLEAN = "text"
+for _n, _pat in P.PII_PATTERNS:
+    _PII_CLEAN = f"regexp_replace({_PII_CLEAN}, '{_pat}', '[PII]', 'g')"
+
+_PII_SQL = f"""
+WITH {_PII_INJECT}
+SELECT doc_id, {_PII_COUNT_COLS},
+       ({_PII_TOTAL})::BIGINT AS n_redacted,
+       sha256({_PII_CLEAN}) AS clean_sha
+FROM p
+"""
+
+_URL_INJECT = (
+    "p AS (SELECT doc_id, text || ' see https://ex' || (doc_id % 4)::VARCHAR"
+    " || '.org/p/' || doc_id::VARCHAR"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' and http://mirror.net/x' ELSE '' END AS text"
+    " FROM documents)"
+)
+
+_URL_SQL = f"""
+WITH {_URL_INJECT},
+u AS (SELECT doc_id, regexp_extract_all(text, '{P.URL_PATTERN}') AS urls FROM p),
+d AS (SELECT doc_id, urls,
+        list_distinct(list_transform(urls,
+          x -> regexp_extract(x, '{P.URL_DOMAIN}', 1))) AS doms FROM u)
+SELECT doc_id, len(urls)::BIGINT AS n_urls, len(doms)::BIGINT AS n_domains,
+       array_to_string(list_sort(doms), ',') AS domains
+FROM d
+"""
+
+_REPETITION_SQL = f"""
+WITH {_LST},
+base AS (SELECT doc_id, len(l) AS n_toks, l FROM lst),
+tc AS (SELECT doc_id, n_toks, tok, count(*) AS c
+       FROM (SELECT doc_id, n_toks, unnest(l) AS tok FROM base)
+       GROUP BY doc_id, n_toks, tok),
+t AS (SELECT doc_id, n_toks, max(c) AS top_tok, count(*) AS n_types
+      FROM tc GROUP BY doc_id, n_toks),
+gr AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS gm
+       FROM base, unnest(generate_series(1, len(l)-1)) AS s(i)
+       WHERE len(l) >= 2),
+gc AS (SELECT doc_id, gm, count(*) AS c FROM gr GROUP BY doc_id, gm),
+g2 AS (SELECT doc_id, sum(c) AS n_2g, count(*) AS n_2g_types FROM gc GROUP BY doc_id)
+SELECT t.doc_id, t.n_toks::BIGINT AS n_toks,
+  ((20000 * n_types + n_toks) // (2 * n_toks)) / 10000.0 AS type_token_ratio,
+  ((20000 * top_tok + n_toks) // (2 * n_toks)) / 10000.0 AS top_tok_frac,
+  CASE WHEN coalesce(n_2g, 0) > 0
+       THEN ((20000 * (n_2g - n_2g_types) + n_2g) // (2 * n_2g)) / 10000.0
+       ELSE 0.0 END AS dup_2gram_frac
+FROM t LEFT JOIN g2 ON g2.doc_id = t.doc_id
+"""
+
 _MULTIMODAL_SQL = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS sha, substr(text, 1, 12) AS head
@@ -2367,7 +2485,6 @@ QUERIES = {
     "docvalue_range": q_docvalue_range,
     "mlt_topk": q_mlt_topk,
     "ivf_topk": q_ivf_topk,
-    "minhash_lsh": q_minhash_lsh,
     "lsh_jaccard": q_lsh_jaccard,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -2376,6 +2493,13 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "winnow": q_winnow,
+    # new in r4: training-data hygiene ops (PII scrub, URL stats,
+    # Gopher repetition) — never driver-verified, so they take the
+    # slots of three r03-green unchanged gates (minhash_lsh,
+    # phrase_topk, multi_index_topk → below the window)
+    "pii_scrub": q_pii_scrub,
+    "url_stats": q_url_stats,
+    "repetition": q_repetition,
     "doc_terms": q_doc_terms,
     "summary_terms": q_summary_terms,
     # new in r4: the full AnalysisRequest surface (termSort/filters/
@@ -2393,12 +2517,13 @@ QUERIES = {
     "interval_atleast_count": q_interval_atleast_count,
     "bm25_topk": q_bm25_topk,
     "bm25_filtered": q_bm25_filtered,
-    "phrase_topk": q_phrase_topk,
     "qs_topk": q_qs_topk,
-    "multi_index_topk": q_multi_index_topk,
     "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
     "kstem_counts": q_kstem_counts,
     # --- below the 50-slot window (driver-green in r03; replica-tested) ---
+    "minhash_lsh": q_minhash_lsh,
+    "phrase_topk": q_phrase_topk,
+    "multi_index_topk": q_multi_index_topk,
     "wildcard_count": q_wildcard_count,
     "highlight": q_highlight,
     "sim_tf": q_sim_tf,
@@ -2906,6 +3031,9 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "lang_id": _LANG_SQL,
     "quality": _QUALITY_SQL,
     "winnow": _WINNOW_SQL,
+    "pii_scrub": _PII_SQL,
+    "url_stats": _URL_SQL,
+    "repetition": _REPETITION_SQL,
     "text_embed": f"""
 WITH {_LST},
 hs AS (SELECT doc_id, list_transform(l, t -> {_H32D.format(x='t')}) AS hs FROM lst),

@@ -665,3 +665,115 @@ def multimodal_decode(docs: DataFrame, fake: bool = True) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         decode, "doc_id long, n_bytes long, frame_sample string"
     )
+
+
+# ---- PII scrubbing / URL extraction / repetition quality -----------------
+#
+# Standard training-data pipeline hygiene ops (the reference has no
+# analogue; these extend the documents-table surface the way lang_id /
+# quality_score do). Patterns stay inside RE2 ∩ Java-regex (no
+# lookaround, no backreferences) so the Spark plan and the DuckDB
+# oracle compile the same automaton.
+
+PII_PATTERNS = (
+    # applied in this order, left-to-right non-overlapping in both engines
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b"),
+)
+
+URL_PATTERN = r"https?://[^ ]+"
+URL_DOMAIN = r"https?://([^/ :]+)"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Count + redact PII-shaped spans (emails, NANP phones, SSNs,
+    IPv4s): per-doc match counts and the sha256 of the redacted text.
+    Pure `regexp_count`/`regexp_replace` codegen — zero shuffle, the
+    per-row cost is the regex automaton, embarrassingly parallel at
+    any scale."""
+    out = docs.select("doc_id", "text")
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    clean = F.col("text")
+    for _name, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, "[PII]")
+    return out.select(
+        "doc_id",
+        *counts,
+        (sum(F.regexp_count("text", F.lit(p)).cast("long") for _, p in PII_PATTERNS)).alias("n_redacted"),
+        F.sha2(F.encode(clean, "utf-8"), 256).alias("clean_sha"),
+    )
+
+
+def url_stats(docs: DataFrame) -> DataFrame:
+    """Extract URLs per doc: count + distinct registrable hosts. The
+    domain pull is a regexp_extract inside an array lambda — still
+    whole-stage codegen, no explode, no shuffle."""
+    urls = F.expr(f"regexp_extract_all(text, '{URL_PATTERN}', 0)")
+    domains = f"array_distinct(transform(regexp_extract_all(text, '{URL_PATTERN}', 0), u -> regexp_extract(u, '{URL_DOMAIN}', 1)))"
+    return docs.select(
+        "doc_id",
+        F.size(urls).cast("long").alias("n_urls"),
+        F.expr(f"size({domains})").cast("long").alias("n_domains"),
+        F.expr(f"array_join(array_sort({domains}), ',')").alias("domains"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    type/token ratio, top-token fraction, duplicate-2-gram fraction.
+
+    Scale note: computed via explode + two keyed aggregations (shuffle
+    ∝ total tokens, map-side combined) rather than per-row quadratic
+    array lambdas — a 100k-token document costs O(n log n) in the
+    shuffle, not O(n²) in codegen. Ratios are exact integer rationals
+    rounded to 4 decimals with the same div trick as quality_score so
+    a cross-engine fp ulp can never flip the rounding."""
+    base = _toks(docs).select(
+        "doc_id", F.expr("size(toks)").cast("long").alias("n_toks"), "toks"
+    )
+    tok_counts = (
+        base.select("doc_id", "n_toks", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "n_toks", "tok")
+        .count()
+        .groupBy("doc_id", "n_toks")
+        .agg(F.max("count").alias("top_tok"), F.count(F.lit(1)).alias("n_types"))
+    )
+    # size(toks) < 2 must be filtered first: Spark's sequence(0, -1)
+    # counts DOWN ([0, -1]), which would fabricate NULL grams
+    grams = base.filter(F.col("n_toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")
+        ).alias("g"),
+    )
+    gram_counts = (
+        grams.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_2g"), F.count(F.lit(1)).alias("n_2g_types"))
+    )
+    j = tok_counts.join(gram_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        "n_types",
+        F.coalesce("n_2g", F.lit(0)).alias("n_2g"),
+        F.coalesce("n_2g_types", F.lit(0)).alias("n_2g_types"),
+        "top_tok",
+    )
+    r4 = lambda num, den: (  # round(num/den, 4) as exact integer math
+        F.expr(f"(20000 * {num} + {den}) div (2 * {den})") / F.lit(10000.0)
+    )
+    return j.select(
+        "doc_id",
+        "n_toks",
+        r4("n_types", "n_toks").alias("type_token_ratio"),
+        r4("top_tok", "n_toks").alias("top_tok_frac"),
+        F.when(F.col("n_2g") > 0, r4("(n_2g - n_2g_types)", "n_2g"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )

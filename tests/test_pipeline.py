@@ -185,3 +185,41 @@ def test_repetition_stats(spark):
     assert out[0]["dup_2gram_frac"] == round((3 - 1) / 3, 4)
     assert out[1]["type_token_ratio"] == 1.0 and out[1]["dup_2gram_frac"] == 0.0
     assert out[2]["n_toks"] == 1 and out[2]["dup_2gram_frac"] == 0.0
+
+
+def test_contamination(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),   # contains bench gram
+        (1, "zeta eta theta iota kappa"),        # disjoint
+        (2, "alpha beta gamma"),                 # exactly the bench doc text
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(99, "alpha beta gamma")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.contamination(train, bench).collect()}
+    assert out[0]["n_grams"] == 3 and out[0]["n_contaminated"] == 1
+    assert out[1]["n_contaminated"] == 0
+    assert out[2]["n_contaminated"] == 1 and out[2]["contaminated_frac"] == 1.0
+    flagged = P.contamination(train, bench, min_frac=0.5).collect()
+    assert [r["doc_id"] for r in flagged] == [2]
+
+
+def test_pack_sequences(spark):
+    # one group so the running offsets are easy to pin
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([100, 100, 100, 60])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.pack_sequences(docs, budget=256, n_groups=1).collect()}
+    assert [out[i]["bin_id"] for i in range(4)] == [0, 0, 0, 1]
+    assert [out[i]["bin_offset"] for i in range(4)] == [0, 100, 200, 44]
+
+
+def test_stratified_sample_deterministic(spark):
+    rows = [(i, f"doc {i}", "en" if i % 2 == 0 else "xx") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = P.stratified_sample(docs).filter("_sample_keep").collect()
+    b = P.stratified_sample(docs).filter("_sample_keep").collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    rep = {r["lang"]: r for r in P.stratified_sample_report(docs).collect()}
+    # en keeps ~50% (5000 bp), unknown stratum falls back to ~10%
+    assert 0.3 <= rep["en"]["kept_frac"] <= 0.7
+    assert rep["xx"]["kept_frac"] <= 0.25
+    assert rep["en"]["n_total"] == 100 and rep["xx"]["n_total"] == 100

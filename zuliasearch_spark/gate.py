@@ -2019,6 +2019,25 @@ def q_repetition(spark, sf_dir):
     return P.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination stats: docs with doc_id % 17 == 0 play
+    the (tiny, broadcast) benchmark set; the rest are the train side."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return P.contamination(train, bench).orderBy("doc_id")
+
+
+def q_seq_pack(spark, sf_dir):
+    """Offset-based sequence packing into 256-token bins, 8 groups."""
+    return P.pack_sequences(_docs(spark, sf_dir), budget=256, n_groups=8).orderBy("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language hash sampling report."""
+    return P.stratified_sample_report(_docs(spark, sf_dir)).orderBy("lang")
+
+
 def q_text_embed(spark, sf_dir):
     """zulia-ai TextEmbeddingModel analogue (ai.text_embed): one
     L2-normalized feature-hash vector per doc, pure Catalyst. The
@@ -2343,6 +2362,57 @@ SELECT t.doc_id, t.n_toks::BIGINT AS n_toks,
 FROM t LEFT JOIN g2 ON g2.doc_id = t.doc_id
 """
 
+_GRAM3_CTE = """{name} AS (SELECT DISTINCT doc_id,
+   CASE WHEN len(l) >= 3 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        ELSE array_to_string(l, ' ') END AS g
+ FROM {src}, unnest(generate_series(1, greatest(len(l)-2, 1))) AS s(i))"""
+
+_CONTAMINATION_SQL = f"""
+WITH {_LST},
+tr AS (SELECT doc_id, l FROM lst WHERE doc_id % 17 <> 0),
+be AS (SELECT doc_id, l FROM lst WHERE doc_id % 17 = 0),
+{_GRAM3_CTE.format(name='dg', src='tr')},
+{_GRAM3_CTE.format(name='bg0', src='be')},
+bg AS (SELECT DISTINCT g FROM bg0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_contaminated FROM dg
+        WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams::BIGINT AS n_grams,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       ((20000 * coalesce(h.n_contaminated, 0) + t.n_grams) // (2 * t.n_grams))
+         / 10000.0 AS contaminated_frac
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+"""
+
+_SEQ_PACK_SQL = f"""
+WITH {_LST},
+b AS (SELECT doc_id, len(l) AS n_toks, doc_id % 8 AS pack_group FROM lst),
+c AS (SELECT doc_id, pack_group, n_toks,
+        sum(n_toks) OVER (PARTITION BY pack_group ORDER BY doc_id) - n_toks AS start
+      FROM b)
+SELECT doc_id, pack_group::BIGINT AS pack_group, n_toks::BIGINT AS n_toks,
+       (start // 256)::BIGINT AS bin_id, (start % 256)::BIGINT AS bin_offset
+FROM c
+"""
+
+_SAMPLE_BP_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in sorted(P.SAMPLE_BP.items()))
+    + f" ELSE {P.SAMPLE_BP_DEFAULT} END"
+)
+
+_STRATIFIED_SQL = f"""
+WITH s AS (SELECT lang,
+    {_H32D.format(x="'" + P.SAMPLE_SALT + "' || doc_id::VARCHAR")} % 10000 AS h,
+    {_SAMPLE_BP_CASE} AS bp
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_total,
+  sum(CASE WHEN h < bp THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  ((20000 * sum(CASE WHEN h < bp THEN 1 ELSE 0 END) + count(*)) // (2 * count(*)))
+    / 10000.0 AS kept_frac
+FROM s GROUP BY lang
+"""
+
 _MULTIMODAL_SQL = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS sha, substr(text, 1, 12) AS head
@@ -2485,11 +2555,14 @@ QUERIES = {
     "docvalue_range": q_docvalue_range,
     "mlt_topk": q_mlt_topk,
     "ivf_topk": q_ivf_topk,
-    "lsh_jaccard": q_lsh_jaccard,
-    "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
-    "ngram_jaccard": q_ngram_jaccard,
     "neardup_cosine": q_neardup_cosine,
+    # new in r4: contamination / packing / sampling — never
+    # driver-verified, so they take the slots of three r02-green
+    # unchanged gates (lsh_jaccard, simhash, ngram_jaccard → below)
+    "contamination": q_contamination,
+    "seq_pack": q_seq_pack,
+    "stratified_sample": q_stratified_sample,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "winnow": q_winnow,
@@ -2520,7 +2593,10 @@ QUERIES = {
     "qs_topk": q_qs_topk,
     "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
     "kstem_counts": q_kstem_counts,
-    # --- below the 50-slot window (driver-green in r03; replica-tested) ---
+    # --- below the 50-slot window (driver-green in r02/r03; replica-tested) ---
+    "lsh_jaccard": q_lsh_jaccard,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "phrase_topk": q_phrase_topk,
     "multi_index_topk": q_multi_index_topk,
@@ -3034,6 +3110,9 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "pii_scrub": _PII_SQL,
     "url_stats": _URL_SQL,
     "repetition": _REPETITION_SQL,
+    "contamination": _CONTAMINATION_SQL,
+    "seq_pack": _SEQ_PACK_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
     "text_embed": f"""
 WITH {_LST},
 hs AS (SELECT doc_id, list_transform(l, t -> {_H32D.format(x='t')}) AS hs FROM lst),

@@ -777,3 +777,124 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_2gram_frac"),
     )
+
+
+# ---- contamination / sequence packing / stratified sampling --------------
+#
+# The remaining ops a 100-TB pretraining pipeline runs between dedup and
+# tokenization: benchmark-contamination flagging (GPT-3 App. C-style
+# n-gram overlap), packing documents into fixed token budgets, and
+# deterministic per-stratum downsampling.
+
+GRAMS3 = (
+    "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks)-3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+    "ELSE array(concat_ws(' ', toks)) END"
+)
+
+# stratified-sampling rates in BASIS POINTS (ints, never fractional
+# doubles: Spark truncates double->long casts while DuckDB rounds, so a
+# 0.3*10000 boundary could flip between engines)
+SAMPLE_BP = {"en": 5000, "es": 3000, "de": 2000}
+SAMPLE_BP_DEFAULT = 1000
+SAMPLE_SALT = "strat"
+
+
+def _r4(num, den):
+    """round(num/den, 4) in exact integer math (same trick as
+    quality_score): an fp ulp can never flip the rounding cross-engine."""
+    return F.expr(f"(20000 * {num} + {den}) div (2 * {den})") / F.lit(10000.0)
+
+
+def contamination(train: DataFrame, bench: DataFrame, min_frac: float = 0.0) -> DataFrame:
+    """Benchmark-contamination stats per training doc: the fraction of
+    its distinct word 3-grams that appear anywhere in the benchmark
+    set (GPT-3 Appendix C / PaLM-style decontamination, public).
+
+    Scale shape: the benchmark side is TINY relative to a 100-TB
+    corpus (eval suites are megabytes), so its distinct-gram set is
+    broadcast — the train side never shuffles for the membership
+    probe; the only wide exchange is the per-doc distinct+count over
+    (doc_id, gram), map-side combined."""
+    dg = (
+        _toks(train)
+        .select("doc_id", F.explode(F.expr(GRAMS3)).alias("g"))
+        .distinct()
+    )
+    bg = _toks(bench).select(F.explode(F.expr(GRAMS3)).alias("g")).distinct()
+    tot = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        dg.join(F.broadcast(bg), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    out = tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        _r4("coalesce(n_contaminated, 0)", "n_grams").alias("contaminated_frac"),
+    )
+    if min_frac > 0:
+        out = out.filter(F.col("contaminated_frac") >= min_frac)
+    return out
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256, n_groups: int = 8) -> DataFrame:
+    """Offset-based sequence packing: assign each doc a (pack_group,
+    bin_id, bin_offset) for concatenation into fixed token budgets.
+    A doc belongs to the bin its starting offset falls in; a doc that
+    crosses a boundary overflows its bin (deterministic contract —
+    greedy first-fit needs a sequential scan and is not worth a
+    non-parallel plan).
+
+    Scale shape: the running total is a window partitioned by
+    pack_group, NOT a global orderBy — each group packs independently,
+    so the plan is one hash exchange on pack_group and a per-partition
+    sort; no single-reducer global sort at any corpus size. Choose
+    n_groups ~ cluster parallelism at real scale."""
+    from pyspark.sql import Window
+
+    base = _toks(docs).select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_toks"),
+        (F.col("doc_id") % n_groups).cast("long").alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_toks").over(w) - F.col("n_toks")
+    return base.select(
+        "doc_id",
+        "pack_group",
+        "n_toks",
+        F.floor(start / budget).cast("long").alias("bin_id"),
+        (start % budget).cast("long").alias("bin_offset"),
+    )
+
+
+def stratified_sample(docs: DataFrame, bp: dict | None = None,
+                      default_bp: int = SAMPLE_BP_DEFAULT,
+                      salt: str = SAMPLE_SALT) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a doc iff
+    md5(salt || doc_id) % 10000 < rate_bp[stratum]. Reproducible
+    across runs/engines (no RNG state), zero shuffle — the keep flag
+    is a per-row expression, so the filter composes with any
+    downstream plan without materializing the sample."""
+    bp = SAMPLE_BP if bp is None else bp
+    h = F.expr(H32.format(x=f"concat('{salt}', cast(doc_id as string))"))
+    rate = F.lit(default_bp)
+    for lang, r in sorted(bp.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.withColumn("_sample_keep", (h % 10000) < rate)
+
+
+def stratified_sample_report(docs: DataFrame, **kw) -> DataFrame:
+    """Per-stratum totals + kept counts + achieved rate (one aggregate)."""
+    s = stratified_sample(docs, **kw)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("_sample_keep").cast("long")).alias("n_kept"),
+        _r4("sum(cast(_sample_keep as long))", "count(1)").alias("kept_frac"),
+    )

@@ -17,8 +17,11 @@ pin:
 - liveDocs: a deleted doc never surfaces and k stays filled;
 - the parquet write/read roundtrip serves identical results through
   the worker-side partition loader;
-- boolean-pre-filtered VECTOR clauses keep the exact-scan fallback
-  (graph only serves the injected-MatchAll case).
+- boolean-pre-filtered VECTOR clauses follow Lucene's filtered-KNN
+  cost rule (AbstractKnnVectorQuery): filters no bigger than the
+  beam scan exactly inside the kernel; larger filters traverse the
+  graph with a cogrouped accept list (collect-only-allowed) under a
+  |filter| visited budget, with exact fallback.
 """
 
 import numpy as np
@@ -157,10 +160,10 @@ def test_search_vector_matchall_matches_flat(engines):
         assert abs(x["score"] - y["score"]) < 1e-6
 
 
-def test_prefiltered_vector_uses_exact_scan(engines):
-    """A boolean pre-filter keeps the exact scan over the pruned
-    match set (Lucene's filtered-KNN exact fallback): results are
-    exactly the filter-constrained exact top-k."""
+def test_prefiltered_vector_small_filter_exact(engines):
+    """A boolean pre-filter no bigger than the beam takes the
+    in-kernel exact scan (Lucene's filtered-KNN cost rule): results
+    are exactly the filter-constrained exact top-k."""
     hnsw, flat = engines
     qv = _queries()[2]
     req = SearchRequest((QueryClause("FILTER", q="tag:tag2"),))
@@ -181,3 +184,60 @@ def test_vector_should_with_graph(engines):
     assert res["totalHits"] == N
     assert len(res["topk"]) == 5
     assert res["topk"][0]["score"] > 0.5
+
+
+def test_filtered_vector_graph_traversal(spark):
+    """A filter BIGGER than the beam traverses the graph with the
+    cogrouped accept list (collect-only-allowed, Lucene's
+    acceptDocs): results stay inside the filter, k fills, and recall
+    vs the exact filtered top-k is high on this corpus."""
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=["uid", "tag", "vec"]))
+    hnsw = SearchEngine(
+        build_index(df, _cfg(hnsw_ef_search=8), stored_cols=("vec",)).persist()
+    )
+    flat = SearchEngine(
+        build_index(df, _cfg(index_type="FLAT"), stored_cols=("vec",)).persist()
+    )
+    tags = tuple(f"tag{c}" for c in range(6))  # 300 docs >> beam 10
+    req = SearchRequest((QueryClause("TERMS", terms=tags, qf=("tag",)),))
+    qv = _queries()[2]
+    a = hnsw.search_vector(req, qv, "vec", k=10)
+    e = flat.search_vector(req, qv, "vec", k=10)
+    got = [t["uniqueId"] for t in a["topk"]]
+    exact = [t["uniqueId"] for t in e["topk"]]
+    assert len(got) == 10
+    assert all(int(u[1:]) % 12 < 6 for u in got)  # inside the filter
+    assert len(set(got) & set(exact)) >= 9
+
+
+def test_filtered_vector_respects_deletes(spark):
+    """Filtered graph KNN never resurfaces a tombstoned doc."""
+    df = spark.createDataFrame(pd.DataFrame(_rows(), columns=["uid", "tag", "vec"]))
+    eng = SearchEngine(build_index(df, _cfg(), stored_cols=("vec",)).persist())
+    qv = _queries()[2]
+    req = SearchRequest((QueryClause("FILTER", q="tag:tag2"),))
+    before = [t["uniqueId"] for t in eng.search_vector(req, qv, "vec", k=5)["topk"]]
+    eng.delete_by_unique_ids([before[0]])
+    after = [t["uniqueId"] for t in eng.search_vector(req, qv, "vec", k=5)["topk"]]
+    assert before[0] not in after
+    assert len(after) == 5
+
+
+def test_filtered_vector_should_scores_compose(engines):
+    """Filtered VECTOR_SHOULD through the graph: matching unchanged,
+    the k winners carry bm25 + cosine — identical to the FLAT
+    engine's exact composition on a small filter."""
+    hnsw, flat = engines
+    qv = _queries()[4]
+    req = SearchRequest(
+        (
+            QueryClause("SCORE_SHOULD", q="tag:tag4"),
+            QueryClause("FILTER", q="tag:tag4"),
+        )
+    )
+    a = hnsw.search_vector(req, qv, "vec", k=5, should=True, amount=5)
+    e = flat.search_vector(req, qv, "vec", k=5, should=True, amount=5)
+    assert a["totalHits"] == e["totalHits"] == 50
+    assert [t["uniqueId"] for t in a["topk"]] == [t["uniqueId"] for t in e["topk"]]
+    for x, y in zip(a["topk"], e["topk"]):
+        assert abs(x["score"] - y["score"]) < 1e-6

@@ -1308,7 +1308,7 @@ def hnsw_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = emb.select(
         F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("uid"),
-        F.lit("x").alias("tag"),
+        F.when(F.col("vec_id") % 3 == 0, F.lit("a")).otherwise(F.lit("b")).alias("tag"),
         "embedding",
     )
     cfg = IndexConfig(
@@ -1351,6 +1351,39 @@ def q_vector_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = eng.search_vector(SearchRequest(), qv, "embedding", k=10)
     rows = [(int(t["uniqueId"]), float(round(t["score"], 4))) for t in res["topk"]]
     return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def q_vector_hnsw_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-pre-filtered KNN against the HNSW index: the filter
+    match set rides along as a cogrouped per-shard accept list
+    (Lucene AbstractKnnVectorQuery's filter bitset, distributed).
+    At sf0.01 the filter (tag:a = vec_id%3==0) is smaller than the
+    saturating beam, so the cost rule takes the in-kernel exact scan
+    and the hash must match the exact filtered oracle; the graph-
+    traversal branch of the same kernel is pinned by
+    tests/test_hnsw.py recall tests."""
+    eng = hnsw_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    req = SearchRequest((QueryClause("FILTER", q="tag:a"),))
+    res = eng.search_vector(req, qv, "embedding", k=10)
+    rows = [(int(t["uniqueId"]), float(round(t["score"], 4))) for t in res["topk"]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+_VECTOR_HNSW_FILTERED_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
+c AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS c
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % 3 = 0
+)
+SELECT doc_id, round(c, 4) AS score FROM c
+ORDER BY c DESC, doc_id ASC LIMIT 10
+"""
 
 
 _VECTOR_HNSW_SQL = """
@@ -2536,6 +2569,9 @@ QUERIES = {
     "mlt_hybrid_topk": q_mlt_hybrid_topk,
     "vector_int8_topk": q_vector_int8_topk,
     "vector_hnsw_topk": q_vector_hnsw_topk,
+    # new in r4 late: filtered HNSW KNN (cogrouped accept list) —
+    # takes the slot of r02-green unchanged neardup_cosine
+    "vector_hnsw_filtered_topk": q_vector_hnsw_filtered_topk,
     "zulia_id_count": q_zulia_id_count,
     "zulia_id_sort_topk": q_zulia_id_sort_topk,
     "score_sort_topk": q_score_sort_topk,
@@ -2556,7 +2592,6 @@ QUERIES = {
     "mlt_topk": q_mlt_topk,
     "ivf_topk": q_ivf_topk,
     "simhash_pairs": q_simhash_pairs,
-    "neardup_cosine": q_neardup_cosine,
     # new in r4: contamination / packing / sampling — never
     # driver-verified, so they take the slots of three r02-green
     # unchanged gates (lsh_jaccard, simhash, ngram_jaccard → below)
@@ -2597,6 +2632,7 @@ QUERIES = {
     "lsh_jaccard": q_lsh_jaccard,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "neardup_cosine": q_neardup_cosine,
     "minhash_lsh": q_minhash_lsh,
     "phrase_topk": q_phrase_topk,
     "multi_index_topk": q_multi_index_topk,
@@ -3097,6 +3133,7 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "mlt_hybrid_topk": _MLT_HYBRID_SQL,
     "vector_int8_topk": _VECTOR_INT8_SQL,
     "vector_hnsw_topk": _VECTOR_HNSW_SQL,
+    "vector_hnsw_filtered_topk": _VECTOR_HNSW_FILTERED_SQL,
     "minhash_lsh": _MINHASH_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,

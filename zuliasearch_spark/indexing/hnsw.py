@@ -115,6 +115,58 @@ def _search_layer(
     return res
 
 
+def _search_layer_filtered(
+    q: np.ndarray,
+    eps: list[int],
+    ef: int,
+    adj: list[list[int] | None],
+    vecs: np.ndarray,
+    allowed: set[int],
+    visited_limit: int,
+) -> tuple[list[tuple[float, int]], bool]:
+    """Layer-0 beam with an acceptDocs-style filter (Lucene's
+    filtered KNN: AbstractKnnVectorQuery hands the filter bitset to
+    the HNSW searcher): EVERY node routes, only ``allowed`` positions
+    are collected into the result queue, so the candidate frontier is
+    pruned against the best ACCEPTED results — identical shape to
+    Lucene's minCompetitiveSimilarity over the accepted queue.
+    Returns (results, exhausted); exhausted=True means the visited
+    budget was hit (graph search has cost more than an exact scan of
+    the filter, Lucene's visitedLimit) and the caller must fall back
+    to exact."""
+    visited = set(eps)
+    sims = vecs[eps] @ q
+    cand = [(-float(s), p) for s, p in zip(sims, eps)]
+    heapq.heapify(cand)
+    res = [(float(s), p) for s, p in zip(sims, eps) if p in allowed]
+    heapq.heapify(res)
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        if len(visited) > visited_limit:
+            return res, True
+        neg, cp = heapq.heappop(cand)
+        if len(res) >= ef and -neg < res[0][0]:
+            break
+        nbrs = adj[cp]
+        if not nbrs:
+            continue
+        fresh = [n for n in nbrs if n not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        nsims = vecs[fresh] @ q
+        for s, p in zip(nsims, fresh):
+            s = float(s)
+            if len(res) < ef or s > res[0][0]:
+                heapq.heappush(cand, (-s, p))
+                if p in allowed:
+                    heapq.heappush(res, (s, p))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+    return res, False
+
+
 def _select_neighbors(
     cands: list[tuple[float, int]], m: int, vecs: np.ndarray
 ) -> list[int]:
@@ -194,12 +246,21 @@ def search_graph(
     ef: int,
     k: int,
     dead: set[int] | None = None,
-) -> list[tuple[float, int]]:
+    allowed: set[int] | None = None,
+    visited_limit: int | None = None,
+) -> list[tuple[float, int]] | None:
     """Query one shard's graph: greedy descent from the max-level
     node, beam ``ef`` at layer 0, then the top-k LIVE results
     (similarity, position) sorted desc. Dead positions (tombstoned
     docs) are traversed — they still route, Lucene's acceptDocs
-    shape — but never collected."""
+    shape — but never collected.
+
+    With ``allowed`` (a filtered-KNN bitset of LIVE accepted
+    positions): the descent still navigates every node, but only
+    accepted positions are collected, and the beam aborts once it
+    has visited more than ``visited_limit`` nodes — returning None
+    to signal that an exact scan over the filter is cheaper
+    (Lucene's visitedLimit fallback)."""
     n = len(vecs)
     if n == 0:
         return []
@@ -212,9 +273,17 @@ def search_graph(
     for lev in range(top, 0, -1):
         best = max(_search_layer(qn, eps, 1, layers[lev], vecs))
         eps = [best[1]]
-    res = _search_layer(qn, eps, max(ef, k), layers[0], vecs)
-    if dead:
-        res = [(s, p) for s, p in res if p not in dead]
+    if allowed is not None:
+        res, exhausted = _search_layer_filtered(
+            qn, eps, max(ef, k), layers[0], vecs, allowed,
+            visited_limit if visited_limit is not None else n,
+        )
+        if exhausted:
+            return None
+    else:
+        res = _search_layer(qn, eps, max(ef, k), layers[0], vecs)
+        if dead:
+            res = [(s, p) for s, p in res if p not in dead]
     res.sort(key=lambda t: (-t[0], t[1]))
     return res[:k]
 
@@ -317,12 +386,27 @@ def decode_graph_parquet(path: str, cache_key: tuple | None = None):
     return decode_graph(pdf, cache_key=cache_key)
 
 
+def _positions_of(doc_ids: np.ndarray, ids) -> set[int]:
+    """Graph positions of the given doc ids (ids absent from this
+    shard are ignored) — doc_ids is sorted by construction."""
+    out: set[int] = set()
+    if ids is None or len(ids) == 0:
+        return out
+    arr = np.asarray(sorted(ids), dtype=np.int64)
+    idx = np.searchsorted(doc_ids, arr)
+    for i, d in zip(idx, arr):
+        if i < len(doc_ids) and doc_ids[i] == d:
+            out.add(int(i))
+    return out
+
+
 def shard_topk(
     decoded,
     q,
     ef: int,
     k: int,
     dead_ids=None,
+    allowed_ids=None,
 ) -> list[tuple[int, str | None, float]]:
     """Top-k of one decoded shard graph: float32 beam traversal,
     then an exact float64 cosine for the ≤k winners only (parity
@@ -330,22 +414,59 @@ def shard_topk(
     arithmetic the FLAT path reports, rounded to 6). Returns
     [(doc_id, uniqueId, cosine)]; dead doc ids are routed through
     but never collected, and the beam widens by the shard's dead
-    count so deletes cannot starve k."""
+    count so deletes cannot starve k.
+
+    ``allowed_ids`` is the filtered-KNN accept set (the boolean
+    pre-filter's matches in this shard). Lucene's cost rule
+    (AbstractKnnVectorQuery): a filter no bigger than the beam is
+    scanned exactly; otherwise the graph is traversed with the
+    filter bitset under a visited budget of |allowed|, falling back
+    to the exact scan when the budget is exhausted — graph search
+    that visits more nodes than the filter has is never cheaper."""
     layers, levels, vecs, raw, doc_ids, uids = decoded
-    dead_pos: set[int] | None = None
-    n_dead = 0
-    if dead_ids:
-        dead_pos = set()
-        arr = np.asarray(sorted(dead_ids), dtype=np.int64)
-        idx = np.searchsorted(doc_ids, arr)
-        for i, d in zip(idx, arr):
-            if i < len(doc_ids) and doc_ids[i] == d:
-                dead_pos.add(int(i))
-        n_dead = len(dead_pos)
+    dead_pos = _positions_of(doc_ids, sorted(dead_ids)) if dead_ids else set()
+    n_dead = len(dead_pos)
     qv = np.asarray(q, dtype=np.float32)
-    res = search_graph(
-        layers, levels, vecs, qv, max(ef, k + n_dead), k, dead=dead_pos
-    )
+    if allowed_ids is not None:
+        allowed_pos = _positions_of(doc_ids, allowed_ids) - dead_pos
+        if not allowed_pos:
+            return []
+        beam = max(ef, k)
+        res = None
+        if len(allowed_pos) > beam:
+            res = search_graph(
+                layers, levels, vecs, qv, beam, k,
+                allowed=allowed_pos, visited_limit=len(allowed_pos),
+            )
+        if res is None:
+            # exact over the filter, in float64 straight away — the
+            # identical arithmetic + rounding the executor's codegen
+            # exact scan reports, so the fallback is bit-compatible
+            pos = np.fromiter(allowed_pos, dtype=np.int64)
+            qd = np.asarray(q, dtype=np.float64)
+            nq = float(np.linalg.norm(qd))
+            rv = raw[pos].astype(np.float64)
+            nv = np.linalg.norm(rv, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cs = np.where(
+                    (nv > 0) & (nq > 0), rv @ qd / (nv * nq), 0.0
+                )
+            cs = np.round(cs, 6)
+            order = sorted(range(len(pos)), key=lambda i: (-cs[i], doc_ids[pos[i]]))
+            return [
+                (
+                    int(doc_ids[pos[i]]),
+                    str(uids[pos[i]])
+                    if uids is not None and uids[pos[i]] is not None
+                    else None,
+                    float(cs[i]),
+                )
+                for i in order[:k]
+            ]
+    else:
+        res = search_graph(
+            layers, levels, vecs, qv, max(ef, k + n_dead), k, dead=dead_pos or None
+        )
     qd = np.asarray(q, dtype=np.float64)
     nq = float(np.linalg.norm(qd))
     out = []

@@ -123,6 +123,26 @@ KERNEL_SCHEMA = (
 MATCH_SCHEMA = "shard int, doc_id long, score double"
 
 
+def _knn_pdf(shard: int, rows) -> pd.DataFrame:
+    """(shard, doc_id, uniqueId, cosine) frame for one shard's KNN
+    kernel output (rows = hnsw.shard_topk result)."""
+    return pd.DataFrame(
+        [(shard, d, u, c) for d, u, c in rows],
+        columns=["shard", "doc_id", "uniqueId", "cosine"],
+    )
+
+
+def _empty_knn_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "shard": pd.Series([], dtype="int32"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "uniqueId": pd.Series([], dtype="object"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 class PostingsStore:
     """One shard group's posting blocks: metadata + lazy varint decode.
 
@@ -2733,25 +2753,45 @@ class SearchEngine:
         )
         top = scored.orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id")).limit(k)
         if (
-            not req.clauses
-            and req.qs is None
-            and vf is not None
+            vf is not None
             and vf[1].index_type == "HNSW"
             and self.tables.vector_graphs is not None
         ):
-            # un-pre-filtered KNN (the injected MatchAll) serves from
-            # the per-shard HNSW graphs instead of scanning; a
-            # boolean-pre-filtered request keeps the exact scan over
-            # the already-pruned match set — Lucene's filtered-KNN
-            # exact-fallback shape (ZuliaIndex.buildKnnQuery:597-615)
-            knn_rows = self._hnsw_top_rows(vector, vector_field, k)
-            top = self.tables.doc_map.sparkSession.createDataFrame(
-                [
-                    (r["shard"], r["doc_id"], 0.0, r["uniqueId"], r["cosine"])
-                    for r in knn_rows
-                ],
-                "shard int, doc_id long, score double, uniqueId string, cosine double",
-            )
+            spark = self.tables.doc_map.sparkSession
+            if not req.clauses and req.qs is None:
+                # un-pre-filtered KNN (the injected MatchAll) serves
+                # from the per-shard HNSW graphs instead of scanning
+                # (ZuliaIndex.buildKnnQuery:597-615)
+                knn_rows = self._hnsw_top_rows(vector, vector_field, k)
+                top = spark.createDataFrame(
+                    [
+                        (r["shard"], r["doc_id"], 0.0, r["uniqueId"], r["cosine"])
+                        for r in knn_rows
+                    ],
+                    "shard int, doc_id long, score double, uniqueId string, cosine double",
+                )
+            else:
+                # filtered KNN: the boolean match set rides along as a
+                # cogrouped per-shard accept list (Lucene's filter
+                # bitset, AbstractKnnVectorQuery); hnsw.shard_topk
+                # applies the cost rule — exact scan for small
+                # filters, graph traversal under a |filter| visited
+                # budget with exact fallback otherwise — so neither a
+                # needle filter nor a match-almost-everything filter
+                # degrades to an O(corpus) scan
+                knn_rows = self._hnsw_top_rows(
+                    vector, vector_field, k, allowed=matches
+                )
+                tk = spark.createDataFrame(
+                    [
+                        (r["shard"], r["doc_id"], r["uniqueId"], r["cosine"])
+                        for r in knn_rows
+                    ],
+                    "shard int, doc_id long, uniqueId string, cosine double",
+                )
+                top = matches.join(F.broadcast(tk), ["shard", "doc_id"]).select(
+                    "shard", "doc_id", "score", "uniqueId", "cosine"
+                )
         if should:
             # SHOULD-occur KNN (ZuliaIndex.java:802-805 composes the knn
             # query as a BooleanClause.Occur.SHOULD inside one Lucene
@@ -3777,7 +3817,9 @@ class SearchEngine:
             for r in rows
         ]
 
-    def _hnsw_top_rows(self, vector, vector_field: str, k: int) -> list[dict]:
+    def _hnsw_top_rows(
+        self, vector, vector_field: str, k: int, allowed=None
+    ) -> list[dict]:
         """Global KNN served from the per-shard HNSW graphs
         (VectorConfig index_type="HNSW"; the reference's
         ZuliaIndex.buildKnnQuery:597-615 over Lucene's per-segment
@@ -3798,7 +3840,18 @@ class SearchEngine:
 
         liveDocs parity: tombstoned docs route during traversal but
         are never collected, and the beam widens by the shard's dead
-        count (hnsw.shard_topk) so deletes cannot starve k."""
+        count (hnsw.shard_topk) so deletes cannot starve k.
+
+        Filtered KNN: ``allowed`` is the boolean pre-filter's match
+        set as a DataFrame of (shard, doc_id). It is COGROUPED with
+        the per-shard traversal — each task receives its own shard's
+        accept list as an Arrow batch (the distributed analogue of
+        Lucene handing the filter bitset to the per-leaf searcher;
+        AbstractKnnVectorQuery), so the filter never collects to the
+        driver no matter how broad it is. Inside the kernel
+        hnsw.shard_topk applies Lucene's cost rule: small filters
+        scan exactly; larger ones traverse the graph under a visited
+        budget of |allowed| with exact fallback."""
         import os as _os
 
         vf = self.config.vector_field(vector_field)
@@ -3852,9 +3905,40 @@ class SearchEngine:
 
                 return kernel
 
-            kernel = make_kernel()
+            if allowed is None:
+                cand = probe.groupBy("shard").applyInPandas(make_kernel(), out_schema)
+            else:
 
-            cand = probe.groupBy("shard").applyInPandas(kernel, out_schema)
+                def make_cokernel(gdir=gdir, q=q, ef=ef, k=k, dead=dead):
+                    def kernel(key, left, right):
+                        import os
+
+                        from zuliasearch_spark.indexing.hnsw import (
+                            decode_graph_parquet,
+                            shard_topk,
+                        )
+
+                        shard = int(key[0])
+                        if left.empty or right.empty:
+                            return _empty_knn_pdf()
+                        part = os.path.join(gdir, f"shard={shard}")
+                        decoded = decode_graph_parquet(
+                            part, cache_key=(part, os.path.getmtime(part))
+                        )
+                        rows = shard_topk(
+                            decoded, q, ef, k,
+                            dead_ids=dead.get(shard),
+                            allowed_ids=right["doc_id"].to_numpy(),
+                        )
+                        return _knn_pdf(shard, rows)
+
+                    return kernel
+
+                cand = (
+                    probe.groupBy("shard")
+                    .cogroup(allowed.select("shard", "doc_id").groupBy("shard"))
+                    .applyInPandas(make_cokernel(), out_schema)
+                )
         else:
             frame = self._hnsw_frames.get(name)
             if frame is None:
@@ -3885,9 +3969,36 @@ class SearchEngine:
 
                 return kernel
 
-            kernel = make_kernel()
+            if allowed is None:
+                cand = frame.groupBy("shard").applyInPandas(make_kernel(), out_schema)
+            else:
 
-            cand = frame.groupBy("shard").applyInPandas(kernel, out_schema)
+                def make_cokernel(q=q, ef=ef, k=k, dead=dead):
+                    def kernel(key, left, right):
+                        from zuliasearch_spark.indexing.hnsw import (
+                            decode_graph,
+                            shard_topk,
+                        )
+
+                        shard = int(key[0])
+                        if left.empty or right.empty:
+                            return _empty_knn_pdf()
+                        gid = str(left["graph_id"].iloc[0])
+                        decoded = decode_graph(left, cache_key=(gid, shard))
+                        rows = shard_topk(
+                            decoded, q, ef, k,
+                            dead_ids=dead.get(shard),
+                            allowed_ids=right["doc_id"].to_numpy(),
+                        )
+                        return _knn_pdf(shard, rows)
+
+                    return kernel
+
+                cand = (
+                    frame.groupBy("shard")
+                    .cogroup(allowed.select("shard", "doc_id").groupBy("shard"))
+                    .applyInPandas(make_cokernel(), out_schema)
+                )
         rows = (
             cand.orderBy(F.desc("cosine"), F.asc("shard"), F.asc("doc_id"))
             .limit(k)

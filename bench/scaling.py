@@ -34,6 +34,34 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def engine_fingerprint() -> str:
+    """Hash of every source file the measured path can execute (the
+    engine package + bench.py + this script's level runner). History
+    rows are pooled by THIS, not by git rev: a docs/gate/notes commit
+    doesn't change the measured code, so its samples stay comparable
+    and the per-level minima keep accumulating — while any engine
+    edit still starts a fresh pool."""
+    import hashlib
+
+    pkg = os.path.join(REPO, "zuliasearch_spark")
+    roots = [os.path.join(pkg, d) for d in ("indexing", "search", "analysis", "util")]
+    files = [
+        os.path.join(REPO, "bench.py"),
+        os.path.abspath(__file__),
+        os.path.join(pkg, "session.py"),
+        os.path.join(pkg, "config.py"),
+    ]
+    for root in roots:
+        for dp, _dns, fns in os.walk(root):
+            files.extend(os.path.join(dp, f) for f in fns if f.endswith(".py"))
+    h = hashlib.sha256()
+    for p in sorted(files):
+        h.update(os.path.relpath(p, REPO).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def ensure_corpus(docs: int) -> str:
     path = f"/tmp/zscaling_corpus_{docs}"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -129,8 +157,8 @@ def main() -> None:
     # hour windows (host contention): alternate trials, append every
     # trial to BENCH/scaling_history.jsonl, and summarize from the
     # per-level MINIMUM across the WHOLE history of identical work —
-    # the least-throttled samples. (Each history row carries the git
-    # rev; wipe the file after perf-relevant engine changes.)
+    # the least-throttled samples. (Rows are pooled by the engine
+    # fingerprint: only an edit to measured code starts a new pool.)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     try:
@@ -139,30 +167,33 @@ def main() -> None:
         ).stdout.strip()
     except Exception:
         rev = "unknown"
+    fp = engine_fingerprint()
     if not args.summarize_only:
         for trial in range(args.trials):
             for cores in (args.low, args.high):
                 print(f"== trial {trial} local[{cores}] ==", flush=True)
                 r = run_level(cores, corpus, args.docs, zip_path, args.query_reps)
                 r["git"] = rev
+                r["fp"] = fp
                 r["ts"] = time.time()
                 print(json.dumps(r), flush=True)
                 with open(hist_path, "a") as f:
                     f.write(json.dumps(r) + "\n")
 
-    # summarize across the history for this (docs, cores, git) setup —
-    # rows from other revisions measured different code and would
-    # poison the per-level minimum
+    # summarize across the history for this (docs, cores, engine-
+    # fingerprint) setup — rows from other ENGINE code measured
+    # different work and would poison the per-level minimum; rows
+    # from docs/gate-only commits share the fingerprint and pool
     with open(hist_path) as f:
         mine = [
             r
             for r in (json.loads(ln) for ln in f if ln.strip())
             if r.get("docs") == args.docs
             and r.get("cores") in (args.low, args.high)
-            and r.get("git") == rev
+            and r.get("fp") == fp
         ]
     if not mine:
-        raise SystemExit(f"no history rows for docs={args.docs} git={rev}")
+        raise SystemExit(f"no history rows for docs={args.docs} fp={fp}")
     best: dict[int, dict] = {}
     nq = mine[-1].get("n_queries")  # current worker's query-batch size
     with open(hist_path) as f:
@@ -171,7 +202,7 @@ def main() -> None:
             if (
                 r.get("docs") != args.docs
                 or r.get("cores") not in (args.low, args.high)
-                or r.get("git") != rev
+                or r.get("fp") != fp
             ):
                 continue
             cur = best.get(r["cores"])
@@ -191,7 +222,7 @@ def main() -> None:
     missing = [lvl for lvl in (args.low, args.high) if lvl not in best]
     if missing:
         raise SystemExit(
-            f"no history rows at cores={missing} for git={rev}, docs={args.docs}, "
+            f"no history rows at cores={missing} for fp={fp}, docs={args.docs}, "
             f"n_queries={nq} — run the measurement at the missing level(s) first"
         )
     lo, hi = best[args.low], best[args.high]

@@ -123,11 +123,19 @@ class SegmentedIndexWriter:
     >>> w.build(corpus)          # builds only non-committed segments
     """
 
-    def __init__(self, path: str, config: IndexConfig, n_segments: int, build_id: str = "build-0"):
+    def __init__(
+        self,
+        path: str,
+        config: IndexConfig,
+        n_segments: int,
+        build_id: str = "build-0",
+        stored_cols: tuple[str, ...] = (),
+    ):
         self.path = path
         self.config = config
         self.n_segments = n_segments
         self.build_id = build_id
+        self.stored_cols = tuple(stored_cols)
         os.makedirs(path, exist_ok=True)
 
     def segment_dir(self, segment: int) -> str:
@@ -151,7 +159,7 @@ class SegmentedIndexWriter:
                 raise RuntimeError(f"injected failure after {fail_after} segments")
             t0 = time.time()
             slice_df = corpus.filter(seg_col == seg)
-            tables = build_index(slice_df, self.config)
+            tables = build_index(slice_df, self.config, stored_cols=self.stored_cols)
             tables = write_index(tables, self.segment_dir(seg))
             self._commit(seg, tables, time.time() - t0)
             built.append(seg)

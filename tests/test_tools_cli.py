@@ -143,3 +143,45 @@ def test_cli_lifecycle(spark, home, settings_file, corpus_file, capsys):
     run(capsys, "--home", home, "deleteIndex", "--index", "cli_restored")
     out = run(capsys, "--home", home, "displayIndexes")
     assert all(ix["index"] != "cli_restored" for ix in out["indexes"])
+
+
+@pytest.mark.slow
+def test_cli_aliases_and_associated(spark, home, settings_file, corpus_file, capsys, tmp_path):
+    # (depends on cli_idx built by the lifecycle test when run in
+    # file order; rebuild defensively if it's gone)
+    if not os.path.isdir(os.path.join(home, "cli_idx")):
+        run(capsys, "--home", home, "createIndex", "--settings", settings_file)
+        run(capsys, "--home", home, "index", "--index", "cli_idx",
+            "--input", corpus_file, "--format", "jsonl", "--segments", "2")
+
+    # alias chain resolves through query/docCount; cycles rejected
+    run(capsys, "--home", home, "createAlias", "--alias", "latest", "--to", "cli_idx")
+    run(capsys, "--home", home, "createAlias", "--alias", "prod", "--to", "latest")
+    out = run(capsys, "--home", home, "displayAliases")
+    assert out["aliases"] == {"latest": "cli_idx", "prod": "latest"}
+    out = run(capsys, "--home", home, "docCount", "--index", "prod")
+    assert out["numDocs"] >= 19
+    with pytest.raises(SystemExit):
+        run(capsys, "--home", home, "createAlias", "--alias", "cli_idx", "--to", "prod")
+    run(capsys, "--home", home, "deleteAlias", "--alias", "prod")
+    out = run(capsys, "--home", home, "displayAliases")
+    assert "prod" not in out["aliases"]
+
+    # associated files: store two, fetch one by name, fetch all
+    f1 = tmp_path / "report.txt"
+    f1.write_bytes(b"hello world")
+    f2 = tmp_path / "data.bin"
+    f2.write_bytes(bytes(range(16)))
+    run(capsys, "--home", home, "storeAssociated", "--index", "cli_idx",
+        "--id", "d2", "--file", str(f1), "--meta", '{"kind": "report"}')
+    run(capsys, "--home", home, "storeAssociated", "--index", "cli_idx",
+        "--id", "d2", "--file", str(f2))
+    outdir = str(tmp_path / "fetched")
+    out = run(capsys, "--home", home, "fetchAssociated", "--index", "cli_idx",
+              "--id", "d2", "--name", "report.txt", "-o", outdir)
+    assert out["fetched"] == ["report.txt"]
+    assert open(os.path.join(outdir, "report.txt"), "rb").read() == b"hello world"
+    out = run(capsys, "--home", home, "fetchAssociated", "--index", "cli_idx",
+              "--id", "d2", "-o", outdir)
+    assert sorted(out["fetched"]) == ["data.bin", "report.txt"]
+    assert open(os.path.join(outdir, "data.bin"), "rb").read() == bytes(range(16))

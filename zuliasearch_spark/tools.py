@@ -62,11 +62,44 @@ def _spark(args):
     return get_spark(app="zulia-tools", master=args.master)
 
 
+def _aliases_path(args) -> str:
+    return os.path.join(_home(args), "aliases.json")
+
+
+def _read_aliases(args) -> dict[str, str]:
+    p = _aliases_path(args)
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def _write_aliases(args, aliases: dict[str, str]) -> None:
+    tmp = _aliases_path(args) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(aliases, f, indent=1, sort_keys=True)
+    os.replace(tmp, _aliases_path(args))
+
+
+def _resolve_alias(args, name: str) -> str:
+    """Alias chain resolution with the same cycle guard the engine's
+    MultiIndexSearcher applies (AliasTest)."""
+    aliases = _read_aliases(args)
+    seen = set()
+    while name in aliases:
+        if name in seen:
+            raise SystemExit(f"alias cycle at {name!r}")
+        seen.add(name)
+        name = aliases[name]
+    return name
+
+
 def _engine(args, spark=None, index: str | None = None):
     from zuliasearch_spark.indexing.segments import read_segmented_index
     from zuliasearch_spark.search.executor import SearchEngine
 
-    path = _index_path(args, index)
+    name = _resolve_alias(args, index or args.index)
+    path = _index_path(args, name)
     if not os.path.isdir(path):
         raise SystemExit(f"index {index or args.index!r} not found under {_home(args)}")
     cfg = _load_config(path)
@@ -302,6 +335,107 @@ def cmd_fetch(args) -> None:
         document_masked_fields=tuple(args.flMask or ()),
     ).collect()
     _emit({"documents": [r.asDict(recursive=True) for r in rows]})
+
+
+# ---- aliases (CreateAliasCmd / DeleteAliasCmd / DisplayAliasesCmd /
+# ExportAliasesCmd / ImportAliasesCmd) ------------------------------------
+
+
+def cmd_create_alias(args) -> None:
+    """createAlias: point an alias at an index (or another alias)."""
+    aliases = _read_aliases(args)
+    aliases[args.alias] = args.to
+    _resolve_alias_check = dict(aliases)  # cycle check before persisting
+    seen, name = set(), args.alias
+    while name in _resolve_alias_check:
+        if name in seen:
+            raise SystemExit(f"alias {args.alias!r} -> {args.to!r} would create a cycle")
+        seen.add(name)
+        name = _resolve_alias_check[name]
+    _write_aliases(args, aliases)
+    _emit({"alias": args.alias, "index": args.to})
+
+
+def cmd_delete_alias(args) -> None:
+    """deleteAlias."""
+    aliases = _read_aliases(args)
+    if args.alias not in aliases:
+        raise SystemExit(f"alias {args.alias!r} not found")
+    del aliases[args.alias]
+    _write_aliases(args, aliases)
+    _emit({"deleted": args.alias})
+
+
+def cmd_display_aliases(args) -> None:
+    """displayAliases / exportAliases (the JSON is the export format)."""
+    _emit({"aliases": _read_aliases(args)})
+
+
+def cmd_import_aliases(args) -> None:
+    """importAliases: load {alias: index} JSON (replace-all)."""
+    with open(args.file) as f:
+        doc = json.load(f)
+    aliases = doc.get("aliases", doc)
+    if not all(isinstance(k, str) and isinstance(v, str) for k, v in aliases.items()):
+        raise SystemExit("alias file must map alias -> index name")
+    _write_aliases(args, aliases)
+    _emit({"imported": len(aliases)})
+
+
+# ---- associated files (StoreAssociatedFileCmd / FetchAssociatedFileCmd) --
+
+
+def _associated_path(args, index: str | None = None) -> str:
+    return os.path.join(_index_path(args, index or args.index), "associated")
+
+
+def _associated_store(args, spark):
+    from zuliasearch_spark.indexing.associated import AssociatedStore
+
+    p = _associated_path(args)
+    if os.path.isdir(p):
+        return AssociatedStore.read(spark, p)
+    return AssociatedStore.empty(spark)
+
+
+def cmd_store_associated(args) -> None:
+    """storeAssociatedFile: attach a file blob (+ JSON meta) to a doc."""
+    spark = _spark(args)
+    store = _associated_store(args, spark)
+    with open(args.file, "rb") as f:
+        content = f.read()
+    meta = json.loads(args.meta) if args.meta else None
+    store = store.store(
+        args.id, args.name or os.path.basename(args.file), content, meta=meta
+    )
+    # write-aside then swap: the new frame still lazily READS the old
+    # parquet, so an in-place overwrite would clobber its own input
+    p = _associated_path(args)
+    tmp = p + ".tmp"
+    store.write(tmp)
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+    os.rename(tmp, p)
+    _emit({"stored": args.name or os.path.basename(args.file), "id": args.id})
+
+
+def cmd_fetch_associated(args) -> None:
+    """fetchAssociatedFile: write a doc's associated file(s) to --out
+    (all of them without --name, FetchAllAssociated)."""
+    spark = _spark(args)
+    store = _associated_store(args, spark)
+    if args.name:
+        rows = store.fetch(args.id, args.name).collect()
+    else:
+        rows = store.fetch_all(args.id).collect()
+    os.makedirs(args.out, exist_ok=True)
+    written = []
+    for r in rows:
+        p = os.path.join(args.out, r["filename"])
+        with open(p, "wb") as f:
+            f.write(bytes(r["content"]))
+        written.append(r["filename"])
+    _emit({"fetched": written, "out": args.out})
 
 
 # ---- query (Zulia.java) -------------------------------------------------
@@ -549,6 +683,31 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--facetTopN", type=int, default=10)
     sp.add_argument("--stat", action="append", help="facetField:numericField, or numericField alone for numeric stats")
     sp.add_argument("--sort", action="append", help="field[:desc] (repeatable)")
+
+    sp = add("createAlias", cmd_create_alias)
+    sp.add_argument("--alias", required=True)
+    sp.add_argument("--to", required=True, help="target index (or alias)")
+
+    sp = add("deleteAlias", cmd_delete_alias)
+    sp.add_argument("--alias", required=True)
+
+    add("displayAliases", cmd_display_aliases)
+
+    sp = add("importAliases", cmd_import_aliases)
+    sp.add_argument("--file", required=True, help="JSON {alias: index}")
+
+    sp = add("storeAssociated", cmd_store_associated)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--id", required=True)
+    sp.add_argument("--file", required=True)
+    sp.add_argument("--name", help="stored filename (default: basename)")
+    sp.add_argument("--meta", help="JSON metadata document")
+
+    sp = add("fetchAssociated", cmd_fetch_associated)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--id", required=True)
+    sp.add_argument("--name", help="one filename (default: all)")
+    sp.add_argument("-o", "--out", required=True)
 
     sp = add("dump", cmd_dump)
     sp.add_argument("--index", required=True)

@@ -2108,6 +2108,21 @@ class SearchEngine:
                 matches = matches.where(F.col("shard").isin(ok))
         return matches, False
 
+    def _facet_scalar(self, df, facet_field: str):
+        """Multivalued facet fields count once per DISTINCT value per
+        doc (Lucene SortedSetDocValues ordinal semantics — FacetTest
+        facets List-valued fields per element, a repeated value inside
+        one doc counts once): explode array facet columns to one row
+        per (doc, value) before any facet grouping. Scalar columns
+        pass through untouched."""
+        if dict(self.tables.doc_map.dtypes).get(facet_field, "").startswith("array"):
+            return (
+                df.withColumn("_zfv_", F.explode(F.array_distinct(F.col(facet_field))))
+                .drop(facet_field)
+                .withColumnRenamed("_zfv_", facet_field)
+            )
+        return df
+
     def facet_counts(
         self,
         req: SearchRequest,
@@ -2134,7 +2149,9 @@ class SearchEngine:
         matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
         if skipped:
             return None
-        joined = matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner")
+        joined = self._facet_scalar(
+            matches.join(self.tables.doc_map, ["shard", "doc_id"], "inner"), facet_field
+        )
         # FacetAs.DateHandling (zulia_index.proto DATE_YYYY_MM_DD /
         # DATE_YYYYMMDD): date/timestamp facet values format to the
         # configured label before counting
@@ -2197,7 +2214,9 @@ class SearchEngine:
         matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
         if skipped:
             return None, None
-        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        j = self._facet_scalar(
+            matches.join(self.tables.doc_map, ["shard", "doc_id"]), facet_field
+        )
         per = j.groupBy("shard", F.col(facet_field).alias("value")).agg(
             F.count(F.lit(1)).alias("cnt")
         ).where(F.col("value").isNotNull())
@@ -2303,7 +2322,9 @@ class SearchEngine:
         matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
         if skipped:
             return None
-        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        j = self._facet_scalar(
+            matches.join(self.tables.doc_map, ["shard", "doc_id"]), facet_field
+        )
         c = F.col(stat_field).cast("double")
         per = (
             j.where(F.col(facet_field).isNotNull())
@@ -3079,7 +3100,9 @@ class SearchEngine:
         matches, skipped = self._facet_hits_guard(matches, max_total_hits, max_shard_hits)
         if skipped:
             return None
-        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        j = self._facet_scalar(
+            matches.join(self.tables.doc_map, ["shard", "doc_id"]), facet_field
+        )
         c = F.col(stat_field)
         dtype = dict(self.tables.doc_map.dtypes).get(stat_field, "")
         if dtype.startswith("array"):
@@ -3245,7 +3268,9 @@ class SearchEngine:
         gamma = (1.0 + precision) / (1.0 - precision)
         lg = math.log(gamma)
         matches = self.match_ids(req).select("shard", "doc_id")
-        j = matches.join(self.tables.doc_map, ["shard", "doc_id"])
+        j = self._facet_scalar(
+            matches.join(self.tables.doc_map, ["shard", "doc_id"]), facet_field
+        )
         v = F.col(stat_field).cast("double")
         j = j.select(F.col(facet_field).alias("facet"), v.alias("v")).where(
             F.col("facet").isNotNull()

@@ -62,6 +62,8 @@ def documents_config() -> IndexConfig:
             # pruning + the recall contract live in
             # tests/test_ivf_clause.py.
             FieldConfig("embedding", vector_as=(VectorConfig("embedding", index_type="IVF"),)),
+            # multivalued facet: array<string> counted per element
+            FieldConfig("tags", facet_as=("tags",)),
         ),
         per_shard_stats=False,  # SQL oracle computes collection-global stats
         quantize_norms=False,  # SQL oracle scores with exact field lengths
@@ -122,13 +124,21 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         # value is a Double encoding of a whole number
         # (NumericFacetConversionTest — 2020.0 must facet as "2020")
         int_coerce((F.lit(2015.0) + (F.col("doc_id") % 7).cast("double"))).alias("year"),
+        # multivalued facet field (FacetTest List-valued facets):
+        # every 4th doc repeats a value INSIDE the doc (counts once),
+        # every 11th is an empty list, every 13th is NULL
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("doc_id") % 11 == 0, F.array().cast("array<string>"))
+        .when(F.col("doc_id") % 4 == 0, F.array("source", "lang", "lang"))
+        .otherwise(F.array("source", "lang"))
+        .alias("tags"),
     )
     tables = build_index(
         corpus,
         documents_config(),
         stored_cols=(
             "orig_doc_id", "lang", "source", "n_chars", "src_path", "embedding",
-            "long_flag", "opt_chars", "year", "text",
+            "long_flag", "opt_chars", "year", "text", "tags",
         ),
         timestamp=GATE_TS,
     )
@@ -305,6 +315,16 @@ def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = documents_engine(spark, sf_dir)
     req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
     return eng.facet_counts(req, "lang", top_n=10)
+
+
+def q_facet_multivalued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivalued facet counts (FacetTest List-valued facet fields):
+    the array facet column counts per ELEMENT, a value repeated inside
+    one doc counting once (SortedSetDocValues ordinal semantics);
+    empty lists and NULLs contribute nothing."""
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="text:merge"),), amount=1)
+    return eng.facet_counts(req, "tags", top_n=10)
 
 
 def q_facet_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2598,7 +2618,7 @@ QUERIES = {
     "contamination": q_contamination,
     "seq_pack": q_seq_pack,
     "stratified_sample": q_stratified_sample,
-    "lang_id": q_lang_id,
+    "facet_multivalued": q_facet_multivalued,
     "quality": q_quality,
     "winnow": q_winnow,
     # new in r4: training-data hygiene ops (PII scrub, URL stats,
@@ -2629,6 +2649,9 @@ QUERIES = {
     "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
     "kstem_counts": q_kstem_counts,
     # --- below the 50-slot window (driver-green in r02/r03; replica-tested) ---
+    # rotated out of the 50-slot window for r4's facet_multivalued
+    # (lang_id is r02-driver-green and unchanged since)
+    "lang_id": q_lang_id,
     "lsh_jaccard": q_lsh_jaccard,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3002,6 +3025,24 @@ WITH {_TOKS_CTE}
 SELECT lang AS value, count(*)::BIGINT AS cnt FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
 GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 10""",
+    # the tags array is DERIVED in documents_engine (not a parquet
+    # column), so the oracle derives it identically, dedups within the
+    # doc (list_distinct == the engine's array_distinct explode), and
+    # counts per element; empty/NULL lists unnest to nothing
+    "facet_multivalued": f"""
+WITH {_TOKS_CTE},
+tagged AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN NULL
+         WHEN doc_id % 11 = 0 THEN []
+         WHEN doc_id % 4 = 0 THEN [source, lang, lang]
+         ELSE [source, lang] END AS tags
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+)
+SELECT t AS value, count(*)::BIGINT AS cnt
+FROM (SELECT doc_id, UNNEST(list_distinct(tags)) AS t FROM tagged)
+GROUP BY t ORDER BY cnt DESC, value ASC LIMIT 10""",
     "facet_sharded": f"""
 WITH {_TOKS_CTE}
 SELECT lang AS value, count(*)::BIGINT AS cnt, 0::BIGINT AS max_error

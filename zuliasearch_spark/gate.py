@@ -926,6 +926,23 @@ def q_get_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_query_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export lines (REST GET /query/csv — QueryController.java:
+    119-166, appendDocument :637-705, CSVUtil.java): the distributed
+    path, one finished line per match.
+
+    Scale: every cell (quoteForCSV, ``;``-joined multivalues, nested
+    JSON) is a codegen expression, so the whole export is
+    ``query_csv_lines(...).write.text(out)`` — no cursor loop, no
+    driver materialization; the REST batch stream is only the
+    paged-download facade over the same expressions."""
+    from zuliasearch_spark.export import query_csv_lines
+
+    eng = documents_engine(spark, sf_dir)
+    req = SearchRequest((QueryClause("FILTER", q="lang:fr"),), amount=1)
+    return query_csv_lines(eng, req, ("uniqueId", "lang", "n_chars", "text"))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops (dedup / similarity / text analysis)
 
@@ -2645,10 +2662,13 @@ QUERIES = {
     "interval_atleast_count": q_interval_atleast_count,
     "bm25_topk": q_bm25_topk,
     "bm25_filtered": q_bm25_filtered,
-    "qs_topk": q_qs_topk,
+    # new in r4 late: CSV export lines (REST /query/csv) — takes the
+    # window slot of r03-green unchanged qs_topk
+    "query_csv_export": q_query_csv_export,
     "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
     "kstem_counts": q_kstem_counts,
     # --- below the 50-slot window (driver-green in r02/r03; replica-tested) ---
+    "qs_topk": q_qs_topk,
     # rotated out of the 50-slot window for r4's facet_multivalued
     # (lang_id is r02-driver-green and unchanged since)
     "lang_id": q_lang_id,
@@ -2724,7 +2744,24 @@ SELECT doc_id, round(s, 4) AS score FROM scored
 ORDER BY round(s, 7) DESC, doc_id ASC LIMIT 10
 """
 
+def _csv_cell_sql(col: str) -> str:
+    """CSVUtil.quoteForCSV as DuckDB SQL: quote iff the value contains
+    a comma, a space, a quote, or a newline; inner quotes doubled."""
+    return (
+        f"CASE WHEN contains({col}, ',') OR contains({col}, ' ') "
+        f"OR contains({col}, '\"') OR contains({col}, chr(10)) "
+        f"THEN '\"' || replace({col}, '\"', '\"\"') || '\"' ELSE {col} END"
+    )
+
+
 ORACLE_SQL = {
+    # CSV export cells per appendDocument (QueryController.java:637-705):
+    # string cells through quoteForCSV; doc_id was lpad'ed to the
+    # 12-char uid at index time (documents_engine)
+    "query_csv_export": f"""
+SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') || ',' || {_csv_cell_sql('lang')}
+  || ',' || CAST(n_chars AS VARCHAR) || ',' || {_csv_cell_sql('text')} AS line
+FROM documents WHERE lower(lang) = 'fr'""",
     "bm25_topk": _BM25_SQL.format(
         toks=_TOKS_CTE, terms="'spark','query','merge'", extra_join="", where=""
     ),

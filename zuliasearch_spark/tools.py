@@ -482,6 +482,43 @@ def cmd_query(args) -> None:
     req = _build_request(args)
     single = engines[0][1]
 
+    if getattr(args, "facetCsv", False):
+        # REST GET /query/facet (QueryController.java:169-195)
+        from zuliasearch_spark.export import export_facet_csv
+
+        if not args.facet:
+            raise SystemExit(
+                "Please specify facets to be exported i.e. --facet issn --facet pubYear"
+            )
+        sys.stdout.write(export_facet_csv(single, req, args.facet, top_n=args.facetTopN))
+        return
+    if getattr(args, "csv", False):
+        # REST GET /query/csv (QueryController.java:119-166)
+        from zuliasearch_spark.export import export_query_csv
+
+        if not args.fl:
+            raise SystemExit(
+                "Please specify fields to be exported i.e. --fl title --fl abstract"
+            )
+        sort_keys = None
+        if args.sort:
+            sort_keys = tuple(
+                (col, direction.lower() != "desc", True)
+                for col, _, direction in (s.partition(":") for s in args.sort)
+            )
+        sys.stdout.write(
+            export_query_csv(
+                single,
+                req,
+                args.fl,
+                rows=args.rows,
+                sort_keys=sort_keys,
+                batch=args.batch,
+                batch_size=args.batchSize,
+            )
+        )
+        return
+
     if args.sort:
         if len(engines) > 1:
             raise SystemExit("--sort supports a single --index")
@@ -683,6 +720,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--facetTopN", type=int, default=10)
     sp.add_argument("--stat", action="append", help="facetField:numericField, or numericField alone for numeric stats")
     sp.add_argument("--sort", action="append", help="field[:desc] (repeatable)")
+    sp.add_argument("--csv", action="store_true", help="emit results as CSV (REST /query/csv); fields via --fl")
+    sp.add_argument("--facetCsv", action="store_true", help="emit facet counts as CSV (REST /query/facet)")
+    sp.add_argument("--batch", action="store_true", help="CSV batch mode: cursor-paged full export (needs --sort)")
+    sp.add_argument("--batchSize", type=int, default=500)
 
     sp = add("createAlias", cmd_create_alias)
     sp.add_argument("--alias", required=True)

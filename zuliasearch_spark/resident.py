@@ -148,6 +148,19 @@ class ResidentIndexCache:
         self.evict_pass()
         return engine
 
+    def peek(self, name: str):
+        """Resident engine or ``None`` WITHOUT faulting in — the stats
+        path's ``tryLeaseQuietly`` (ZuliaIndexManager.getIndexStats:
+        1913-1927 reports an unloaded transient index as a bare
+        non-resident entry instead of loading it)."""
+        h = self._resident.get(name)
+        return h.engine if h is not None else None
+
+    @property
+    def resident_count(self) -> int:
+        """LoadedIndexCache.getResidentCount()."""
+        return len(self._resident)
+
     def lease(self, name: str) -> IndexLease:
         """Open a lease (fault-in + pin-until-closed)."""
         if name not in self._registered:

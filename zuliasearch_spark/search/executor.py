@@ -1242,6 +1242,16 @@ class SearchEngine:
         # pinned searches survive cache pressure), still cleared by
         # deletes
         self._pinned_query_cache: dict[tuple, dict] = {}
+        # Caffeine-style per-cache stats (zulia_base.proto CacheStats
+        # :117-124; ZuliaShard.getShardCacheStats): each cache counts
+        # its OWN lookups — pinned is consulted first, so a general
+        # hit still records one pinned miss, exactly like two stacked
+        # Caffeine caches. Evictions = LRU pops only (explicit
+        # invalidation is not an eviction in Caffeine stats).
+        self._cache_stats = {
+            "pinned": {"hitCount": 0, "missCount": 0, "evictionCount": 0, "totalLoadTime": 0},
+            "general": {"hitCount": 0, "missCount": 0, "evictionCount": 0, "totalLoadTime": 0},
+        }
         persisted = load_tombstone_uids(getattr(tables, "root_path", None))
         if persisted:
             self._tombstone_uids = set(persisted)
@@ -1570,10 +1580,18 @@ class SearchEngine:
         if cacheable:
             pinned_hit = self._pinned_query_cache.get(key)
             hit = pinned_hit
+            stats = self._cache_stats
+            if pinned_hit is not None:
+                stats["pinned"]["hitCount"] += 1
+            else:
+                stats["pinned"]["missCount"] += 1
             if hit is None:
                 hit = self._query_cache.get(key)
                 if hit is not None:
                     self._query_cache.move_to_end(key)
+                    stats["general"]["hitCount"] += 1
+                else:
+                    stats["general"]["missCount"] += 1
             if hit is not None:
                 # SearchResult.getFullyCached/getShardsCached/
                 # getShardsPinned/getShardsQueried (CacheTest
@@ -1588,7 +1606,11 @@ class SearchEngine:
                 )
                 out["shardsQueried"] = self.config.number_of_shards
                 return out
+        import time as _time
+
+        t0 = _time.perf_counter_ns()
         out = self.search_many({"q": req}, fetch=fetch)["q"]
+        load_ns = _time.perf_counter_ns() - t0
         out["fullyCached"] = False
         out["shardsCached"] = 0
         out["shardsPinned"] = 0
@@ -1596,11 +1618,35 @@ class SearchEngine:
         if cacheable:
             if req.pin_to_cache:
                 self._pinned_query_cache[key] = copy.deepcopy(out)
+                self._cache_stats["pinned"]["totalLoadTime"] += load_ns
             else:
                 self._query_cache[key] = copy.deepcopy(out)
+                self._cache_stats["general"]["totalLoadTime"] += load_ns
                 while len(self._query_cache) > cache_n:
                     self._query_cache.popitem(last=False)
+                    self._cache_stats["general"]["evictionCount"] += 1
         return out
+
+    def shard_cache_stats(self) -> dict:
+        """``ShardCacheStats`` (zulia_base.proto:111-124): the query
+        caches' Caffeine-style counters for the stats surface
+        (StatsController / GetNodes). One shard-group entry with
+        ``primary=True`` — replicas are architecture-N/A here.
+        ``estimatedSize`` = live entries, ``resultSize`` = cached
+        top-k rows, ``totalLoadTime`` in nanoseconds like Caffeine."""
+
+        def one(counters: dict, store: dict) -> dict:
+            return {
+                "estimatedSize": len(store),
+                "resultSize": sum(len(v.get("topk", ())) for v in store.values()),
+                **counters,
+            }
+
+        return {
+            "primary": True,
+            "pinnedCache": one(self._cache_stats["pinned"], self._pinned_query_cache),
+            "generalCache": one(self._cache_stats["general"], self._query_cache),
+        }
 
     def warm_searches(self) -> list[dict]:
         """Run the config's stored warming searches through the

@@ -382,6 +382,33 @@ def cmd_import_aliases(args) -> None:
     _emit({"imported": len(aliases)})
 
 
+def cmd_stats(args) -> None:
+    """stats: NodeStats JSON (REST GET /stats, StatsController.java:
+    37-90) — live driver-JVM memory, index-home disk space, version,
+    and per-index residency. Indexes are registered TRANSIENT and
+    never faulted in (tryLeaseQuietly semantics), so stats are free;
+    pass --load to fault every index in and report its query-cache
+    counters (the resident-at-startup shape)."""
+    from zuliasearch_spark.resident import ResidentIndexCache
+    from zuliasearch_spark.stats import node_stats
+
+    spark = _spark(args)
+    home = _home(args)
+    cache = ResidentIndexCache()
+    for path in sorted(glob.glob(os.path.join(home, "*", SETTINGS_FILE))):
+        name = os.path.basename(os.path.dirname(path))
+        cache.register(
+            name,
+            loader=lambda n=name: _engine(args, spark, n),
+            transient=True,
+            pin=False,
+        )
+    if getattr(args, "load", False):
+        for name in cache.registered():
+            cache.get(name)
+    _emit(node_stats(cache, data_path=home if os.path.isdir(home) else ".", spark=spark))
+
+
 # ---- associated files (StoreAssociatedFileCmd / FetchAssociatedFileCmd) --
 
 
@@ -733,6 +760,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alias", required=True)
 
     add("displayAliases", cmd_display_aliases)
+
+    sp = add("stats", cmd_stats)
+    sp.add_argument("--load", action="store_true", help="fault every index in and report query-cache stats")
 
     sp = add("importAliases", cmd_import_aliases)
     sp.add_argument("--file", required=True, help="JSON {alias: index}")

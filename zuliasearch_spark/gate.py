@@ -2030,6 +2030,15 @@ def q_lsh_jaccard(spark, sf_dir):
     return P.jaccard_pairs(docs, cands)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end fuzzy-dedup clustering: LSH candidates -> exact
+    Jaccard verify (>= 0.5) -> large-star/small-star connected
+    components -> canonical keeper (min doc_id) per cluster. The
+    oracle recomputes the verified pair graph in SQL and resolves
+    components with a recursive reachability CTE."""
+    return P.dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_lang_id(spark, sf_dir):
     return P.lang_id(_docs(spark, sf_dir))
 
@@ -2321,6 +2330,24 @@ _LANG_CASE = (
     + " ".join(f"WHEN s_{lang} = {_GREATEST} THEN '{lang}'" for lang in _LANGS[:-1])
     + f" ELSE '{_LANGS[-1]}' END"
 )
+
+# recursive reachability resolves components (min reachable id ==
+# large-star/small-star's component label); docs outside the verified
+# pair graph are their own singleton cluster
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE jac AS ({_LSH_JACCARD_SQL}),
+ver AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+ed AS (SELECT a AS s, b AS d FROM ver UNION ALL SELECT b AS s, a AS d FROM ver),
+reach(id, r) AS (
+  SELECT s, s FROM ed
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN ed e ON e.s = reach.id
+),
+comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+       d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
 
 _LANG_SQL = f"""
 WITH {_LST},
@@ -2645,7 +2672,9 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "url_stats": q_url_stats,
     "repetition": q_repetition,
-    "doc_terms": q_doc_terms,
+    # new in r4 late: dedup clustering (CC over verified LSH pairs) —
+    # takes the window slot of r02-green unchanged doc_terms (below)
+    "dedup_clusters": q_dedup_clusters,
     "summary_terms": q_summary_terms,
     # new in r4: the full AnalysisRequest surface (termSort/filters/
     # summaryType/tokens) — never driver-verified, so they take the
@@ -2672,6 +2701,7 @@ QUERIES = {
     # rotated out of the 50-slot window for r4's facet_multivalued
     # (lang_id is r02-driver-green and unchanged since)
     "lang_id": q_lang_id,
+    "doc_terms": q_doc_terms,
     "lsh_jaccard": q_lsh_jaccard,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3216,6 +3246,7 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "simhash": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "lsh_jaccard": _LSH_JACCARD_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "ngram_jaccard": _NGRAM_SQL,
     "neardup_cosine": _NEARDUP_SQL,
     "ivf_topk": _IVF_SQL,

@@ -898,3 +898,108 @@ def stratified_sample_report(docs: DataFrame, **kw) -> DataFrame:
         F.sum(F.col("_sample_keep").cast("long")).alias("n_kept"),
         _r4("sum(cast(_sample_keep as long))", "count(1)").alias("kept_frac"),
     )
+
+
+# ---- dedup: cluster formation (connected components) ---------------------
+
+
+def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — the published
+    O(log^2 n)-round formulation for exactly this setting: components
+    over dedup candidate pairs at cluster scale).
+
+    Returns ``(id, component)`` for every node that appears in
+    ``edges``; ``component`` is the minimum node id of the node's
+    connected component. Nodes absent from ``edges`` are singletons
+    and are the caller's concern (see ``dedup_clusters``).
+
+    Scale shape: each half-round is one groupBy (min-neighbor, with
+    map-side partial agg) plus one hash join and a distinct — all
+    built-in codegen, no Python in the row path. Rounds converge in
+    O(log^2 n) for worst-case path graphs and 2-3 rounds for the
+    short/star-shaped components dedup actually produces. Lineage is
+    truncated per round with ``localCheckpoint`` (on a real cluster
+    prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+    for fault tolerance beyond executor-local blocks); convergence is
+    detected by a (count, xxhash64-xor) fingerprint, one tiny
+    aggregate per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    prev_fp = None
+    for _ in range(max_iters):
+        # large-star: connect every neighbor v > u to m = min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        e = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: canonicalize (u = max endpoint), connect every
+        # smaller neighbor (and u itself) to m = min(N⁻(u))
+        canon = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            canon.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, overflow-free (rows are distinct)
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        fp = (row["n"], row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged: e is a star set (child → component-min root)
+    roots = e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(roots)
+        .distinct()
+    )
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """End-to-end fuzzy-dedup clustering: MinHash signatures → LSH
+    candidate pairs → exact word-shingle Jaccard verification at
+    ``threshold`` → connected components → one canonical keeper per
+    cluster (the minimum doc_id — deterministic across runs/engines).
+
+    Returns ``(doc_id, cluster, keep)`` for EVERY document: docs with
+    no verified near-duplicate are their own singleton cluster with
+    ``keep = true``. ``docs.where(keep)`` is the deduplicated corpus.
+
+    Scale shape: the expensive stages are the LSH band self-join and
+    the per-pair Jaccard verify, both bounded by candidate-pair count
+    (never all-pairs); CC runs over the verified pairs only — a graph
+    ~orders of magnitude smaller than the corpus.
+    """
+    cands = lsh_candidate_pairs(minhash_signatures(docs)).select("a", "b")
+    verified = jaccard_pairs(docs, cands).where(F.col("jaccard") >= threshold)
+    cc = connected_components(verified.select("a", "b"))
+    comp = cc.withColumnRenamed("id", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            (F.col("doc_id") == F.coalesce("component", F.col("doc_id"))).alias("keep"),
+        )
+    )

@@ -931,6 +931,10 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col(src) != F.col(dst))
         .distinct()
+        # materialize once: e fans out into several union/join branches
+        # per round, and Spark would recompute the (possibly expensive)
+        # upstream pair-generation lineage along each branch
+        .localCheckpoint(eager=True)
     )
     prev_fp = None
     for _ in range(max_iters):

@@ -2039,6 +2039,13 @@ def q_dedup_clusters(spark, sf_dir):
     return P.dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4-style duplicated-span removal: non-overlapping 10-token
+    windows, global first occurrence (doc_id, position) kept, text
+    rebuilt from surviving spans."""
+    return P.span_dedup(_docs(spark, sf_dir), span_tokens=10)
+
+
 def q_lang_id(spark, sf_dir):
     return P.lang_id(_docs(spark, sf_dir))
 
@@ -2347,6 +2354,19 @@ comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
 SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
        d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+_SPAN_DEDUP_SQL = f"""
+WITH {_LST},
+sp0 AS (SELECT doc_id, i, array_to_string(l[i*10+1 : i*10+10], ' ') AS span
+        FROM lst, unnest(generate_series(0, greatest(cast(floor((len(l)-1)/10.0) as int), 0))) AS gg(i)),
+sp AS (SELECT * FROM sp0 WHERE span <> ''),
+rk AS (SELECT doc_id, i, span,
+              row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn FROM sp)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(span, ' ' ORDER BY i) FILTER (WHERE rn = 1), '') AS text_kept
+FROM rk GROUP BY doc_id
 """
 
 _LANG_SQL = f"""
@@ -2675,7 +2695,10 @@ QUERIES = {
     # new in r4 late: dedup clustering (CC over verified LSH pairs) —
     # takes the window slot of r02-green unchanged doc_terms (below)
     "dedup_clusters": q_dedup_clusters,
-    "summary_terms": q_summary_terms,
+    # new in r4 late: C4-style span dedup — takes the window slot of
+    # r02-green unchanged summary_terms (below; its extended surface is
+    # window-covered by analysis_top_terms_summary)
+    "span_dedup": q_span_dedup,
     # new in r4: the full AnalysisRequest surface (termSort/filters/
     # summaryType/tokens) — never driver-verified, so they take the
     # window slots of four r02-green gates (wildcard_count, highlight,
@@ -2702,6 +2725,7 @@ QUERIES = {
     # (lang_id is r02-driver-green and unchanged since)
     "lang_id": q_lang_id,
     "doc_terms": q_doc_terms,
+    "summary_terms": q_summary_terms,
     "lsh_jaccard": q_lsh_jaccard,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3247,6 +3271,7 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "lsh_jaccard": _LSH_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "span_dedup": _SPAN_DEDUP_SQL,
     "ngram_jaccard": _NGRAM_SQL,
     "neardup_cosine": _NEARDUP_SQL,
     "ivf_topk": _IVF_SQL,

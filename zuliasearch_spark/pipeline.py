@@ -1007,3 +1007,54 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             (F.col("doc_id") == F.coalesce("component", F.col("doc_id"))).alias("keep"),
         )
     )
+
+
+# ---- dedup: duplicated-span removal (C4-style) ---------------------------
+
+
+def span_dedup(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
+    """Corpus-wide duplicated-span removal (the C4 pipeline's
+    "discard any repeated three-sentence span" rule, re-expressed
+    over fixed token windows since the corpus is unpunctuated):
+    split each doc into non-overlapping ``span_tokens``-token
+    windows, keep only the globally FIRST occurrence of each span
+    (ordered by doc_id then position — deterministic across engines),
+    and rebuild the cleaned text from the surviving spans.
+
+    Returns ``(doc_id, n_spans, n_kept, text_kept)``.
+
+    Scale shape: one explode + one groupBy on the span STRING (exact,
+    no hash-collision risk at any corpus size; spans are short so the
+    shuffle key stays small) + one hash join back + one per-doc
+    aggregation. First-occurrence selection is ``min(struct(doc_id,
+    pos))`` — a map-side-combinable aggregate, not a window over a
+    global sort.
+    """
+    n_wins = f"greatest(cast(floor((size(toks)-1)/{span_tokens}) as int), 0)"
+    spans = _toks(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_wins}), "
+                f"i -> concat_ws(' ', slice(toks, i*{span_tokens}+1, {span_tokens})))"
+            )
+        ).alias("i", "span"),
+    ).where(F.col("span") != "")
+    firsts = spans.groupBy("span").agg(F.min(F.struct("doc_id", "i")).alias("first"))
+    kept = spans.join(firsts, "span").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id")) & (F.col("i") == F.col("first.i")),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("i", "span")))
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("text_kept"),
+    )

@@ -171,6 +171,9 @@ def test_bool_field_formats(spark):
     from zuliasearch_spark.config import FieldConfig, IndexAs, IndexConfig
     from zuliasearch_spark.indexing.builder import bool_coerce, build_index
 
+    # "1.0"/"0.0" model TYPED-NUMBER document values (the reference's
+    # Number path accepts doubleValue() == 1/0); the strict STRING
+    # lexicon rejects them — asserted separately below
     true_vals = ["true", "TRUE", "T", "yes", "Yes", "y", "1", "1.0"]
     false_vals = ["false", "FALSE", "F", "no", "No", "n", "0", "0.0"]
     rows = [(f"t{i}", "alpha", v) for i, v in enumerate(true_vals)]
@@ -189,19 +192,21 @@ def test_bool_field_formats(spark):
     tables = build_index(corpus, cfg, stored_cols=("flag",)).persist()
     try:
         eng = SearchEngine(tables)
-        # every query-side spelling coerces to the same value
-        for q in ("true", "T", "yes", "1", "1.0"):
+        # every query-side spelling in the string lexicon coerces to
+        # the same value (query text is always a STRING, so the strict
+        # BooleanUtil.parseBoolean(String) forms apply)
+        for q in ("true", "T", "yes", "1"):
             res = eng.search_string(f"content:alpha AND flag:{q}", amount=1)
             assert res["totalHits"] == len(true_vals), q
         for q in ("false", "n", "0"):
             res = eng.search_string(f"content:alpha AND flag:{q}", amount=1)
             assert res["totalHits"] == len(false_vals), q
-        # invalid query values are rejected, like the reference's
-        # store-time bad-string/bad-number errors
-        with pytest.raises(ValueError):
-            eng.search_string("content:alpha AND flag:maybe", amount=1)
-        with pytest.raises(ValueError):
-            eng.search_string("content:alpha AND flag:2", amount=1)
+        # unrecognized query spellings map to -1 and match NOTHING
+        # (getStringAsBooleanInt via ZuliaPointQueryNodeProcessor:185)
+        # — including "1.0", which the STRING lexicon does not accept
+        for q in ("maybe", "2", "1.0"):
+            res = eng.search_string(f"content:alpha AND flag:{q}", amount=1)
+            assert res["totalHits"] == 0, q
         # facets label True/False and agree with the query counts
         req = SearchRequest((C("FILTER", q="content:alpha"),), amount=1)
         counts = {r["value"]: r["cnt"] for r in eng.facet_counts(req, "flag").collect()}
@@ -214,6 +219,17 @@ def test_bool_field_formats(spark):
     ).withColumn("flag", bool_coerce("raw"))
     with pytest.raises(Exception, match="invalid boolean"):
         build_index(bad, cfg, stored_cols=("flag",)).doc_map.collect()
+    # strict STRING lexicon: "1.0" is rejected at store time (the
+    # reference only accepts it as a typed Number), "1" is accepted
+    strict = spark.createDataFrame(
+        pd.DataFrame([("s0", "alpha", "1.0")], columns=["uniqueId", "content", "raw"])
+    ).withColumn("flag", bool_coerce("raw", string_input=True))
+    with pytest.raises(Exception, match="invalid boolean"):
+        build_index(strict, cfg, stored_cols=("flag",)).doc_map.collect()
+    ok = spark.createDataFrame(
+        pd.DataFrame([("s1", "alpha", " 1 ")], columns=["uniqueId", "content", "raw"])
+    ).withColumn("flag", bool_coerce("raw", string_input=True))
+    assert build_index(ok, cfg, stored_cols=("flag",)).doc_map.count() == 1
 
 
 def test_query_result_cache(spark):

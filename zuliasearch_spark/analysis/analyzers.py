@@ -621,8 +621,11 @@ def term_freqs(
     array), ``dl`` the per-document emitted-token count (len ==
     len(texts)) — the BM25 field length.
     """
-    ts = tokenize(texts, settings)
-    n_docs = len(texts)
+    return _agg_pairs(tokenize(texts, settings), len(texts))
+
+
+def _agg_pairs(ts: TokenStream, n_docs: int):
+    """(doc_idx, term, tf, dl) aggregation of a token stream."""
     dl = np.bincount(ts.doc_idx, minlength=n_docs).astype(np.int64)
     if len(ts) == 0:
         empty = np.empty(0, dtype=np.int64)
@@ -647,8 +650,12 @@ def term_freqs_positions(
     ``tf``) — the layout the block encoder needs for the positions
     stream.
     """
-    ts = tokenize(texts, settings)
-    n_docs = len(texts)
+    return _agg_pairs_positions(tokenize(texts, settings), len(texts))
+
+
+def _agg_pairs_positions(ts: TokenStream, n_docs: int):
+    """(doc_idx, term, tf, dl, pos_flat) aggregation of a token
+    stream whose positions are per-doc ascending in stream order."""
     dl = np.bincount(ts.doc_idx, minlength=n_docs).astype(np.int64)
     if len(ts) == 0:
         empty = np.empty(0, dtype=np.int64)
@@ -670,6 +677,45 @@ def term_freqs_positions(
     out_doc = (uk // nv).astype(np.int64)
     out_term = pc.take(ts.vocab, pa.array(uk % nv, type=pa.int64()))
     return out_doc, out_term, tf, dl, p.astype(np.int64, copy=False)
+
+
+def _list_value_stream(list_arr, settings: AnalyzerSettings) -> TokenStream:
+    """Analyze a list<string> column PER VALUE and remap the stream to
+    the parent document. Required for KEYWORD-tokenizer analyzers,
+    where joining values with a space would weld them into one token:
+    the reference runs each value through its own TokenStream and the
+    KeywordTokenizer contributes one position increment per value
+    (ZuliaFieldAnalyzer; Lucene Document.add per value), so the
+    parent-level position of a value's token is the value's ordinal —
+    a dropped value (e.g. stop-worded) leaves a position gap exactly
+    like StopFilter does."""
+    la = list_arr.combine_chunks() if isinstance(list_arr, pa.ChunkedArray) else list_arr
+    flat = la.flatten()
+    parent = pc.list_parent_indices(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = tokenize(flat, settings)
+    if parent.size:
+        # ordinal of each value within its parent (parent ascending)
+        first = np.searchsorted(parent, parent, side="left")
+        ordv = np.arange(parent.size, dtype=np.int64) - first
+    else:
+        ordv = parent
+    pos = None
+    if ts.pos is not None:
+        pos = ts.pos + ordv[ts.doc_idx]
+    return TokenStream(parent[ts.doc_idx], ts.codes, ts.vocab, pos)
+
+
+def term_freqs_list_keyword(list_arr, settings: AnalyzerSettings):
+    """:func:`term_freqs` for a multivalued column under a
+    KEYWORD-family analyzer (per-value token streams)."""
+    return _agg_pairs(_list_value_stream(list_arr, settings), len(list_arr))
+
+
+def term_freqs_positions_list_keyword(list_arr, settings: AnalyzerSettings):
+    """:func:`term_freqs_positions` for a multivalued column under a
+    KEYWORD-family analyzer (per-value token streams; positions are
+    value ordinals)."""
+    return _agg_pairs_positions(_list_value_stream(list_arr, settings), len(list_arr))
 
 
 def analyze_query_text(text: str, settings: AnalyzerSettings) -> list[str]:

@@ -400,23 +400,76 @@ class IndexConfig:
             out.append((self.unique_id_col, IndexAs("zuliaId", "keyword")))
         return out
 
+    def user_indexed_field_names(self) -> tuple[str, ...]:
+        """Indexed field names declared by ``field_configs`` — the
+        expansion namespace for bare field PATTERNS
+        (``ServerIndexConfigData.getMatchingIndexFields``:
+        userIndexedFieldNames). Internal bookkeeping fields (the
+        implicit zuliaId projection, ``_ztsf_`` timestamps, length
+        metas) are structurally excluded, so a ``*:term`` search can
+        never turn into false hits on every document (the 5.3.1
+        wildcard-expansion fix, FieldWildcardTest
+        internalFieldsExcludedFromWildcardExpansion)."""
+        return tuple(
+            dict.fromkeys(
+                ia.indexed_field_name for fc in self.field_configs for ia in fc.index_as
+            )
+        )
+
+    def wrap_field_names(self) -> tuple[str, ...]:
+        """Queryable length-wrap names (``|f|`` char length,
+        ``|||f|||`` list length) — the expansion namespace for
+        wrap-shaped patterns like ``|*Title|``
+        (getMatchingIndexFields: wrapIndexFieldNames). Both wraps
+        exist per stored column when ``store_length_meta`` writes
+        the meta columns; empty when it doesn't."""
+        if not self.store_length_meta:
+            return ()
+        cols = tuple(dict.fromkeys(fc.stored_field_name for fc in self.field_configs))
+        return tuple(f"|{c}|" for c in cols) + tuple(f"|||{c}|||" for c in cols)
+
+    @staticmethod
+    def _field_pattern_rx(pat: str):
+        """``*``-only wildcard → anchored regex, everything else
+        literal (getMatchingIndexFields quotes the pattern with
+        \\Q..\\E and splices ``.*`` at each star — ``?``/``[]`` have
+        no special meaning in reference field patterns)."""
+        import re
+
+        return re.compile("^" + ".*".join(re.escape(p) for p in pat.split("*")) + "$")
+
     def expand_field(self, name: str) -> tuple[str, ...]:
-        """FieldMapping expansion (FieldTypeUtil.expandFields:117-120,
-        applied by ZuliaFlexibleQueryParser before multi-field
-        expansion): resolve a query-side field name through
-        ``field_mappings``. Non-alias names pass through unchanged.
-        Expansion is one level (the reference's mapping table is flat:
-        aliases map to concrete fields/patterns, not other aliases)."""
+        """Field-name expansion, the ``getMatchingIndexFields`` /
+        ``FieldTypeUtil.expandFields`` pipeline applied by
+        ZuliaFlexibleQueryParser before multi-field expansion:
+
+        1. A name containing ``*`` is a PATTERN (checked first, as in
+           the reference): wrap-shaped patterns (``|*Title|``) expand
+           against the length-wrap names, bare patterns against
+           user-indexed field names only — may expand to NOTHING,
+           which the parser turns into a match-no-docs node
+           (ZuliaMultiFieldQueryNodeProcessor MatchNoDocsQueryNode).
+           Deviation: point-typed doc-values-only fields are not
+           probed by bare patterns here (they are not postings
+           fields in this engine); explicit references keep working.
+        2. A field-mapping alias resolves through ``field_mappings``
+           (one level — the mapping table is flat).
+        3. Anything else passes through unchanged.
+        """
+        if "*" in name:
+            wrap = len(name) > 1 and name.startswith("|") and name.endswith("|")
+            rx = self._field_pattern_rx(name)
+            cands = self.wrap_field_names() if wrap else self.user_indexed_field_names()
+            return tuple(sorted(f for f in cands if rx.match(f)))
         for alias, patterns, include_self in self.field_mappings:
             if alias != name:
                 continue
-            import fnmatch
-
-            indexed = list(dict.fromkeys(ia.indexed_field_name for _, ia in self.indexed_fields()))
+            indexed = self.user_indexed_field_names()
             out: list[str] = []
             for pat in patterns:
-                if "*" in pat or "?" in pat:
-                    out.extend(f for f in indexed if fnmatch.fnmatchcase(f, pat))
+                if "*" in pat:
+                    rx = self._field_pattern_rx(pat)
+                    out.extend(f for f in indexed if rx.match(f))
                 else:
                     out.append(pat)
             if include_self:

@@ -103,10 +103,12 @@ def documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         F.concat_ws("/", "source", "lang").alias("src_path"),
         # per-doc embedding (FieldConfig VECTOR type) for VECTOR clauses
         "embedding",
-        # BOOL field stored through the lenient store-time lexicon
-        # (BooleanFormatTest): mixed spellings coerce to one value
+        # BOOL field stored through the strict STRING lexicon
+        # (BooleanUtil.parseBoolean(String): exactly true/t/yes/y/1 +
+        # false/f/no/n/0): mixed spellings coerce to one value
         bool_coerce(
-            F.when(F.col("n_chars") > 300, F.lit("yes")).otherwise(F.lit("0.0"))
+            F.when(F.col("n_chars") > 300, F.lit("yes")).otherwise(F.lit("0")),
+            string_input=True,
         ).alias("long_flag"),
         # nullable/empty indexed column: NULL (no exists), "" (exists,
         # zero tokens), or the source tag (exists, tokens)
@@ -516,7 +518,7 @@ def q_bool_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOOL field coercion: every accepted spelling queries as the
     same value (BooleanFormatTest everyFormatQueriesAsTheSameValue).
     ``long_flag`` is stored through the lenient store-time lexicon
-    ("yes"/"0.0" → bool) and queried with a different spelling."""
+    ("yes"/"0" → bool) and queried with a different spelling."""
     eng = documents_engine(spark, sf_dir)
     res = eng.search_string("text:scan AND long_flag:y", amount=1)
     return spark.createDataFrame([(res["totalHits"],)], "hits bigint")

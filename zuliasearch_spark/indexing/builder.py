@@ -136,7 +136,12 @@ def _make_tokenizer(field_specs, store_positions: bool = True, id_cfg=None, uid_
     """
     import pyarrow as pa
 
-    from zuliasearch_spark.analysis.analyzers import term_freqs_positions
+    from zuliasearch_spark.analysis.analyzers import (
+        term_freqs_list_keyword,
+        term_freqs_positions,
+        term_freqs_positions_list_keyword,
+    )
+    from zuliasearch_spark.config import KEYWORD as _KEYWORD_TOK
 
     def tokenize(batches):
         # when id_cfg is set, (shard, doc_id) are assigned HERE from
@@ -152,29 +157,46 @@ def _make_tokenizer(field_specs, store_positions: bool = True, id_cfg=None, uid_
                 docid = rb.column(names.index("doc_id")).to_numpy()
             for col, field_name, settings in field_specs:
                 arr = rb.column(names.index(col))
+                list_keyword = False
                 if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-                    # multivalued text: analyze the values joined by a
-                    # space — one token stream per doc, positions
-                    # running consecutively across values (Lucene's
-                    # default positionIncrementGap of 0). The null mask
-                    # stays the LIST's: an empty list is a present
-                    # field (FIELDS_LIST_FIELD / NullEmptyTest
-                    # `comments:*` matches List.of()).
                     import pyarrow.compute as pc
 
-                    joined = pc.binary_join(
-                        arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr,
-                        " ",
-                    )
-                    valid = pc.is_valid(joined).to_numpy(zero_copy_only=False)
-                    arr = joined
+                    la = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                    if settings.tokenizer == _KEYWORD_TOK:
+                        # multivalued KEYWORD-family field: each value
+                        # runs its OWN analyzer chain (joining would
+                        # weld ["fr","slovak"] into one token "fr
+                        # slovak" — the reference emits one keyword
+                        # token per value, FieldWildcardTest
+                        # docLanguage). Null mask stays the LIST's.
+                        valid = pc.is_valid(la).to_numpy(zero_copy_only=False)
+                        arr = la
+                        list_keyword = True
+                    else:
+                        # splitting tokenizers: analyze the values
+                        # joined by a space — one token stream per
+                        # doc, positions running consecutively across
+                        # values (Lucene's default
+                        # positionIncrementGap of 0). An empty list is
+                        # a present field (FIELDS_LIST_FIELD /
+                        # NullEmptyTest `comments:*` matches
+                        # List.of()).
+                        joined = pc.binary_join(la, " ")
+                        valid = pc.is_valid(joined).to_numpy(zero_copy_only=False)
+                        arr = joined
                 else:
                     import pyarrow.compute as pc
 
                     valid = pc.is_valid(
                         arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
                     ).to_numpy(zero_copy_only=False)
-                if store_positions:
+                if list_keyword:
+                    if store_positions:
+                        doc_idx, term_arr, tf, dl, posflat = term_freqs_positions_list_keyword(arr, settings)
+                    else:
+                        doc_idx, term_arr, tf, dl = term_freqs_list_keyword(arr, settings)
+                        posflat = np.empty(0, dtype=np.int64)
+                elif store_positions:
                     doc_idx, term_arr, tf, dl, posflat = term_freqs_positions(arr, settings)
                 else:
                     doc_idx, term_arr, tf, dl = term_freqs(arr, settings)
@@ -601,20 +623,35 @@ def build_postings(tall: DataFrame, config: IndexConfig) -> DataFrame:
     )
 
 
-def bool_coerce(col):
-    """Store-time BOOL coercion (FieldTypeUtil / BooleanFormatTest):
-    accepts booleans, true/t/yes/y + false/f/no/n in any case, and any
-    numeric exactly equal to 1 or 0; every other value FAILS the build
-    (`raise_error`), matching the reference's store-time rejection of
-    e.g. "maybe", 2, 1.5. Pure codegen — apply to the corpus column
-    before build_index and store the result via ``stored_cols``."""
+def bool_coerce(col, string_input: bool = False):
+    """Store-time BOOL coercion (``BooleanUtil.parseBoolean`` /
+    BooleanFieldIndexer.java:21, BooleanFormatTest): every other value
+    FAILS the build (`raise_error`), matching the reference's
+    store-time rejection of e.g. "maybe", 2, 1.5.
+
+    The reference dispatches on the runtime class of the document
+    value: a STRING must be one of exactly true/t/yes/y/1 or
+    false/f/no/n/0 (case insensitive, trimmed — "1.0" is rejected),
+    while a NUMBER is accepted iff ``doubleValue()`` is exactly 1 or
+    0 (so a typed 1.0 passes). A Spark column is uniformly typed, so
+    pass ``string_input=True`` for string columns to get the strict
+    string lexicon; the default models a mixed-provenance (JSON/
+    Mongo-shaped) value column and accepts both forms. Pure codegen —
+    apply to the corpus column before build_index and store the
+    result via ``stored_cols``."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.lower(F.trim(c.cast("string")))
-    d = c.cast("string").try_cast("double")  # non-numeric spellings -> NULL, not ANSI error
+    if string_input:
+        true_cond = s.isin("true", "t", "yes", "y", "1")
+        false_cond = s.isin("false", "f", "no", "n", "0")
+    else:
+        d = c.cast("string").try_cast("double")  # non-numeric spellings -> NULL, not ANSI error
+        true_cond = s.isin("true", "t", "yes", "y", "1") | (d == 1.0)
+        false_cond = s.isin("false", "f", "no", "n", "0") | (d == 0.0)
     return (
         F.when(c.isNull(), F.lit(None).cast("boolean"))
-        .when(s.isin("true", "t", "yes", "y") | (d == 1.0), F.lit(True))
-        .when(s.isin("false", "f", "no", "n") | (d == 0.0), F.lit(False))
+        .when(true_cond, F.lit(True))
+        .when(false_cond, F.lit(False))
         .otherwise(
             F.raise_error(F.concat(F.lit("invalid boolean value: "), s))
             .cast("boolean")

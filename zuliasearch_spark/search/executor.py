@@ -828,25 +828,23 @@ def _validate_numeric_set_value(v, dt: str, fld: str) -> None:
 
 
 def _bool_literal(v) -> str:
-    """Query-side boolean coercion: the lexicon the reference's BOOL
-    field type accepts (BooleanFormatTest TRUE_VALUES/FALSE_VALUES —
-    true/t/yes/y and any numeric equal to 1, mirrored for false);
-    anything else is rejected like the reference's store-time errors
-    (bad-string "maybe", bad-number 2, bad-fraction 1.5)."""
+    """Query-side boolean coercion, matching
+    ``BooleanUtil.getStringAsBooleanInt`` (zulia-util BooleanUtil.java)
+    as used by ``ZuliaPointQueryNodeProcessor.java:185``: the string
+    lexicon is exactly true/t/yes/y/1 and false/f/no/n/0 (case
+    insensitive, trimmed); anything else maps to -1, which the
+    reference turns into an IntPoint query that matches NOTHING — so
+    here an unrecognized spelling becomes the SQL literal ``null``
+    (``x = null`` / ``IN (null)`` never match). Known deviation: a
+    RANGE bound with an unrecognized spelling is a no-match bound here
+    but the literal number -1 in the reference (exotic; bool ranges
+    with bad bounds)."""
     s = str(v).strip().lower()
-    if s in ("true", "t", "yes", "y"):
+    if s in ("true", "t", "yes", "y", "1"):
         return "true"
-    if s in ("false", "f", "no", "n"):
+    if s in ("false", "f", "no", "n", "0"):
         return "false"
-    try:
-        f = float(s)
-    except ValueError:
-        raise ValueError(f"invalid boolean value {v!r}") from None
-    if f == 1.0:
-        return "true"
-    if f == 0.0:
-        return "false"
-    raise ValueError(f"invalid boolean value {v!r}")
+    return "null"
 
 
 _EARTH_RADIUS_M = 6371008.7714  # Lucene GeoUtils.EARTH_MEAN_RADIUS_METERS

@@ -876,18 +876,30 @@ def resolve_tree(
         if node.field is None:
             raise ParseError("range needs a field")
         meta = _meta_field(node.field)
-        if meta != node.field:
+        if "*" in node.field:
+            # field pattern: wrap-shaped patterns expand against the
+            # length-wrap names then map to meta columns; bare
+            # patterns against user-indexed fields. Empty expansion →
+            # match no docs (MatchNoDocsQueryNode).
+            targets = tuple(_meta_field(f) for f in dict.fromkeys(expand_field(node.field)))
+        elif meta != node.field:
             targets = (meta,)  # |field| meta columns never alias-expand
         else:
             targets = tuple(dict.fromkeys(expand_field(node.field)))
+        if not targets:
+            return RLeaf((), conj=False, boost=1.0)
         return RRange(targets, node.lo, node.hi, node.incl_lo, node.incl_hi)
     if isinstance(node, ZlGeo):
-        return RGeo(node.kind, tuple(dict.fromkeys(expand_field(node.field))), node.args)
+        geo_targets = tuple(dict.fromkeys(expand_field(node.field)))
+        if not geo_targets:
+            return RLeaf((), conj=False, boost=1.0)
+        return RGeo(node.kind, geo_targets, node.args)
     if isinstance(node, ZlSet):
         if node.kind == "ns":
-            return RNumericSet(
-                tuple(dict.fromkeys(expand_field(node.field))), node.values
-            )
+            ns_targets = tuple(dict.fromkeys(expand_field(node.field)))
+            if not ns_targets:
+                return RLeaf((), conj=False, boost=1.0)
+            return RNumericSet(ns_targets, node.values)
         from zuliasearch_spark.search.query import TermSetSpec
 
         fields = field_targets(node.field)
@@ -902,6 +914,8 @@ def resolve_tree(
 
         fields = field_targets(node.field)
         if not fields:
+            if node.field is not None and "*" in node.field:
+                return RLeaf((), conj=False, boost=node.boost)
             raise ParseError("no default fields for interval function")
         ispecs = []
         for sub, (f, fb) in enumerate(fields):
@@ -936,9 +950,17 @@ def resolve_tree(
         and _meta_field(node.field) != node.field
     ):
         # bare |field|:N / |||field|||:N point query on a length-meta
-        # column (NullEmptyTest "|title|:0") — numeric point coercion
+        # column (NullEmptyTest "|title|:0") — numeric point coercion.
+        # Wrap-shaped PATTERNS (|*Title|:11, FieldWildcardTest) expand
+        # against the length-wrap names first; empty → match no docs.
+        if "*" in node.field:
+            metas = tuple(_meta_field(f) for f in dict.fromkeys(expand_field(node.field)))
+            if not metas:
+                return RLeaf((), conj=False, boost=node.boost)
+        else:
+            metas = (_meta_field(node.field),)
         v = _unescape(node.text)
-        return RRange((_meta_field(node.field),), v, v, True, True)
+        return RRange(metas, v, v, True, True)
     if node.field == "*" and node.text == "*" and not node.phrase and not node.regex:
         # *:* match-all (QueryUtil fixNegativeQuery appends it;
         # NullEmptyTest "(*:* -title:*) OR title:boring"): constant
@@ -970,6 +992,10 @@ def resolve_tree(
         return RRange((node.field,), v, v, True, True)
     fields = field_targets(node.field)
     if not fields:
+        if node.field is not None and "*" in node.field:
+            # field pattern matched nothing → match no docs
+            # (ZuliaMultiFieldQueryNodeProcessor MatchNoDocsQueryNode)
+            return RLeaf((), conj=False, boost=node.boost)
         raise ParseError(f"no default fields for term {node.text!r}")
     specs = []
     if node.text == "*" and not node.phrase and not node.regex:

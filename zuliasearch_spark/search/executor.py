@@ -4509,6 +4509,11 @@ class SearchEngine:
         )
         if exclude:
             base = base.filter(~F.col("uniqueId").isin(sorted(exclude)))
+        # three actions read this frame (totalHits count, top-k page,
+        # knn-membership probe) — persist the NARROW 4-column match
+        # set once instead of recomputing the lexical kernel per
+        # action (bytes ∝ matches × 4 small columns, never documents)
+        base = base.persist()
         spark = self.tables.doc_map.sparkSession
         if knn:
             knn_df = spark.createDataFrame(
@@ -4558,6 +4563,7 @@ class SearchEngine:
         topk = sorted(
             page + knn_only, key=lambda t: (-t["score"], t["shard"], t["doc_id"])
         )[:amount]
+        base.unpersist()
         return {
             # hybrid is NOT capped at vector_top_n (ShardedVectorTest):
             # lexical matches extend beyond the KNN pool

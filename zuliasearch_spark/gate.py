@@ -264,6 +264,17 @@ def q_qs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(spark, eng, req, 10)
 
 
+def q_range_or_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-values ranges in NESTED / SHOULD boolean positions
+    (Lucene accepts IndexOrDocValuesQuery clauses anywhere; engine
+    set-algebra path executor._match_tree_mixed): a range under OR
+    inside an AND group, and a bare lexical-OR-range union."""
+    eng = documents_engine(spark, sf_dir)
+    h1 = eng.search_string("(n_chars>400 OR window) AND merge", qf=("text",), amount=1)["totalHits"]
+    h2 = eng.search_string("scan OR n_chars<=120", qf=("text",), amount=1)["totalHits"]
+    return spark.createDataFrame([(h1, h2)], "hits_nested bigint, hits_or bigint")
+
+
 def q_qs_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-string booleans with NOT and nesting:
     '(merge AND scan) OR window -lang:fr'."""
@@ -2675,7 +2686,9 @@ QUERIES = {
     "sort_topk": q_sort_topk,
     "sort_multi": q_sort_multi,
     "docvalue_range": q_docvalue_range,
-    "mlt_topk": q_mlt_topk,
+    # new in r4 late: nested/SHOULD-position ranges — takes the window
+    # slot of r02-green unchanged mlt_topk (below)
+    "range_or_count": q_range_or_count,
     "ivf_topk": q_ivf_topk,
     "simhash_pairs": q_simhash_pairs,
     # new in r4: contamination / packing / sampling — never
@@ -2728,6 +2741,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_terms": q_doc_terms,
     "summary_terms": q_summary_terms,
+    "mlt_topk": q_mlt_topk,
     "lsh_jaccard": q_lsh_jaccard,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2862,6 +2876,14 @@ SELECT doc_id, round(score, 4) AS score FROM (
   WHERE (sm IS NOT NULL AND ss IS NOT NULL) OR sw IS NOT NULL
 )
 ORDER BY round(score, 7) DESC, doc_id ASC LIMIT 10""",
+    "range_or_count": f"""
+WITH {_TOKS_CTE}
+SELECT
+ (SELECT count(*) FROM documents d
+   WHERE (d.n_chars > 400 OR d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'window'))
+     AND d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'merge'))::BIGINT AS hits_nested,
+ (SELECT count(*) FROM documents d
+   WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'scan') OR d.n_chars <= 120)::BIGINT AS hits_or""",
     "qs_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(*)::BIGINT AS hits FROM documents d

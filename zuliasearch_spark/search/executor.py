@@ -82,7 +82,11 @@ from zuliasearch_spark.search.matcher import combine_clauses, evaluate_tree
 from zuliasearch_spark.search.parser import ExistsSpec as _ExistsSpecT
 from zuliasearch_spark.search.parser import RGeo as _RGeoT
 from zuliasearch_spark.search.parser import RNumericSet as _RNumericSetT
+from zuliasearch_spark.search.parser import RRange as RRangeT
 from zuliasearch_spark.search.parser import (
+    MUST as _MUST,
+    MUST_NOT as _MUST_NOT,
+    ParseError,
     RBool,
     apply_global_mm,
     parse_query,
@@ -1908,7 +1912,12 @@ class SearchEngine:
             amount=amount, start=start, similarities=tuple(similarities),
         )
         _, tree = self._resolve_request(req)
-        ranges = tree_ranges(tree)
+        try:
+            ranges = tree_ranges(tree)
+        except ParseError:
+            # doc-values leaves in nested/SHOULD positions: set-algebra
+            # evaluation (Lucene accepts range clauses anywhere)
+            return self._search_tree_mixed(tree, req, amount, start)
         if not ranges:
             return self.search(req)
         pred = self._range_predicate(ranges)
@@ -2061,7 +2070,12 @@ class SearchEngine:
         """
         resolved, tree = self._resolve_request(req)
         if tree is not None:
-            ranges = tree_ranges(tree)
+            try:
+                ranges = tree_ranges(tree)
+            except ParseError:
+                # nested/SHOULD doc-values leaves: set-algebra path, so
+                # facets/stats/percentiles accept them too
+                return self._match_tree_mixed(tree, req)
             if ranges:
                 # range conjuncts take the IndexOrDocValuesQuery split
                 # (SetQueryHelper.java:45-106), same composition as
@@ -2731,6 +2745,154 @@ class SearchEngine:
             "topk": [
                 {"shard": int(r["shard"]), "doc_id": int(r["doc_id"]), "score": float(r["score"]), "uniqueId": r["uniqueId"]}
                 for r in top
+            ],
+            "hitsExact": True,
+        }
+
+    def _match_tree_mixed(self, tree, req: SearchRequest) -> DataFrame:
+        """Match set for a tree whose doc-values leaves (ranges /
+        numeric sets / geo) sit in NESTED or SHOULD positions — shapes
+        the conjunct-split path (``tree_ranges``) rejects, but which
+        Lucene's BooleanQuery accepts anywhere
+        (IndexOrDocValuesQuery scorers compose like any other clause).
+
+        Set-algebra evaluation mirroring ``matcher.evaluate_tree``:
+        pure-postings subtrees run through the sharded kernel
+        unchanged (one kernel pass per maximal postings subtree); a
+        doc-values leaf becomes a live-doc_map filter with constant
+        score 0.0 (the same contract as the conjunct path); boolean
+        nodes combine child frames with one union + groupBy per node
+        — MUST = matched-children count equal to the MUST count,
+        SHOULD = matched count >= mm (>=1 without MUSTs), MUST_NOT =
+        anti-join — summing scores exactly as the matcher does and
+        applying the node boost. Scale: every combine is one hash
+        shuffle on (shard, doc_id); nothing collects to the driver.
+
+        Documented deviation: the float32 score rounding the kernel
+        applies at ITS root applies per postings subtree here, so
+        mixed-tree scores can differ from a hypothetical single-pass
+        evaluation in the last float32 ulp.
+        """
+
+        def dv_leaf(node) -> bool:
+            return isinstance(node, (RRangeT, _RNumericSetT, _RGeoT))
+
+        def kernel_frame(node) -> DataFrame:
+            sub = node if isinstance(node, RBool) else RBool(((_MUST, node),))
+            sreq = SearchRequest(
+                qs=_TREE_SENTINEL, qf=req.qf, default_op=req.default_op,
+                mm=0, amount=req.amount, similarities=req.similarities,
+            )
+            self._resolve_cache[
+                ("qs", _TREE_SENTINEL, sreq.qf, sreq.default_op, 0)
+            ] = sub
+            return self.match_ids(sreq)
+
+        def empty_frame() -> DataFrame:
+            spark = self.tables.doc_map.sparkSession
+            return spark.createDataFrame([], MATCH_SCHEMA)
+
+        def eval_node(node) -> DataFrame:
+            if dv_leaf(node):
+                pred = self._range_predicate([(_MUST, node)])
+                return (
+                    self._live_doc_map()
+                    .filter(pred)
+                    .select("shard", "doc_id")
+                    .withColumn("score", F.lit(0.0))
+                )
+            try:
+                # maximal subtree the conjunct path can run (pure
+                # postings, or postings + top-conjunct dv) → kernel
+                tree_ranges(node)
+                if not tree_has_positive_leaf(node):
+                    return empty_frame()  # nested pure-negative: Lucene matches nothing
+                return kernel_frame(node)
+            except ParseError:
+                pass
+            assert isinstance(node, RBool)
+            musts, shoulds, nots = [], [], []
+            for occur, child in node.children:
+                if occur == _MUST:
+                    musts.append(eval_node(child))
+                elif occur == _MUST_NOT:
+                    nots.append(eval_node(child))
+                else:
+                    shoulds.append(eval_node(child))
+            # one union + one aggregation per occur class — a chain of
+            # joins would shuffle once per child instead
+            def tag_union(frames, col):
+                out = None
+                for i, f in enumerate(frames):
+                    t = f.select("shard", "doc_id", "score").withColumn(col, F.lit(i))
+                    out = t if out is None else out.unionByName(t)
+                return out
+
+            base = None
+            if musts:
+                mu = tag_union(musts, "_c").groupBy("shard", "doc_id").agg(
+                    F.sum("score").alias("_mscore"),
+                    F.count_distinct(F.col("_c")).alias("_mcnt"),
+                )
+                base = mu.filter(F.col("_mcnt") == len(musts))
+            if shoulds:
+                sh = tag_union(shoulds, "_c").groupBy("shard", "doc_id").agg(
+                    F.sum("score").alias("_sscore"),
+                    F.count_distinct(F.col("_c")).alias("_smatched"),
+                )
+                if base is not None:
+                    base = base.join(sh, ["shard", "doc_id"], "left")
+                    score = F.col("_mscore") + F.coalesce(F.col("_sscore"), F.lit(0.0))
+                    if node.mm > 0:
+                        base = base.filter(
+                            F.coalesce(F.col("_smatched"), F.lit(0)) >= node.mm
+                        )
+                else:
+                    need = node.mm if node.mm > 0 else 1
+                    base = sh.filter(F.col("_smatched") >= need)
+                    score = F.col("_sscore")
+            elif base is not None:
+                score = F.col("_mscore")
+            else:
+                return empty_frame()  # only prohibited children, nested
+            for nf in nots:
+                base = base.join(
+                    nf.select("shard", "doc_id"), ["shard", "doc_id"], "left_anti"
+                )
+            if node.boost != 1.0:
+                score = score * F.lit(node.boost)
+            return base.select("shard", "doc_id", score.alias("score"))
+
+        return eval_node(tree)
+
+    def _search_tree_mixed(self, tree, req: SearchRequest, amount: int, start: int) -> dict:
+        """Page a mixed-position doc-values tree: rank by (score desc,
+        shard, doc_id) like every other entry point."""
+        j = (
+            self._match_tree_mixed(tree, req)
+            .join(
+                self.tables.doc_map.select("shard", "doc_id", "uniqueId"),
+                ["shard", "doc_id"],
+            )
+            .persist()  # narrow 4-column frame; two actions below
+        )
+        try:
+            rows = (
+                j.orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))
+                .limit(start + amount)
+                .collect()
+            )
+            total = j.count()
+        finally:
+            j.unpersist()
+        return {
+            "totalHits": int(total),
+            "topk": [
+                {
+                    "shard": int(r["shard"]), "doc_id": int(r["doc_id"]),
+                    "score": float(r["score"]), "uniqueId": r["uniqueId"],
+                }
+                for r in rows[start : start + amount]
             ],
             "hitsExact": True,
         }

@@ -96,7 +96,9 @@ def test_zulia_score_sort(engine):
     equals the default ranking's best."""
     eng, df = engine
     req = SearchRequest(
-        (C("SCORE_SHOULD", q="content:def OR content:return"),), amount=5
+        # mini grammar: unscoped tokens are SHOULD under default_op OR
+        # (a bare "OR" keyword now raises, directing to qs=)
+        (C("SCORE_SHOULD", q="content:def content:return"),), amount=5
     )
     scored = (
         eng.match_ids(req).select("doc_id", "score").orderBy("score").collect()

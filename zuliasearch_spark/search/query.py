@@ -409,6 +409,15 @@ def resolve_clause(
                 group += 1
     elif clause.q is not None:
         for token in clause.q.split():
+            if token in ("OR", "AND", "NOT") or token.startswith(("(", "[", "{", '"')):
+                # loud failure instead of silently analyzing "OR" as a
+                # term: clause text is the mini grammar (programmatic
+                # builder analogue); booleans/ranges/phrases belong in
+                # SearchRequest(qs=...), the full query-string syntax
+                raise ValueError(
+                    f"clause q token {token!r} needs the full query-string "
+                    "grammar — use SearchRequest(qs=...) instead of clause q"
+                )
             if ":" in token:
                 fname, raw = token.split(":", 1)
                 targets = [(f, raw, 1.0) for f in expand(fname)]

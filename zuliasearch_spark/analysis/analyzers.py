@@ -679,42 +679,56 @@ def _agg_pairs_positions(ts: TokenStream, n_docs: int):
     return out_doc, out_term, tf, dl, p.astype(np.int64, copy=False)
 
 
-def _list_value_stream(list_arr, settings: AnalyzerSettings) -> TokenStream:
+# Lucene's gap between the position streams of a field's values —
+# ZuliaFieldAnalyzer.getPositionIncrementGap returns 100, so phrases,
+# proximity windows, and shingles can never match ACROSS two values
+# (a space-join would weld values together: cross-value phrase false
+# positives, and KeywordTokenizer would emit one token for the whole
+# joined list instead of one per value)
+POSITION_INC_GAP = 100
+
+
+def _list_value_stream(list_arr, settings: AnalyzerSettings,
+                       gap: int = POSITION_INC_GAP) -> TokenStream:
     """Analyze a list<string> column PER VALUE and remap the stream to
-    the parent document. Required for KEYWORD-tokenizer analyzers,
-    where joining values with a space would weld them into one token:
-    the reference runs each value through its own TokenStream and the
-    KeywordTokenizer contributes one position increment per value
-    (ZuliaFieldAnalyzer; Lucene Document.add per value), so the
-    parent-level position of a value's token is the value's ordinal —
-    a dropped value (e.g. stop-worded) leaves a position gap exactly
-    like StopFilter does."""
+    the parent document — the reference runs each value through its
+    own TokenStream (Lucene Document.add per value), so filters like
+    shingles see one value at a time, and value k's first token sits
+    ``gap`` positions past value k-1's last (position arithmetic:
+    base_k = base_{k-1} + emitted-span_{k-1} + gap). A value whose
+    tokens are all dropped (e.g. stop-worded) still advances the base
+    by ``gap``; trailing-dropped token counts are not recoverable from
+    the emitted stream — a ±few-position deviation vs Lucene's
+    counter, invisible next to the 100-position gap."""
     la = list_arr.combine_chunks() if isinstance(list_arr, pa.ChunkedArray) else list_arr
     flat = la.flatten()
     parent = pc.list_parent_indices(la).to_numpy(zero_copy_only=False).astype(np.int64)
     ts = tokenize(flat, settings)
-    if parent.size:
-        # ordinal of each value within its parent (parent ascending)
-        first = np.searchsorted(parent, parent, side="left")
-        ordv = np.arange(parent.size, dtype=np.int64) - first
-    else:
-        ordv = parent
     pos = None
-    if ts.pos is not None:
-        pos = ts.pos + ordv[ts.doc_idx]
+    if ts.pos is not None and parent.size:
+        # per-value emitted position span (max emitted pos + 1)
+        spans = np.zeros(parent.size, dtype=np.int64)
+        if len(ts):
+            np.maximum.at(spans, ts.doc_idx, ts.pos + 1)
+        # segmented cumulative base: values of a parent are contiguous
+        gbase = np.concatenate(([0], np.cumsum(spans + gap)))[:-1]
+        first = np.searchsorted(parent, parent, side="left")
+        base = gbase - gbase[first]
+        pos = ts.pos + base[ts.doc_idx]
+    elif ts.pos is not None:
+        pos = ts.pos
     return TokenStream(parent[ts.doc_idx], ts.codes, ts.vocab, pos)
 
 
-def term_freqs_list_keyword(list_arr, settings: AnalyzerSettings):
-    """:func:`term_freqs` for a multivalued column under a
-    KEYWORD-family analyzer (per-value token streams)."""
+def term_freqs_list(list_arr, settings: AnalyzerSettings):
+    """:func:`term_freqs` for a multivalued column (per-value token
+    streams, reference analysis semantics)."""
     return _agg_pairs(_list_value_stream(list_arr, settings), len(list_arr))
 
 
-def term_freqs_positions_list_keyword(list_arr, settings: AnalyzerSettings):
-    """:func:`term_freqs_positions` for a multivalued column under a
-    KEYWORD-family analyzer (per-value token streams; positions are
-    value ordinals)."""
+def term_freqs_positions_list(list_arr, settings: AnalyzerSettings):
+    """:func:`term_freqs_positions` for a multivalued column
+    (per-value token streams; 100-position gaps between values)."""
     return _agg_pairs_positions(_list_value_stream(list_arr, settings), len(list_arr))
 
 

@@ -137,11 +137,10 @@ def _make_tokenizer(field_specs, store_positions: bool = True, id_cfg=None, uid_
     import pyarrow as pa
 
     from zuliasearch_spark.analysis.analyzers import (
-        term_freqs_list_keyword,
+        term_freqs_list,
         term_freqs_positions,
-        term_freqs_positions_list_keyword,
+        term_freqs_positions_list,
     )
-    from zuliasearch_spark.config import KEYWORD as _KEYWORD_TOK
 
     def tokenize(batches):
         # when id_cfg is set, (shard, doc_id) are assigned HERE from
@@ -157,44 +156,29 @@ def _make_tokenizer(field_specs, store_positions: bool = True, id_cfg=None, uid_
                 docid = rb.column(names.index("doc_id")).to_numpy()
             for col, field_name, settings in field_specs:
                 arr = rb.column(names.index(col))
-                list_keyword = False
-                if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-                    import pyarrow.compute as pc
+                is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+                import pyarrow.compute as pc
 
-                    la = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-                    if settings.tokenizer == _KEYWORD_TOK:
-                        # multivalued KEYWORD-family field: each value
-                        # runs its OWN analyzer chain (joining would
-                        # weld ["fr","slovak"] into one token "fr
-                        # slovak" — the reference emits one keyword
-                        # token per value, FieldWildcardTest
-                        # docLanguage). Null mask stays the LIST's.
-                        valid = pc.is_valid(la).to_numpy(zero_copy_only=False)
-                        arr = la
-                        list_keyword = True
-                    else:
-                        # splitting tokenizers: analyze the values
-                        # joined by a space — one token stream per
-                        # doc, positions running consecutively across
-                        # values (Lucene's default
-                        # positionIncrementGap of 0). An empty list is
-                        # a present field (FIELDS_LIST_FIELD /
-                        # NullEmptyTest `comments:*` matches
-                        # List.of()).
-                        joined = pc.binary_join(la, " ")
-                        valid = pc.is_valid(joined).to_numpy(zero_copy_only=False)
-                        arr = joined
+                if is_list:
+                    # multivalued field: each value runs its OWN
+                    # analyzer chain with a 100-position gap between
+                    # values (ZuliaFieldAnalyzer.getPositionIncrementGap
+                    # — no cross-value phrases/shingles; KEYWORD emits
+                    # one token per value, FieldWildcardTest
+                    # docLanguage). The null mask stays the LIST's: an
+                    # empty list is a present field (FIELDS_LIST_FIELD
+                    # / NullEmptyTest `comments:*` matches List.of()).
+                    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
                 else:
-                    import pyarrow.compute as pc
-
                     valid = pc.is_valid(
                         arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
                     ).to_numpy(zero_copy_only=False)
-                if list_keyword:
+                if is_list:
                     if store_positions:
-                        doc_idx, term_arr, tf, dl, posflat = term_freqs_positions_list_keyword(arr, settings)
+                        doc_idx, term_arr, tf, dl, posflat = term_freqs_positions_list(arr, settings)
                     else:
-                        doc_idx, term_arr, tf, dl = term_freqs_list_keyword(arr, settings)
+                        doc_idx, term_arr, tf, dl = term_freqs_list(arr, settings)
                         posflat = np.empty(0, dtype=np.int64)
                 elif store_positions:
                     doc_idx, term_arr, tf, dl, posflat = term_freqs_positions(arr, settings)

@@ -27,7 +27,13 @@ def _engine(spark):
             "alpha beta gamma",
             i * 10,
             "x" * 500,  # wide stored column standing in for a text body
-            [float(i)] * 16,  # wide stored column standing in for an embedding
+            # wide stored column standing in for an embedding. i+1: a
+            # ZERO vector would divide-by-zero the cosine under ANSI
+            # mode — the reference REJECTS zero-magnitude vectors at
+            # store time for cosine similarity (Lucene
+            # VectorUtil.cosine); store-time rejection is a known
+            # missing guard here (round-5 item)
+            [float(i + 1)] * 16,
         )
         for i in range(12)
     ]
@@ -94,4 +100,39 @@ def test_docvalues_excludes_deleted(spark):
         ids = {t["uniqueId"] for t in ns["topk"]}
         assert not {"d4", "d8"} & ids
     finally:
+        tables.unpersist()
+
+
+def test_hybrid_mlt_persist_is_narrow(spark, monkeypatch):
+    """The hybrid MLT match-set persist (three actions share it) must
+    cache only the 4 narrow columns, never stored text/vectors."""
+    eng, tables = _engine(spark)
+    persisted_schemas = []
+    df_cls = type(tables.doc_map)
+    orig = df_cls.persist
+
+    def capture(df, *a, **kw):
+        persisted_schemas.append(list(df.columns))
+        return orig(df, *a, **kw)
+
+    monkeypatch.setattr(df_cls, "persist", capture)
+    try:
+        res = eng.more_like_this(
+            fields=("content",),
+            like_texts=("alpha beta gamma alpha beta",),
+            vector_field="vec",
+            like_vectors=([1.0] * 16,),
+            vector_top_n=3,
+            min_term_freq=1,
+            min_doc_freq=1,
+            max_doc_freq_pct=100,
+            amount=5,
+        )
+        assert res["totalHits"] > 0
+        assert persisted_schemas, "hybrid MLT no longer persists — update test"
+        for cols in persisted_schemas:
+            assert "body" not in cols and "vec" not in cols, cols
+            assert set(cols) <= {"shard", "doc_id", "score", "uniqueId"}, cols
+    finally:
+        monkeypatch.undo()
         tables.unpersist()

@@ -2803,10 +2803,16 @@ class SearchEngine:
                 )
             try:
                 # maximal subtree the conjunct path can run (pure
-                # postings, or postings + top-conjunct dv) → kernel
-                tree_ranges(node)
-                if not tree_has_positive_leaf(node):
-                    return empty_frame()  # nested pure-negative: Lucene matches nothing
+                # postings, postings + top-conjunct dv, or pure dv —
+                # match_ids serves all three) → kernel
+                rs = tree_ranges(node)
+                if not rs and not tree_has_positive_leaf(node):
+                    # pure-negative postings subtree, NESTED: Lucene
+                    # matches nothing (a pure-dv subtree has no RLeaf
+                    # but is positive — rs non-empty covers it)
+                    return empty_frame()
+                if rs and all(o == _MUST_NOT for o, _ in rs) and not tree_has_positive_leaf(node):
+                    return empty_frame()  # only prohibited dv conjuncts
                 return kernel_frame(node)
             except ParseError:
                 pass

@@ -119,3 +119,22 @@ def test_dedup_clusters_high_threshold_splits(spark):
     docs = spark.createDataFrame(rows, "doc_id: long, text: string")
     out = {r["doc_id"]: r["cluster"] for r in P.dedup_clusters(docs, threshold=1.0).collect()}
     assert out[1] == 1 and out[2] == 1 and out[3] == 3
+
+
+def test_dedup_keep_best_prefers_quality(spark):
+    # cluster of near-identical docs where the LATER doc has higher
+    # quality (more stopwords) — keeper must be quality-best, not
+    # min-id
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base + " xq zz"),                  # fewer stopwords at tail
+        (2, base + " and the"),                # extra stopwords -> higher quality
+        (9, "completely unrelated text about catalyst plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: (r["cluster"], r["keep"]) for r in
+           P.dedup_keep_best(docs, threshold=0.5).collect()}
+    assert out[1][0] == out[2][0] == 1          # same cluster, min-id label
+    kept = [d for d, (_, k) in out.items() if k]
+    assert 9 in kept and len(kept) == 2
+    assert (1 in kept) != (2 in kept)           # exactly one of the pair

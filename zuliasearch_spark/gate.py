@@ -2059,6 +2059,12 @@ def q_span_dedup(spark, sf_dir):
     return P.span_dedup(_docs(spark, sf_dir), span_tokens=10)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-preferring dedup keeper: cluster near-duplicates, keep
+    the highest-quality doc per cluster (min doc_id tiebreak)."""
+    return P.dedup_keep_best(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_lang_id(spark, sf_dir):
     return P.lang_id(_docs(spark, sf_dir))
 
@@ -2408,6 +2414,15 @@ SELECT doc_id, n_toks::BIGINT AS n_toks,
 FROM s
 """
 
+_DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE cl AS ({_DEDUP_CLUSTERS_SQL}), ql AS ({_QUALITY_SQL})
+SELECT c.doc_id, c.cluster, q.quality,
+       row_number() OVER (PARTITION BY c.cluster
+                          ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
+FROM cl c JOIN ql q ON q.doc_id = c.doc_id
+"""
+
+
 _WINNOW_SQL = f"""
 WITH {_LST},
 g AS (SELECT doc_id, CASE WHEN len(l) >= {P.WINNOW_K} THEN
@@ -2739,6 +2754,7 @@ QUERIES = {
     # rotated out of the 50-slot window for r4's facet_multivalued
     # (lang_id is r02-driver-green and unchanged since)
     "lang_id": q_lang_id,
+    "dedup_keep_best": q_dedup_keep_best,
     "doc_terms": q_doc_terms,
     "summary_terms": q_summary_terms,
     "mlt_topk": q_mlt_topk,
@@ -3295,6 +3311,7 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "lsh_jaccard": _LSH_JACCARD_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "ngram_jaccard": _NGRAM_SQL,
     "neardup_cosine": _NEARDUP_SQL,

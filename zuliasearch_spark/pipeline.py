@@ -1058,3 +1058,26 @@ def span_dedup(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
             ),
         ).alias("text_kept"),
     )
+
+
+def dedup_keep_best(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Fuzzy-dedup clustering with a QUALITY-preferring keeper:
+    production pretraining pipelines keep the best document of a
+    near-duplicate cluster (highest quality score, min doc_id
+    tiebreak), not the first-seen one. Returns ``(doc_id, cluster,
+    quality, keep)`` for every document.
+
+    Scale shape: everything in ``dedup_clusters`` plus one window
+    partitioned by cluster — clusters are tiny (near-dup groups), so
+    the window is one hash exchange with no skew concern.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(docs, threshold).select("doc_id", "cluster")
+    q = quality_score(docs).select("doc_id", "quality")
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return j.select(
+        "doc_id", "cluster", "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

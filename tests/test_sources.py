@@ -421,3 +421,59 @@ def test_read_spreadsheet_dispatches_xlsx(spark, tmpdir):
     # legacy .xls stays an honest NotImplementedError (binary BIFF)
     with pytest.raises(NotImplementedError):
         read_spreadsheet(spark, os.path.join(tmpdir, "old.xls"))
+
+
+def test_xlsx_blank_rows_bools_and_huge_numbers(spark, tmpdir):
+    """The 5.3.x spreadsheet robustness fixes: a blank <row/> reads as
+    an all-empty record (not an error), boolean cells survive typed,
+    very large whole numbers keep their value (no clamp to
+    Long.MAX_VALUE), and a missing trailing cell reads as NULL."""
+    import zipfile
+
+    from zuliasearch_spark.sources import read_xlsx
+
+    path = os.path.join(tmpdir, "edges.xlsx")
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    wb = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    sheet = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>flag</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>n</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>x</t></is></c>'
+        '<c r="B2" t="b"><v>1</v></c><c r="C2"><v>92233720368547758070000</v></c></row>'
+        '<row r="3"/>'
+        '<row r="4"><c r="A4" t="inlineStr"><is><t>y</t></is></c>'
+        '<c r="B4" t="b"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = read_xlsx(spark, path)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0]["flag"] is True and rows[2]["flag"] is False
+    assert rows[0]["n"] == pytest.approx(9.223372036854776e22)
+    # blank <row/> -> all-empty record; missing trailing cell -> NULL
+    assert rows[1]["name"] is None and rows[1]["flag"] is None and rows[1]["n"] is None
+    assert rows[2]["n"] is None
+    assert dict(df.dtypes)["flag"] == "boolean"

@@ -56,16 +56,20 @@ def _gen(rng, depth):
             w = rng.choice(WORDS)
             return f"text:{w}", lambda d, w=w: w in d[0]
         lo = rng.randint(1990, 2030)
-        kind = rng.choice([">", "<", "range"])
+        kind = rng.choice([">", "<", "range", "ns"])
         if kind == ">":
             return f"year>{lo}", lambda d, lo=lo: d[1] > lo
         if kind == "<":
             return f"year<{lo}", lambda d, lo=lo: d[1] < lo
-        hi = lo + rng.randint(0, 15)
-        return (
-            f"year:[{lo} TO {hi}]",
-            lambda d, lo=lo, hi=hi: lo <= d[1] <= hi,
-        )
+        if kind == "range":
+            hi = lo + rng.randint(0, 15)
+            return (
+                f"year:[{lo} TO {hi}]",
+                lambda d, lo=lo, hi=hi: lo <= d[1] <= hi,
+            )
+        vals = sorted({rng.randint(1990, 2030) for _ in range(rng.randint(1, 3))})
+        q = "year:zl:ns(" + " ".join(map(str, vals)) + ")"
+        return q, lambda d, vs=set(vals): d[1] in vs
     kids = [_gen(rng, depth - 1) for _ in range(rng.randint(2, 3))]
     shape = rng.choice(["or", "or_mm", "and", "and_not"])
     if shape == "or":

@@ -750,6 +750,47 @@ def _calibrate_quantization(corpus: DataFrame, config: IndexConfig) -> dict | No
     return out
 
 
+def _guard_zero_vectors(doc_map: DataFrame, config: IndexConfig) -> DataFrame:
+    """Store-time rejection of zero-magnitude vectors for every
+    configured vector field — Lucene refuses to index a zero vector
+    under cosine similarity (VectorUtil.cosine throws
+    IllegalArgumentException; KnnFloatVectorField validates at
+    document build), and the reference inherits that through its
+    Lucene codecs. Without this guard a stored zero vector divides
+    by zero at query time (cosine denominators) under ANSI mode.
+
+    Pure codegen: each vector column is wrapped in a
+    ``raise_error`` branch that fires during the build's first
+    materialization (write_index / persist), naming the field and the
+    offending uniqueId. NULL vectors stay legal (doc without the
+    field); an empty array is rejected too (dimension 0 is invalid at
+    Lucene field creation)."""
+    dtypes = dict(doc_map.dtypes)
+    for col, vc in config.vector_fields():
+        if col not in doc_map.columns:
+            continue
+        vec = F.col(col)
+        sumsq = F.aggregate(
+            vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+        doc_map = doc_map.withColumn(
+            col,
+            F.when(
+                vec.isNotNull() & (sumsq == 0.0),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"zero-magnitude vector for cosine field "
+                            f"{vc.indexed_field_name!r} at uniqueId="
+                        ),
+                        F.col("uniqueId").cast("string"),
+                    )
+                ).cast(dtypes[col]),
+            ).otherwise(vec),
+        )
+    return doc_map
+
+
 def _add_vector_encodings(
     doc_map: DataFrame, config: IndexConfig, calib: dict | None = None
 ) -> DataFrame:
@@ -949,6 +990,7 @@ def build_index(
         F.col(uid).alias("uniqueId"),
         *[c for c in narrow.columns if c != uid],
     )
+    doc_map = _guard_zero_vectors(doc_map, config)
     doc_map = _add_vector_encodings(
         doc_map, config, calib=_calibrate_quantization(corpus, config)
     )

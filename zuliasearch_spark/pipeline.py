@@ -344,7 +344,13 @@ def _dot(a, b):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """Codegen cosine. The denominator is nullif-guarded: a
+    zero-magnitude side yields NULL instead of an ANSI
+    divide-by-zero — the ingest guard (builder._guard_zero_vectors)
+    rejects stored zero vectors, this covers ad-hoc frames that never
+    passed through an index build (Lucene rejects the same vectors at
+    store time, VectorUtil.cosine)."""
+    return _dot(a, b) / F.nullif(F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)), F.lit(0.0))
 
 
 def hyperplanes(n_planes: int, dims: int):

@@ -86,8 +86,10 @@ from zuliasearch_spark.search.parser import RRange as RRangeT
 from zuliasearch_spark.search.parser import (
     MUST as _MUST,
     MUST_NOT as _MUST_NOT,
+    SHOULD as _SHOULD,
     ParseError,
     RBool,
+    RLeaf,
     apply_global_mm,
     parse_query,
     resolve_tree,
@@ -98,6 +100,40 @@ from zuliasearch_spark.search.parser import (
 )
 
 _TREE_SENTINEL = "\x00tree\x00"  # cache key for a pre-stripped AST
+
+
+def _require_nonzero_query_vector(vector) -> None:
+    """Query-side mirror of the store-time zero-vector rejection:
+    Lucene's VectorUtil.cosine throws IllegalArgumentException for a
+    zero query vector; raising driver-side gives the caller the same
+    loud failure instead of an all-NULL cosine column."""
+    if not any(float(x) != 0.0 for x in vector):
+        raise ValueError(
+            "zero-magnitude query vector: cosine similarity is undefined "
+            "(Lucene VectorUtil.cosine rejects zero vectors)"
+        )
+
+
+def _resolved_clause_to_tree(rc: "ResolvedClause") -> "RBool":
+    """ResolvedClause (plain-token clause model) → equivalent RBool
+    subtree, so a mixed request (some clauses needing the full
+    grammar) evaluates every clause on ONE tree. Mirrors
+    matcher.combine_clauses' group algebra exactly: each token GROUP
+    becomes one RLeaf child (OR across its per-field subgroups;
+    multi-term tokens conj under default-AND via RLeaf.conj), a
+    required group is a MUST child, optional groups are SHOULD with
+    the clause's min_optional as the node's mm."""
+    by_group: dict[int, list] = {}
+    req_by_group: dict[int, bool] = {}
+    for s in rc.specs:
+        by_group.setdefault(s.group, []).append(s)
+        req_by_group[s.group] = s.required
+    children = []
+    for g in sorted(by_group):
+        specs = tuple(by_group[g])
+        leaf = RLeaf(specs, conj=bool(req_by_group[g]), boost=1.0)
+        children.append((_MUST if req_by_group[g] else _SHOULD, leaf))
+    return RBool(tuple(children), mm=rc.min_optional, boost=1.0)
 from zuliasearch_spark.search.query import (
     DrillDown,
     IntervalSpec,
@@ -106,6 +142,7 @@ from zuliasearch_spark.search.query import (
     SearchRequest,
     TermSetSpec,
     TermSpec,
+    clause_q_is_plain,
     iter_stat_keys,
     resolve_clause,
 )
@@ -1321,36 +1358,97 @@ class SearchEngine:
         return tuple(sorted(out.items()))
 
     def _resolve_request(self, req: SearchRequest):
-        """(resolved_clauses, tree): clause model or parsed qs tree."""
+        """(resolved_clauses, tree): clause model or parsed tree.
+
+        A clause-model request whose clause ``q`` text uses
+        query-string GRAMMAR (bool operators, parens, ranges,
+        phrases, fuzzy/wildcard, boosts — anything past plain
+        ``field:term`` tokens) resolves through the FULL parser into
+        one boolean tree, the reference's behavior for every clause
+        (ZuliaIndex.java:946-964 feeds each clause's q to
+        ZuliaFlexibleQueryParser before combining by occur). Plain
+        token clauses keep the batch-kernel clause path — their
+        semantics are grammar-identical (tests/test_clause_grammar.py
+        asserts the parity), and the DAAT pruning fast path stays."""
         if req.qs is None:
+            if req.clauses and any(
+                c.q is not None and not clause_q_is_plain(c.q) for c in req.clauses
+            ):
+                key = ("clauses", req.clauses, req.qf, req.default_op, req.mm)
+                tree = self._resolve_cache.get(key)
+                if tree is None:
+                    tree = self._clauses_to_tree(req)
+                    if len(self._resolve_cache) < 4096:
+                        self._resolve_cache[key] = tree
+                return [], tree
             return self._resolve(req), None
         key = ("qs", req.qs, req.qf, req.default_op, req.mm)
         tree = self._resolve_cache.get(key)
         if tree is None:
-            root = parse_query(req.qs, req.default_op)
-            if req.mm:
-                # global min-should-match: wrap + force-OR rewrite of
-                # implicit default-AND occurs BEFORE resolution
-                # (ZuliaGlobalMinMatchProcessor +
-                # ZuliaMinMatchOrHandlingProcessor)
-                apply_global_mm(root, req.mm)
             fields = tuple(req.qf) or self.config.default_search_fields
-            tree = resolve_tree(
-                root,
-                self._analyze,
-                fields,
-                lambda f, rx: self.expand_terms(f, rx),
-                lambda f, t, e: self.expand_fuzzy(f, t, max_edits=e),
-                req.default_op,
-                expand_field=self.config.expand_field,
-                date_fields=self._date_fields(),
-                all_fields=tuple(
-                    dict.fromkeys(ia.indexed_field_name for _, ia in self.config.indexed_fields())
-                ),
-            )
+            tree = self._resolve_qs_tree(req.qs, fields, req.default_op, req.mm)
             if len(self._resolve_cache) < 4096:
                 self._resolve_cache[key] = tree
         return [], tree
+
+    def _resolve_qs_tree(self, qs: str, fields, default_op: str, mm: int):
+        """Parse + resolve one query string into an RBool tree."""
+        root = parse_query(qs, default_op)
+        if mm:
+            # global min-should-match: wrap + force-OR rewrite of
+            # implicit default-AND occurs BEFORE resolution
+            # (ZuliaGlobalMinMatchProcessor +
+            # ZuliaMinMatchOrHandlingProcessor)
+            apply_global_mm(root, mm)
+        return resolve_tree(
+            root,
+            self._analyze,
+            tuple(fields),
+            lambda f, rx: self.expand_terms(f, rx),
+            lambda f, t, e: self.expand_fuzzy(f, t, max_edits=e),
+            default_op,
+            expand_field=self.config.expand_field,
+            date_fields=self._date_fields(),
+            all_fields=tuple(
+                dict.fromkeys(ia.indexed_field_name for _, ia in self.config.indexed_fields())
+            ),
+        )
+
+    def _clauses_to_tree(self, req: SearchRequest) -> RBool:
+        """Clause model → one resolved boolean tree (the reference's
+        getQuery composition, ZuliaIndex.getQuery:700-774: each
+        clause's q parsed by the full grammar, added to a root
+        BooleanQuery with its occur). Occur map: SCORE_MUST→MUST,
+        SCORE_SHOULD→SHOULD, FILTER/TERMS→MUST with scores zeroed
+        (Lucene FILTER occur contributes no score — boost 0.0 on the
+        subtree root), FILTER_NOT/TERMS_NOT→MUST_NOT."""
+        from zuliasearch_spark.search.query import (
+            FILTER as _FILTER_T,
+            SCORE_SHOULD as _SHOULD_T,
+            TERMS as _TERMS_T,
+        )
+
+        children = []
+        for c in req.clauses:
+            if c.q is not None and not clause_q_is_plain(c.q):
+                fields = tuple(c.qf) or self.config.default_search_fields
+                sub = self._resolve_qs_tree(c.q, fields, c.default_op, c.mm)
+            else:
+                rc = resolve_clause(
+                    c, self._analyze, self.config.default_search_fields,
+                    expand=self.config.expand_field,
+                )
+                sub = _resolved_clause_to_tree(rc)
+            if c.type in (_FILTER_T, _TERMS_T) or c.negative:
+                sub.boost = 0.0  # filter occur: match only, no score
+            else:
+                sub.boost = sub.boost * c.boost
+            occur = (
+                _MUST_NOT if c.negative
+                else (_SHOULD if c.type == _SHOULD_T else _MUST)
+            )
+            children.append((occur, sub))
+        return RBool(tuple(children), mm=0, boost=1.0)
 
     def _date_fields(self) -> frozenset[str]:
         """Stored date/timestamp and numeric columns that are NOT
@@ -1611,7 +1709,7 @@ class SearchEngine:
         import time as _time
 
         t0 = _time.perf_counter_ns()
-        out = self.search_many({"q": req}, fetch=fetch)["q"]
+        out = self._search_one(req, fetch)
         load_ns = _time.perf_counter_ns() - t0
         out["fullyCached"] = False
         out["shardsCached"] = 0
@@ -1911,15 +2009,31 @@ class SearchEngine:
             qs=q, qf=tuple(qf), default_op=default_op, mm=mm,
             amount=amount, start=start, similarities=tuple(similarities),
         )
+        return self.search(req)
+
+    def _search_one(self, req: SearchRequest, fetch: str = "ids") -> dict:
+        """Route one request by its resolved shape (shared by
+        search() for both the qs= and clause models): range conjuncts
+        take the IndexOrDocValuesQuery split, nested/SHOULD doc-values
+        leaves the set-algebra path, everything else the sharded
+        postings kernel via search_many."""
         _, tree = self._resolve_request(req)
-        try:
-            ranges = tree_ranges(tree)
-        except ParseError:
-            # doc-values leaves in nested/SHOULD positions: set-algebra
-            # evaluation (Lucene accepts range clauses anywhere)
-            return self._search_tree_mixed(tree, req, amount, start)
-        if not ranges:
-            return self.search(req)
+        if tree is not None:
+            try:
+                ranges = tree_ranges(tree)
+            except ParseError:
+                # doc-values leaves in nested/SHOULD positions:
+                # set-algebra evaluation (Lucene accepts range
+                # clauses anywhere)
+                return self._search_tree_mixed(tree, req, req.amount, req.start)
+            if ranges:
+                return self._search_tree_ranges(tree, req, ranges)
+        return self.search_many({"q": req}, fetch=fetch)["q"]
+
+    def _search_tree_ranges(self, tree, req: SearchRequest, ranges) -> dict:
+        """Range conjuncts: doc-values predicate over doc_map columns
+        semi-joined with the postings match set — the
+        IndexOrDocValuesQuery split (SetQueryHelper.java:45-106)."""
         pred = self._range_predicate(ranges)
         stripped = _strip_ranges(tree)
         if stripped is None or not tree_has_positive_leaf(stripped):
@@ -1928,22 +2042,24 @@ class SearchEngine:
             allowed = self._live_doc_map().filter(pred)
             rows = (
                 allowed.orderBy(F.asc("shard"), F.asc("doc_id"))
-                .limit(start + amount)
+                .limit(req.start + req.amount)
                 .select("shard", "doc_id", "uniqueId")
                 .collect()
             )
             total = allowed.count()
             topk = [
                 {"shard": int(r["shard"]), "doc_id": int(r["doc_id"]), "score": 0.0, "uniqueId": r["uniqueId"]}
-                for r in rows[start : start + amount]
+                for r in rows[req.start : req.start + req.amount]
             ]
             return {"totalHits": int(total), "topk": topk, "hitsExact": True}
         sreq = SearchRequest(
-            qs=_TREE_SENTINEL, qf=req.qf, default_op=default_op, mm=mm,
-            amount=amount, start=start, similarities=tuple(similarities),
+            qs=_TREE_SENTINEL, qf=req.qf, default_op=req.default_op, mm=req.mm,
+            amount=req.amount, start=req.start, similarities=req.similarities,
         )
-        self._resolve_cache[("qs", _TREE_SENTINEL, sreq.qf, default_op, mm)] = stripped
-        return self.search_docvalues(sreq, pred, amount=amount)
+        self._resolve_cache[
+            ("qs", _TREE_SENTINEL, sreq.qf, sreq.default_op, sreq.mm)
+        ] = stripped
+        return self.search_docvalues(sreq, pred, amount=req.amount)
 
     def _range_predicate(self, ranges) -> str:
         """RRange / RNumericSet conjuncts → one SQL predicate over
@@ -2951,6 +3067,7 @@ class SearchEngine:
         boolean query already excluded.
         """
         amount = amount or k
+        _require_nonzero_query_vector(vector)
         if req.clauses or req.qs is not None:
             matches = self.match_ids(req)
         else:
@@ -2971,7 +3088,12 @@ class SearchEngine:
                 lambda acc, x: acc + x,
             )
 
-        cos = dot(emb, qlit) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)))
+        # nullif guard: legacy tables built before the zero-vector
+        # ingest guard can hold zero rows — they rank NULL (sorted
+        # last) instead of raising an ANSI divide-by-zero
+        cos = dot(emb, qlit) / F.nullif(
+            F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)), F.lit(0.0)
+        )
         pool = j.filter(emb.isNotNull())
         if vf is not None and vf[1].index_type == "IVF":
             # IVF cell probe FIRST: the boolean pre-filter and the
@@ -4009,6 +4131,7 @@ class SearchEngine:
         cosine}] sorted by cosine desc, (shard, doc_id) asc on ties.
         HNSW-configured fields serve from the per-shard graph
         (_hnsw_top_rows) instead of scanning."""
+        _require_nonzero_query_vector(vector)
         vf = self.config.vector_field(vector_field)
         if (
             vf is not None
@@ -4027,7 +4150,12 @@ class SearchEngine:
                 lambda acc, x: acc + x,
             )
 
-        cos = dot(emb, qlit) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)))
+        # nullif guard: legacy tables built before the zero-vector
+        # ingest guard can hold zero rows — they rank NULL (sorted
+        # last) instead of raising an ANSI divide-by-zero
+        cos = dot(emb, qlit) / F.nullif(
+            F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)), F.lit(0.0)
+        )
         # LIVE docs only: Lucene KNN consults liveDocs, so deleted
         # docs neither surface nor consume top-k slots
         base = self._live_doc_map().filter(emb.isNotNull())
@@ -4682,56 +4810,58 @@ class SearchEngine:
         # set once instead of recomputing the lexical kernel per
         # action (bytes ∝ matches × 4 small columns, never documents)
         base = base.persist()
-        spark = self.tables.doc_map.sparkSession
-        if knn:
-            knn_df = spark.createDataFrame(
-                [(r["shard"], r["doc_id"], r["cosine"]) for r in knn],
-                "shard int, doc_id long, _knn double",
+        try:
+            spark = self.tables.doc_map.sparkSession
+            if knn:
+                knn_df = spark.createDataFrame(
+                    [(r["shard"], r["doc_id"], r["cosine"]) for r in knn],
+                    "shard int, doc_id long, _knn double",
+                )
+                merged = base.join(F.broadcast(knn_df), ["shard", "doc_id"], "left")
+                knn_expr = F.coalesce(F.col("_knn"), F.lit(0.0)) * F.lit(vw)
+            else:
+                merged = base
+                knn_expr = F.lit(0.0)
+            merged = merged.select(
+                "shard", "doc_id", "uniqueId",
+                (F.col("score") * F.lit(tw) + knn_expr).alias("score"),
             )
-            merged = base.join(F.broadcast(knn_df), ["shard", "doc_id"], "left")
-            knn_expr = F.coalesce(F.col("_knn"), F.lit(0.0)) * F.lit(vw)
-        else:
-            merged = base
-            knn_expr = F.lit(0.0)
-        merged = merged.select(
-            "shard", "doc_id", "uniqueId",
-            (F.col("score") * F.lit(tw) + knn_expr).alias("score"),
-        )
-        lex_total = merged.count()
-        page = [
-            {
-                "shard": int(r["shard"]), "doc_id": int(r["doc_id"]),
-                "uniqueId": r["uniqueId"], "score": float(r["score"]),
-            }
-            for r in merged.orderBy(
-                F.desc("score"), F.asc("shard"), F.asc("doc_id")
-            ).limit(amount).collect()
-        ]
-        # KNN hits outside the lexical match set: membership check via a
-        # broadcast semi-join on the ≤vector_top_n ids — O(topN) driver rows
-        knn_only = []
-        if knn:
-            ids_df = spark.createDataFrame(
-                [(r["shard"], r["doc_id"]) for r in knn], "shard int, doc_id long"
-            )
-            in_lex = {
-                (int(r["shard"]), int(r["doc_id"]))
-                for r in base.join(
-                    F.broadcast(ids_df), ["shard", "doc_id"]
-                ).select("shard", "doc_id").collect()
-            }
-            knn_only = [
+            lex_total = merged.count()
+            page = [
                 {
-                    "shard": r["shard"], "doc_id": r["doc_id"],
-                    "uniqueId": r["uniqueId"], "score": r["cosine"] * vw,
+                    "shard": int(r["shard"]), "doc_id": int(r["doc_id"]),
+                    "uniqueId": r["uniqueId"], "score": float(r["score"]),
                 }
-                for r in knn
-                if (r["shard"], r["doc_id"]) not in in_lex
+                for r in merged.orderBy(
+                    F.desc("score"), F.asc("shard"), F.asc("doc_id")
+                ).limit(amount).collect()
             ]
-        topk = sorted(
-            page + knn_only, key=lambda t: (-t["score"], t["shard"], t["doc_id"])
-        )[:amount]
-        base.unpersist()
+            # KNN hits outside the lexical match set: membership check via a
+            # broadcast semi-join on the ≤vector_top_n ids — O(topN) driver rows
+            knn_only = []
+            if knn:
+                ids_df = spark.createDataFrame(
+                    [(r["shard"], r["doc_id"]) for r in knn], "shard int, doc_id long"
+                )
+                in_lex = {
+                    (int(r["shard"]), int(r["doc_id"]))
+                    for r in base.join(
+                        F.broadcast(ids_df), ["shard", "doc_id"]
+                    ).select("shard", "doc_id").collect()
+                }
+                knn_only = [
+                    {
+                        "shard": r["shard"], "doc_id": r["doc_id"],
+                        "uniqueId": r["uniqueId"], "score": r["cosine"] * vw,
+                    }
+                    for r in knn
+                    if (r["shard"], r["doc_id"]) not in in_lex
+                ]
+            topk = sorted(
+                page + knn_only, key=lambda t: (-t["score"], t["shard"], t["doc_id"])
+            )[:amount]
+        finally:
+            base.unpersist()
         return {
             # hybrid is NOT capped at vector_top_n (ShardedVectorTest):
             # lexical matches extend beyond the KNN pool

@@ -323,6 +323,36 @@ class ResolvedClause:
         return max(1, min(self.clause.mm, n_opt))
 
 
+# characters that mean query-string GRAMMAR, not term text: bool
+# groups, ranges, phrases, fuzzy/wildcard/regex/boost operators,
+# +/- modifiers, length-meta wraps, comparison ranges
+_GRAMMAR_CHARS = set('()[]{}"~^*?/\\<>=|')
+_GRAMMAR_WORDS = ("OR", "AND", "NOT", "TO")
+
+
+def clause_q_is_plain(q: str) -> bool:
+    """True when clause text is expressible in the plain token model
+    (whitespace-separated ``term`` / ``field:term`` tokens) with
+    semantics IDENTICAL to the full query-string grammar — the fast
+    path that keeps simple programmatic clauses on the batch DAAT
+    kernel. Anything else (bool operators, parens, ranges, phrases,
+    fuzzy/wildcard, +/- modifiers, boosts) must go through the full
+    parser, the reference's behavior for every clause
+    (ZuliaIndex.java:946-964 parses each clause's q with
+    ZuliaFlexibleQueryParser). A lone ``:``-containing token keeps
+    its raw right side (e.g. ``added:2024-06-17T16:10:00Z``) — the
+    mini model passes it to the field analyzer literally, which the
+    grammar only reaches via quoting."""
+    for token in q.split():
+        if token in _GRAMMAR_WORDS:
+            return False
+        if token.startswith(("+", "-")):
+            return False
+        if _GRAMMAR_CHARS & set(token):
+            return False
+    return True
+
+
 def parse_field_boost(name: str) -> tuple[str, float]:
     """``"title^2"`` → ``("title", 2.0)``; bare names boost 1.0.
 
@@ -408,16 +438,20 @@ def resolve_clause(
                 specs.append(TermSpec(f, t, required=False, group=group, boost=fb * tb))
                 group += 1
     elif clause.q is not None:
+        if not clause_q_is_plain(clause.q):
+            # grammar text reaching the plain-token resolver is a
+            # routing bug: the engine parses such clauses with the
+            # full query-string parser (executor._clauses_to_tree,
+            # matching ZuliaIndex.java:946-964 where every clause's q
+            # goes through ZuliaFlexibleQueryParser). Direct callers
+            # get a loud failure instead of "OR" / "year:[2020"
+            # silently analyzed as literal terms.
+            raise ValueError(
+                f"clause q {clause.q!r} uses query-string grammar - "
+                "resolve it with the full parser (SearchEngine routes "
+                "this automatically; standalone use: SearchRequest(qs=...))"
+            )
         for token in clause.q.split():
-            if token in ("OR", "AND", "NOT") or token.startswith(("(", "[", "{", '"')):
-                # loud failure instead of silently analyzing "OR" as a
-                # term: clause text is the mini grammar (programmatic
-                # builder analogue); booleans/ranges/phrases belong in
-                # SearchRequest(qs=...), the full query-string syntax
-                raise ValueError(
-                    f"clause q token {token!r} needs the full query-string "
-                    "grammar — use SearchRequest(qs=...) instead of clause q"
-                )
             if ":" in token:
                 fname, raw = token.split(":", 1)
                 targets = [(f, raw, 1.0) for f in expand(fname)]

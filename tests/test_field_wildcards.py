@@ -39,18 +39,29 @@ def engine(spark):
             FieldConfig("altTitle2", index_as=(IndexAs("altTitle2", "whitespace_lc"),)),
             FieldConfig("docLanguage", index_as=(IndexAs("docLanguage", "lcKeyword"),)),
         ),
+        # FieldWildcardTest's mappings: title -> altTitle+docTitle,
+        # title2 -> *Title pattern, altTitle -> altTitle2 includeSelf
+        field_mappings=(
+            ("title", ("altTitle", "docTitle"), False),
+            ("title2", ("*Title",), False),
+            ("altTitle", ("altTitle2",), True),
+        ),
     )
+    # isParent (BOOL index) + parentDocId (INT index) mirror the
+    # reference corpus — in this engine point-typed fields are stored
+    # doc-values columns probed at resolution time
     rows = [
-        ("1", "1", "Search Blog", "Discover Blog", "Something else totally", ["en", "fr"]),
-        ("2", "2", "Spring Boot Blog", "Bouncy Blog", None, ["en", "fr"]),
-        ("3", "3", "Solr Blog", "Apache Solr Blog", None, ["fr", "slovak"]),
-        ("4", "4", "Elastic Search Blog", "ES Blog", None, ["en", "czech"]),
+        ("1", "1", "Search Blog", "Discover Blog", "Something else totally", ["en", "fr"], True, None),
+        ("2", "2", "Spring Boot Blog", "Bouncy Blog", None, ["en", "fr"], True, None),
+        ("3", "3", "Solr Blog", "Apache Solr Blog", None, ["fr", "slovak"], False, 1),
+        ("4", "4", "Elastic Search Blog", "ES Blog", None, ["en", "czech"], False, 1),
     ]
-    pdf = pd.DataFrame(
+    df = spark.createDataFrame(
         rows,
-        columns=["uniqueId", "documentId", "docTitle", "altTitle", "altTitle2", "docLanguage"],
+        "uniqueId string, documentId string, docTitle string, altTitle string, "
+        "altTitle2 string, docLanguage array<string>, isParent boolean, parentDocId int",
     )
-    tables = build_index(spark.createDataFrame(pdf), cfg).persist()
+    tables = build_index(df, cfg, stored_cols=("isParent", "parentDocId")).persist()
     yield SearchEngine(tables)
     tables.unpersist()
 
@@ -65,6 +76,32 @@ def test_bare_patterns_expand_over_indexed_fields(engine):
     assert _hits(engine, "*Title:blog") == 4
     assert _hits(engine, "*:slovak") == 1
     assert _hits(engine, "*:2") == 1  # documentId "2" only
+
+
+def test_bare_patterns_probe_point_fields(engine):
+    # getMatchingIndexFields covers NUMERIC/BOOL index fields, so a
+    # bare pattern value doubles as an inclusive point query on
+    # doc-values-only fields (r4 deviation closed): documentId "1"
+    # (text) + parentDocId==1 (docs 3, 4) + isParent true (docs 1, 2
+    # — "1" is a valid spelling in the 5.3.3 boolean lexicon)
+    assert _hits(engine, "*:1") == 4
+    assert _hits(engine, "*DocId:1") == 2
+    # boolean index field probed through the 5.3.3 lexicon
+    assert _hits(engine, "*:true") == 2
+    assert _hits(engine, "*:yes") == 2
+    # a value no point field can represent silently contributes no
+    # point hits (reference builds one point query per matched field;
+    # non-parsing fields match nothing) — documentId "2" text only
+    assert _hits(engine, "*:2") == 1
+
+
+def test_pattern_matches_alias_names(engine):
+    # getMatchingFields(field, includeAliases=true): 'titl*' matches
+    # the ALIASES title and title2, unioning their mapped fields
+    # (docTitle, altTitle) — blog hits every docTitle
+    assert _hits(engine, "titl*:blog") == 4
+    expanded = engine.config.expand_field("titl*")
+    assert set(expanded) == {"docTitle", "altTitle"}
 
 
 def test_match_all_not_swallowed_by_pattern_rule(engine):

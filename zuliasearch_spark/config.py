@@ -445,13 +445,16 @@ class IndexConfig:
 
         1. A name containing ``*`` is a PATTERN (checked first, as in
            the reference): wrap-shaped patterns (``|*Title|``) expand
-           against the length-wrap names, bare patterns against
-           user-indexed field names only — may expand to NOTHING,
+           against the length-wrap names; bare patterns against
+           user-indexed field names AND field-mapping ALIASES — an
+           alias the pattern matches unions in its expanded targets,
+           the reference's getMatchingFields(field,
+           includeAliases=true) behavior. May expand to NOTHING,
            which the parser turns into a match-no-docs node
            (ZuliaMultiFieldQueryNodeProcessor MatchNoDocsQueryNode).
-           Deviation: point-typed doc-values-only fields are not
-           probed by bare patterns here (they are not postings
-           fields in this engine); explicit references keep working.
+           Point-typed doc-values-only fields are probed at query
+           RESOLUTION time (search.parser point_pattern_fields, which
+           knows the stored column types) rather than here.
         2. A field-mapping alias resolves through ``field_mappings``
            (one level — the mapping table is flat).
         3. Anything else passes through unchanged.
@@ -460,7 +463,15 @@ class IndexConfig:
             wrap = len(name) > 1 and name.startswith("|") and name.endswith("|")
             rx = self._field_pattern_rx(name)
             cands = self.wrap_field_names() if wrap else self.user_indexed_field_names()
-            return tuple(sorted(f for f in cands if rx.match(f)))
+            out = [f for f in cands if rx.match(f)]
+            if not wrap:
+                # getMatchingIndexFields(field, includeAliases=true):
+                # the pattern also matches ALIAS names, unioning in
+                # each matching alias's expanded fields
+                for alias, _patterns, _include_self in self.field_mappings:
+                    if "*" not in alias and rx.match(alias):
+                        out.extend(self.expand_field(alias))
+            return tuple(sorted(dict.fromkeys(out)))
         for alias, patterns, include_self in self.field_mappings:
             if alias != name:
                 continue

@@ -65,6 +65,7 @@ data stays columnar in executors.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -2078,91 +2079,20 @@ class SearchEngine:
         field are kept — Lucene MUST_NOT semantics; negated filters
         can't prune min-max ranges anyway, so nothing is lost there."""
         dtypes = dict(self.tables.doc_map.dtypes)
-        numeric_types = ("int", "bigint", "float", "double", "smallint", "tinyint", "decimal")
         parts = []
         for occur, r in ranges:
+            # lenient = pattern-expanded field list spanning types: a
+            # field the value can't parse for (or that isn't stored)
+            # matches nothing instead of failing the query
+            lenient = getattr(r, "lenient", False)
             alts = []
             for fld in r.fields:
-                if fld not in dtypes:
-                    raise ValueError(f"range field {fld!r} is not a stored column")
-                if isinstance(r, _RGeoT):
-                    alts.append(f"({_geo_predicate_sql(fld, r)})")
-                    continue
-                dt = dtypes[fld]
-                if dt.startswith("array<"):
-                    # multivalued doc-values: a range/set matches when
-                    # ANY value satisfies it (Lucene SortedNumeric /
-                    # SortedSet range semantics; NullEmptyTest
-                    # |comments|:0). NULL elements never match.
-                    elem = dt[6:-1]
-                    e_num = elem in numeric_types
-                    e_bool = elem == "boolean"
-
-                    def elit(v):
-                        if e_bool:
-                            return _bool_literal(v)
-                        if e_num:
-                            float(v)
-                            return v
-                        return "'" + str(v).replace("'", "''") + "'"
-
-                    sub = []
-                    if isinstance(r, _RNumericSetT):
-                        for v in r.values:
-                            _validate_numeric_set_value(v, elem, fld)
-                        vals = ", ".join(elit(v) for v in r.values)
-                        sub.append(f"x IN ({vals})")
-                    else:
-                        if r.lo is not None:
-                            sub.append(f"x {'>=' if r.incl_lo else '>'} {elit(r.lo)}")
-                        if r.hi is not None:
-                            sub.append(f"x {'<=' if r.incl_hi else '<'} {elit(r.hi)}")
-                    if sub:
-                        alts.append(f"exists(`{fld}`, x -> {' AND '.join(sub)})")
-                    else:
-                        alts.append("(1=1)")
-                    continue
-                numeric = dt in numeric_types
-                is_bool = dt == "boolean"
-
-                def lit(v):
-                    if is_bool:
-                        # every accepted spelling of a boolean queries
-                        # as the same value (BooleanFormatTest
-                        # everyFormatQueriesAsTheSameValue)
-                        return _bool_literal(v)
-                    if numeric:
-                        float(v)  # validates
-                        return v
-                    return "'" + str(v).replace("'", "''") + "'"
-
-                if isinstance(r, _RNumericSetT):
-                    for v in r.values:
-                        _validate_numeric_set_value(v, dt, fld)
-                    vals = ", ".join(lit(v) for v in r.values)
-                    alts.append(f"`{fld}` IN ({vals})")
-                    continue
-                sub = []
-                if dtypes[fld] in ("date", "timestamp", "timestamp_ntz"):
-                    # DATE coercion: each bound denotes a PERIOD —
-                    # inclusive bounds use the far edge of the period,
-                    # exclusive bounds the near edge (DateStringTest:
-                    # added:[2022-02-01 TO 2024-06-17T23:59:59Z])
-                    is_date = dtypes[fld] == "date"
-                    if r.lo is not None:
-                        s, e, sd, ed = _date_period(r.lo)
-                        lo = (sd if r.incl_lo else ed) if is_date else (s if r.incl_lo else e)
-                        sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} '{lo}'")
-                    if r.hi is not None:
-                        s, e, sd, ed = _date_period(r.hi)
-                        hi = (ed if r.incl_hi else sd) if is_date else (e if r.incl_hi else s)
-                        sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} '{hi}'")
-                else:
-                    if r.lo is not None:
-                        sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} {lit(r.lo)}")
-                    if r.hi is not None:
-                        sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} {lit(r.hi)}")
-                alts.append("(" + " AND ".join(sub) + ")" if sub else "(1=1)")
+                try:
+                    alts.append(self._range_alt_sql(fld, r, dtypes))
+                except (ValueError, KeyError):
+                    if not lenient:
+                        raise
+                    alts.append("(1=0)")
             if occur == "MUST_NOT":
                 # null-safe ONLY under negation: NOT coalesce(p, false)
                 # keeps docs without the field (Lucene MUST_NOT)
@@ -2173,6 +2103,102 @@ class SearchEngine:
                 # the comparisons stay parquet-pushable
                 parts.append("(" + " OR ".join(alts) + ")")
         return " AND ".join(parts)
+
+    def _range_alt_sql(self, fld: str, r, dtypes: dict) -> str:
+        """One field's SQL alternative for a range/set/geo leaf.
+        Raises ValueError when the field isn't stored or a bound
+        doesn't parse for its type (the caller decides whether that
+        fails the query or, for lenient pattern expansions, just
+        contributes no hits)."""
+        numeric_types = ("int", "bigint", "float", "double", "smallint", "tinyint", "decimal")
+        if fld not in dtypes:
+            raise ValueError(f"range field {fld!r} is not a stored column")
+        if isinstance(r, _RGeoT):
+            return f"({_geo_predicate_sql(fld, r)})"
+        dt = dtypes[fld]
+        if dt.startswith("array<"):
+            # multivalued doc-values: a range/set matches when
+            # ANY value satisfies it (Lucene SortedNumeric /
+            # SortedSet range semantics; NullEmptyTest
+            # |comments|:0). NULL elements never match.
+            elem = dt[6:-1]
+            e_num = elem in numeric_types
+            e_bool = elem == "boolean"
+
+            def elit(v):
+                if e_bool:
+                    return _bool_literal(v)
+                if e_num:
+                    float(v)
+                    return v
+                return "'" + str(v).replace("'", "''") + "'"
+
+            sub = []
+            if isinstance(r, _RNumericSetT):
+                for v in r.values:
+                    _validate_numeric_set_value(v, elem, fld)
+                vals = ", ".join(elit(v) for v in r.values)
+                sub.append(f"x IN ({vals})")
+            else:
+                if r.lo is not None:
+                    sub.append(f"x {'>=' if r.incl_lo else '>'} {elit(r.lo)}")
+                if r.hi is not None:
+                    sub.append(f"x {'<=' if r.incl_hi else '<'} {elit(r.hi)}")
+            if sub:
+                return f"exists(`{fld}`, x -> {' AND '.join(sub)})"
+            return "(1=1)"
+        numeric = dt in numeric_types
+        is_bool = dt == "boolean"
+
+        def lit(v):
+            if is_bool:
+                # every accepted spelling of a boolean queries
+                # as the same value (BooleanFormatTest
+                # everyFormatQueriesAsTheSameValue)
+                return _bool_literal(v)
+            if numeric:
+                float(v)  # validates
+                return v
+            return "'" + str(v).replace("'", "''") + "'"
+
+        if isinstance(r, _RNumericSetT):
+            for v in r.values:
+                _validate_numeric_set_value(v, dt, fld)
+            vals = ", ".join(lit(v) for v in r.values)
+            return f"`{fld}` IN ({vals})"
+        sub = []
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            # DATE coercion: each bound denotes a PERIOD —
+            # inclusive bounds use the far edge of the period,
+            # exclusive bounds the near edge (DateStringTest:
+            # added:[2022-02-01 TO 2024-06-17T23:59:59Z]).
+            # Bounds are shape-validated driver-side so a value that
+            # can't be a date fails HERE (ValueError — lenient
+            # pattern expansions turn it into a no-match) instead of
+            # as an ANSI cast error inside the scan.
+            for b in (r.lo, r.hi):
+                if b is not None and not re.fullmatch(
+                    r"\d{4}(-\d{2}(-\d{2}([T ].+)?)?)?",
+                    b.strip().replace("/", "-"),
+                ):
+                    raise ValueError(
+                        f"value {b!r} is not a date/timestamp for range field {fld!r}"
+                    )
+            is_date = dt == "date"
+            if r.lo is not None:
+                s, e, sd, ed = _date_period(r.lo)
+                lo = (sd if r.incl_lo else ed) if is_date else (s if r.incl_lo else e)
+                sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} '{lo}'")
+            if r.hi is not None:
+                s, e, sd, ed = _date_period(r.hi)
+                hi = (ed if r.incl_hi else sd) if is_date else (e if r.incl_hi else s)
+                sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} '{hi}'")
+        else:
+            if r.lo is not None:
+                sub.append(f"`{fld}` {'>=' if r.incl_lo else '>'} {lit(r.lo)}")
+            if r.hi is not None:
+                sub.append(f"`{fld}` {'<=' if r.incl_hi else '<'} {lit(r.hi)}")
+        return "(" + " AND ".join(sub) + ")" if sub else "(1=1)"
 
     def match_ids(self, req: SearchRequest):
         """DataFrame of ALL matching (shard, doc_id, score) rows.

@@ -785,6 +785,13 @@ class RRange:
     hi: str | None
     incl_lo: bool
     incl_hi: bool
+    # lenient: the field list came from a PATTERN expansion spanning
+    # differently-typed columns — a bound that doesn't parse for one
+    # column's type makes that column match nothing instead of
+    # failing the query (the reference builds one point query per
+    # matched index field; a field whose type can't represent the
+    # value contributes no hits)
+    lenient: bool = False
 
 
 @dataclass
@@ -859,6 +866,29 @@ def resolve_tree(
             return tuple((f, 1.0) for f in dict.fromkeys(expand_field(scoped_field)))
         return expand_boosted_fields(tuple(default_fields), expand_field)
 
+    def point_pattern_fields(pat: str) -> tuple[str, ...]:
+        """Doc-values-only point fields (stored numeric/date/bool
+        columns, executor._date_fields) matched by a bare field
+        PATTERN — the reference expands patterns against ALL
+        user-indexed fields including point-typed ones
+        (ServerIndexConfigData.getMatchingIndexFields;
+        FieldWildcardTest), so ``*:2`` probes NUMERIC fields too.
+        Same ``*``-only pattern syntax as IndexConfig."""
+        if "*" not in pat:
+            return ()
+        prx = re.compile("^" + ".*".join(re.escape(p) for p in pat.split("*")) + "$")
+        # internal bookkeeping columns (engine ids, _z* meta/quantized
+        # columns) are structurally excluded, the same 5.3.1 rule that
+        # keeps them out of text-pattern expansion
+        # (FieldWildcardTest internalFieldsExcludedFromWildcardExpansion)
+        return tuple(
+            sorted(
+                f
+                for f in date_fields
+                if prx.match(f) and not f.startswith("_z") and f not in ("shard", "doc_id")
+            )
+        )
+
     conj = default_op.upper() == "AND"
     if isinstance(node, Bool):
         children = tuple(
@@ -879,9 +909,22 @@ def resolve_tree(
         if "*" in node.field:
             # field pattern: wrap-shaped patterns expand against the
             # length-wrap names then map to meta columns; bare
-            # patterns against user-indexed fields. Empty expansion →
-            # match no docs (MatchNoDocsQueryNode).
-            targets = tuple(_meta_field(f) for f in dict.fromkeys(expand_field(node.field)))
+            # patterns against user-indexed fields PLUS
+            # doc-values-only point fields (FieldWildcardTest parity
+            # — the reference's getMatchingIndexFields covers numeric
+            # index fields). Empty expansion → match no docs
+            # (MatchNoDocsQueryNode).
+            targets = tuple(
+                dict.fromkeys(
+                    [_meta_field(f) for f in expand_field(node.field)]
+                    + list(point_pattern_fields(node.field))
+                )
+            )
+            if not targets:
+                return RLeaf((), conj=False, boost=1.0)
+            return RRange(
+                targets, node.lo, node.hi, node.incl_lo, node.incl_hi, lenient=True
+            )
         elif meta != node.field:
             targets = (meta,)  # |field| meta columns never alias-expand
         else:
@@ -991,8 +1034,28 @@ def resolve_tree(
         v = _unescape(node.text)
         return RRange((node.field,), v, v, True, True)
     fields = field_targets(node.field)
+    # bare field PATTERNS also probe doc-values-only point fields as
+    # an inclusive point query — getMatchingIndexFields covers
+    # NUMERIC index fields, so ``*:2`` matches an int field holding 2
+    # (FieldWildcardTest). Exists/phrase/regex/fuzzy/wildcard values
+    # stay postings-only (point fields have no term dictionary).
+    point_targets: tuple[str, ...] = ()
+    if (
+        node.field is not None
+        and "*" in node.field
+        and not node.phrase
+        and not node.regex
+        and node.fuzzy is None
+        and node.text != "*"
+        and "*" not in node.text
+        and "?" not in node.text
+    ):
+        point_targets = point_pattern_fields(node.field)
     if not fields:
         if node.field is not None and "*" in node.field:
+            if point_targets:
+                v = _unescape(node.text)
+                return RRange(point_targets, v, v, True, True, lenient=True)
             # field pattern matched nothing → match no docs
             # (ZuliaMultiFieldQueryNodeProcessor MatchNoDocsQueryNode)
             return RLeaf((), conj=False, boost=node.boost)
@@ -1030,7 +1093,22 @@ def resolve_tree(
     # expansion sets (wildcard/fuzzy/regex) OR their terms even under
     # a default-AND operator: mark disjunction by conj=False
     is_expansion = node.regex or node.fuzzy is not None or "*" in node.text or "?" in node.text
-    return RLeaf(tuple(specs), conj=conj and not is_expansion and not node.phrase, boost=node.boost)
+    leaf = RLeaf(tuple(specs), conj=conj and not is_expansion and not node.phrase, boost=node.boost)
+    if point_targets:
+        # pattern spanned text AND point fields: OR the postings leaf
+        # with the inclusive point query (one SHOULD group each —
+        # a doc matches via either namespace, like the reference's
+        # per-matched-field OR expansion)
+        v = _unescape(node.text)
+        return RBool(
+            (
+                (SHOULD, leaf),
+                (SHOULD, RRange(point_targets, v, v, True, True, lenient=True)),
+            ),
+            mm=0,
+            boost=1.0,
+        )
+    return leaf
 
 
 def _resolve_isrc(node: ISrc, field: str, analyze, expand_wildcard, expand_fuzzy) -> ISrc:

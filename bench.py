@@ -128,17 +128,24 @@ def main() -> None:
     # ---- phase 0: host-speed canary -------------------------------------
     # The sandbox host's available throughput swings >2x in
     # multi-minute windows (BENCH/NOTES.md). A fixed single-threaded
-    # numpy kernel timed here stamps the run with the host speed it
-    # actually got, so cross-round comparisons can attribute engine
-    # vs host (same rule as headline_ab.json's alternating protocol).
+    # numpy kernel stamps the run with the host speed it actually got,
+    # so cross-round comparisons can attribute engine vs host (same
+    # rule as headline_ab.json's alternating protocol). Re-stamped
+    # immediately before phase 2 and phase 3 and after every query-set
+    # rep: r4's official bm25_query_set read 12x slower than the
+    # same-revision standalone reps, and the single start-of-run
+    # canary couldn't prove the 10-minute-later window was throttled —
+    # per-phase canaries make the record self-attributing.
     import numpy as _np
 
-    _cn = _np.arange(40_000_000, dtype=_np.uint64)
-    t_c0 = time.perf_counter()
-    for _ in range(3):
-        _cn = _cn * _np.uint64(0x9E3779B97F4A7C15) ^ (_cn >> _np.uint64(7))
-    host_canary_mbps = round((3 * _cn.nbytes / (1 << 20)) / (time.perf_counter() - t_c0), 1)
-    del _cn
+    def _host_canary() -> float:
+        buf = _np.arange(40_000_000, dtype=_np.uint64)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            buf = buf * _np.uint64(0x9E3779B97F4A7C15) ^ (buf >> _np.uint64(7))
+        return round((3 * buf.nbytes / (1 << 20)) / (time.perf_counter() - t0), 1)
+
+    host_canary_mbps = _host_canary()
 
     # ---- phase 1: gate queries at the sf dir ---------------------------
     t_build, engine = _timed(lambda: gate.documents_engine(spark, sf_dir))
@@ -187,6 +194,7 @@ def main() -> None:
         queries[name] = round(dt, 3)
 
     # ---- phase 2: code-corpus index build throughput -------------------
+    canary_phase2_mbps = _host_canary()
     work = tempfile.mkdtemp(prefix="zbench_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         corpus_path = os.path.join(work, "corpus")
@@ -254,13 +262,19 @@ def main() -> None:
         # 21.2 s across trials), and the minimum is the
         # least-throttled sample of identical work, the same rule
         # bench/scaling.py uses
+        canary_phase3_mbps = _host_canary()
         rep_secs = []
+        rep_canaries_mbps = []
         for _ in range(reps):
             if hasattr(code_engine, "search_many"):
                 dt, res = _timed(lambda: code_engine.search_many(qset))
             else:
                 dt, res = _timed(lambda: {k: code_engine.search(r) for k, r in qset.items()})
-            rep_secs.append(dt)
+            rep_secs.append(round(dt, 3))
+            # canary AFTER each rep: a slow rep next to a slow canary
+            # is a throttled window, next to a fast canary an engine
+            # regression — the distinction r4's record couldn't make
+            rep_canaries_mbps.append(_host_canary())
         queries["bm25_query_set"] = round(min(rep_secs), 3)
         bm25_qps = len(qset) / min(rep_secs)
     finally:
@@ -278,6 +292,10 @@ def main() -> None:
         "bench_docs": n_docs,
         "cpus": cpus,
         "host_canary_mbps": host_canary_mbps,
+        "host_canary_phase2_mbps": canary_phase2_mbps,
+        "host_canary_phase3_mbps": canary_phase3_mbps,
+        "rep_secs": rep_secs,
+        "rep_canaries_mbps": rep_canaries_mbps,
         "build_samples": build_samples,
     }
     print(json.dumps(out))

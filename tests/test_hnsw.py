@@ -241,3 +241,22 @@ def test_filtered_vector_should_scores_compose(engines):
     assert [t["uniqueId"] for t in a["topk"]] == [t["uniqueId"] for t in e["topk"]]
     for x, y in zip(a["topk"], e["topk"]):
         assert abs(x["score"] - y["score"]) < 1e-6
+
+
+def test_shard_memory_budget_guard(spark):
+    """VectorConfig.hnsw_shard_budget_mb: a shard whose vector block
+    can't fit one task's memory share fails the BUILD with the
+    number_of_shards sizing hint instead of OOM-killing an executor
+    (the same per-segment constraint Lucene has at flush)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(_rows(), columns=["uid", "tag", "vec"])
+    )
+    tables = build_index(
+        df, _cfg(hnsw_shard_budget_mb=0.01), stored_cols=("vec",)
+    )
+    with pytest.raises(Exception, match="hnsw_shard_budget_mb|number_of_shards"):
+        tables.vector_graphs.collect()
+    ok = build_index(df, _cfg(hnsw_shard_budget_mb=64), stored_cols=("vec",))
+    assert ok.vector_graphs.count() > 0

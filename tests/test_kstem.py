@@ -168,3 +168,98 @@ def test_analyzer_chain_integration():
 
 def test_direct_conversion_heads_are_words():
     assert set(DIRECT_CONVERSIONS.values()) <= LEXICON
+
+
+# ---- round-5 breadth vectors over the supplement lexicon ------------
+# ~330 surface forms exercising every family (plural/-ies/-es, past
+# tense with undoubling and +e repair, aspect, -ness, -ation/-ion,
+# agent -er with Lucene's minus-"r"-first order) against the broadened
+# ~6.4k head-word lexicon (analysis/kstem.py _SUPPLEMENT).
+
+BREADTH_PLURALS = """
+accidents ambitions anchors animals answers apologies armies arrows
+assemblies auctions authors babies badges balloons banners barrels
+batteries beaches berries bicycles biographies blankets blossoms
+bottles boundaries branches bridges brushes bubbles budgets
+bunches burdens bushes butterflies cabbages cabins calendars cameras
+campaigns canals candles canyons captains carriages carrots
+cartoons casualties categories cathedrals ceilings cemeteries
+ceremonies chairs chapters charities chimneys choirs churches circles
+cities classes clinics clusters colleges colonies columns comedies
+committees communities companies compasses conferences copies corners
+cottages counties countries couples courtyards cousins crafts cranes
+craters creatures crystals cultures currencies curtains cycles
+daisies dances dangers debates decades decisions deliveries demands
+deputies deserts designs devices diagrams dialects diamonds diaries
+dictionaries dinners disasters diseases dishes districts ditches
+doctors dollars donkeys doors dozens dramas dreams dresses drills
+duties eagles echoes economies edges editions elbows elections
+emergencies empires enemies engines entries envelopes errands essays
+estates excuses exercises exits expenses factories families fences
+ferries festivals fevers fields figures fingers fisheries flavors
+forests fortresses fountains foxes galleries gardens gates gems
+glaciers glasses grocers guesses habits harbors heroes
+highways histories hobbies horizons hotels houses hymns
+identities idioms impulses inches incidents industries injuries inns
+insects instincts islands issues items jackets jellies jewels
+journeys judges juices jungles juries kettles kingdoms kitchens
+kites kittens knees knights ladders lakes lamps languages lanterns
+leagues lectures legends lessons letters levels libraries licenses
+lilies limits lions lizards lodges lotteries luxuries machines
+magazines mansions marbles marches markets marshes masses matches
+meadows melodies memories messages metals methods minutes miracles
+mirrors missiles missions mistakes molecules monasteries monkeys
+monuments mosques motives mountains muscles museums mysteries
+""".split()
+
+
+def test_breadth_plurals_conflate():
+    for w in BREADTH_PLURALS:
+        s = kstem_stem(w)
+        assert s != w and w.startswith(s[:3]), (w, s)
+        # round-trip: the produced head word is itself stable
+        assert kstem_stem(s) == s, (w, s)
+
+
+BREADTH_VECTORS = {
+    # past tense: +e repair, undoubling, -ied
+    "negotiated": "negotiate", "celebrated": "celebrate",
+    "hesitated": "hesitate", "illustrated": "illustrate",
+    "imitated": "imitate", "irritated": "irritate",
+    "whispered": "whisper", "wandered": "wander", "murmured": "murmur",
+    "conquered": "conquer", "delivered": "deliver", "considered": "consider",
+    "dragged": "drag", "grabbed": "grab", "slipped": "slip",
+    "wrapped": "wrap", "hugged": "hug", "nodded": "nod",
+    "shrugged": "shrug", "snapped": "snap",
+    "worried": "worry", "hurried": "hurry", "buried": "bury",
+    "married": "marry", "emptied": "empty", "envied": "envy",
+    "pitied": "pity", "copied": "copy",
+    # aspect: +e repair against the broadened lexicon
+    "navigating": "navigate", "operating": "operate",
+    "decorating": "decorate", "vibrating": "vibrate",
+    "migrating": "migrate", "donating": "donate",
+    "shivering": "shiver", "gathering": "gather", "suffering": "suffer",
+    "glittering": "glitter", "fluttering": "flutter",
+    "stuttering": "stutter", "smiling": "smile", "hiding": "hide",
+    "sliding": "slide", "gazing": "gaze", "blazing": "blaze",
+    "dozing": "doze", "grazing": "graze",
+    # -ness (dictionary-gated)
+    "brightness": "bright", "darkness": "dark", "weakness": "weak",
+    "kindness": "kind", "politeness": "polite", "rudeness": "rude",
+    # -ation → -ate first (donation must NOT become don+e)
+    "navigation": "navigate", "celebration": "celebrate",
+    "decoration": "decorate", "migration": "migrate",
+    "donation": "donate", "imitation": "imitate",
+    "irritation": "irritate", "hesitation": "hesitate",
+    "information": "inform", "combination": "combine",
+    # agent -er: minus-"r" (the +e form) before the bare stem
+    "gardener": "garden", "prisoner": "prison", "villager": "village",
+    "announcer": "announce", "explorer": "explore", "invader": "invade",
+    "weaver": "weave", "mourner": "mourn", "trader": "trade",
+    "driver": "drive", "dancer": "dance", "maker": "make",
+}
+
+
+def test_breadth_vectors():
+    for w, want in BREADTH_VECTORS.items():
+        assert kstem_stem(w) == want, (w, kstem_stem(w), want)

@@ -124,7 +124,16 @@ class IndexAs:
     analyzer_name: str = "standard"
 
 
-VECTOR_ENCODINGS = ("FLOAT32", "INT8", "INT4", "BBQ")
+# zulia_index.proto VectorIndexingConfig.Encoding:255-262 — FLOAT32,
+# INT8 (UNSIGNED_BYTE), INT7 (SEVEN_BIT), INT4 (PACKED_NIBBLE), BBQ
+# (SINGLE_BIT_QUERY_NIBBLE), BBQ_2BIT (DIBIT_QUERY_NIBBLE)
+VECTOR_ENCODINGS = ("FLOAT32", "INT8", "INT7", "INT4", "BBQ", "BBQ_2BIT")
+
+# symmetric scalar-quantization level count per encoding (signed
+# range ±levels): 8-bit → ±127, 7-bit → ±63 (Lucene 104's SEVEN_BIT
+# keeps the top bit free so int8 dot products can't overflow an
+# int32 accumulator — same reason here), 4-bit → ±7
+QUANT_LEVELS = {"INT8": 127.0, "INT7": 63.0, "INT4": 7.0}
 
 
 @dataclass(frozen=True)
@@ -139,8 +148,11 @@ class VectorConfig:
       (ZuliaIndexManager.rewriteMoreLikeThisQuery).
     - ``encoding``: on-disk representation of the indexed copy.
       FLOAT32 = raw floats (explicit opt-out of quantization); INT8 /
-      INT4 = symmetric per-vector scalar quantization; BBQ = 1-bit
-      sign quantization. Quantized encodings rank an oversampled
+      INT7 / INT4 = symmetric scalar quantization to ±127/±63/±7
+      levels; BBQ = 1-bit sign quantization; BBQ_2BIT = 2-bit binary
+      quantization (two packed bit-planes, popcount dot products
+      against a 4-bit-quantized query — Lucene's DIBIT_QUERY_NIBBLE
+      shape). Quantized encodings rank an oversampled
       candidate pool with the compact form, then rescore the pool at
       full precision (Lucene's quantized-KNN oversample+rescore
       shape). The reference delegates to Lucene's per-segment
@@ -200,6 +212,16 @@ class VectorConfig:
     hnsw_m: int = 16
     hnsw_ef_construction: int = 100
     hnsw_ef_search: int = 100
+    # HNSW per-shard memory budget (MiB): a shard's graph is built by
+    # ONE task holding that shard's full vector block plus adjacency
+    # in memory (the same per-segment constraint Lucene has at flush
+    # — HnswGraphBuilder keeps the segment's vectors reachable). The
+    # build FAILS LOUDLY when the estimated block exceeds this budget
+    # instead of OOM-killing the executor mid-job; the fix is more
+    # shards (each shard ~ corpus/number_of_shards vectors), sized so
+    # n_docs/shard × dim × 4 bytes stays well inside a task's share
+    # of executor memory.
+    hnsw_shard_budget_mb: float = 2048.0
     # INT8/INT4 scale derivation. "QUANTILE" (default, Lucene-104
     # shape): one scale per SHARD/segment from the component-magnitude
     # quantile at confidence 1 − 1/(dim+1) over a deterministic build
@@ -214,6 +236,10 @@ class VectorConfig:
             )
         if self.index_type not in ("FLAT", "IVF", "HNSW"):
             raise ValueError(f"Unknown vector index type {self.index_type}")
+        if self.index_type == "HNSW" and self.hnsw_shard_budget_mb <= 0:
+            raise ValueError(
+                f"hnsw_shard_budget_mb must be positive (got {self.hnsw_shard_budget_mb})"
+            )
         if self.index_type == "HNSW" and (
             self.hnsw_m < 2 or self.hnsw_ef_construction < 1 or self.hnsw_ef_search < 1
         ):

@@ -705,7 +705,7 @@ def _calibrate_quantization(corpus: DataFrame, config: IndexConfig) -> dict | No
     fields = [
         (c, vc)
         for c, vc in config.vector_fields()
-        if vc.encoding in ("INT8", "INT4") and vc.calibration == "QUANTILE"
+        if vc.encoding in ("INT8", "INT7", "INT4") and vc.calibration == "QUANTILE"
     ]
     if not fields:
         return None
@@ -734,7 +734,9 @@ def _calibrate_quantization(corpus: DataFrame, config: IndexConfig) -> dict | No
         comps = [np.abs(np.asarray(r[1], dtype=np.float64)) for r in rows]
         dim = comps[0].size
         conf = 1.0 - 1.0 / (dim + 1)
-        levels = 127.0 if vc.encoding == "INT8" else 7.0
+        from zuliasearch_spark.config import QUANT_LEVELS
+
+        levels = QUANT_LEVELS[vc.encoding]
         all_comps = np.concatenate(comps)
         global_scale = float(np.quantile(all_comps, conf) / levels)
         per_shard = {}
@@ -800,8 +802,9 @@ def _add_vector_encodings(
     ZuliaPerFieldKnnVectorsFormat.java picks the quantized Lucene
     format per field). Per indexed vector name ``v``:
 
-    - INT8 / INT4: ``_zvq_v`` array<tinyint> — symmetric per-vector
-      max-abs scalar quantization to ±127 / ±7 levels — plus
+    - INT8 / INT7 / INT4: ``_zvq_v`` array<tinyint> — symmetric
+      per-vector max-abs scalar quantization to ±127 / ±63 / ±7
+      levels (config.QUANT_LEVELS) — plus
       ``_zvs_v`` (the scale) and ``_zvn_v`` (the quantized L2 norm,
       so query-time approximate cosine is ONE dot product per row).
       The reference delegates to Lucene's per-segment
@@ -811,6 +814,11 @@ def _add_vector_encodings(
     - BBQ: ``_zvq_v`` array<long> — sign bits packed 64 per word,
       MSB-first within each word, last word holding the remainder
       dims in its low bits. Approximate score is dim − 2·hamming.
+    - BBQ_2BIT: two sign-packed planes ``_zvq_v`` (low bits) and
+      ``_zvqh_v`` (high bits) of per-component 2-bit codes, plus
+      ``_zvs_v``/``_zvn_v`` — the query side 4-bit-quantizes the
+      query and scores with popcount dot products per plane pair
+      (Lucene's DIBIT_QUERY_NIBBLE asymmetric scheme).
 
     All expressions are Catalyst (transform/aggregate/slice) — the
     encode stage is whole-stage codegen, no Python in the build path,
@@ -826,8 +834,10 @@ def _add_vector_encodings(
             )
         name = vc.indexed_field_name
         vec = F.col(col)
-        if vc.encoding in ("INT8", "INT4"):
-            levels = 127.0 if vc.encoding == "INT8" else 7.0
+        if vc.encoding in ("INT8", "INT7", "INT4"):
+            from zuliasearch_spark.config import QUANT_LEVELS
+
+            levels = QUANT_LEVELS[vc.encoding]
             scales = (calib or {}).get(name)
             if scales is not None:
                 # per-shard quantile-calibrated scale (Lucene-104
@@ -870,7 +880,8 @@ def _add_vector_encodings(
                     )
                 ),
             )
-        else:  # BBQ: 1-bit sign quantization, packed 64 dims per long
+        elif vc.encoding == "BBQ":
+            # 1-bit sign quantization, packed 64 dims per long
             n_words = F.ceil(F.size(vec) / F.lit(64)).cast("int")
             bits = F.transform(
                 F.sequence(F.lit(0), n_words - 1),
@@ -882,6 +893,60 @@ def _add_vector_encodings(
                 ),
             )
             doc_map = doc_map.withColumn(f"_zvq_{name}", bits)
+        else:  # BBQ_2BIT: 2-bit codes as TWO packed bit-planes
+            # Lucene 104's DIBIT shape: component code c ∈ {0..3}
+            # dequantizes to (c − 1.5)·s with per-vector scale
+            # s = max|x|/1.5; the code's low/high bits land in two
+            # sign-packed planes (64 dims per long, MSB-first like
+            # BBQ) so the query side can take popcount dot products
+            # per (doc-plane, query-plane) pair. _zvs_ stores s and
+            # _zvn_ the dequantized norm for the approximate cosine.
+            maxabs = F.aggregate(
+                vec, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
+            )
+            s2 = maxabs / F.lit(1.5)
+            codes = F.transform(
+                vec,
+                lambda x: F.when(
+                    s2 > 0,
+                    F.least(
+                        F.greatest(F.round(x.cast("double") / s2 + 1.5), F.lit(0.0)),
+                        F.lit(3.0),
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("int"),
+            )
+            doc_map = doc_map.withColumn(f"_zvc2_{name}", codes)
+            cc = F.col(f"_zvc2_{name}")
+            n_words = F.ceil(F.size(vec) / F.lit(64)).cast("int")
+            def _plane(p):
+                return F.transform(
+                    F.sequence(F.lit(0), n_words - 1),
+                    lambda w: F.aggregate(
+                        F.slice(cc, w * 64 + 1, 64),
+                        F.lit(0).cast("long"),
+                        lambda acc, c: F.shiftleft(acc, 1)
+                        + F.shiftright(c, p).bitwiseAND(F.lit(1)).cast("long"),
+                    ),
+                )
+
+            doc_map = doc_map.withColumn(f"_zvq_{name}", _plane(0))
+            doc_map = doc_map.withColumn(f"_zvqh_{name}", _plane(1))
+            doc_map = doc_map.withColumn(f"_zvs_{name}", s2)
+            doc_map = doc_map.withColumn(
+                f"_zvn_{name}",
+                s2
+                * F.sqrt(
+                    F.aggregate(
+                        cc,
+                        F.lit(0.0),
+                        lambda a, c: a
+                        + (c.cast("double") - 1.5) * (c.cast("double") - 1.5),
+                    )
+                ),
+            )
+            doc_map = doc_map.drop(f"_zvc2_{name}")
     return doc_map
 
 
@@ -1075,9 +1140,10 @@ def _build_hnsw_graphs(doc_map: DataFrame, config: IndexConfig) -> DataFrame | N
     for col, vc in hnsw:
         name = vc.indexed_field_name
         m, efc = vc.hnsw_m, vc.hnsw_ef_construction
+        budget_mb = vc.hnsw_shard_budget_mb
         gid = uuid.uuid4().hex
 
-        def make_kernel(col=col, name=name, m=m, efc=efc, gid=gid):
+        def make_kernel(col=col, name=name, m=m, efc=efc, gid=gid, budget_mb=budget_mb):
             def kernel(key, pdf):
                 import pandas as pd
 
@@ -1086,6 +1152,25 @@ def _build_hnsw_graphs(doc_map: DataFrame, config: IndexConfig) -> DataFrame | N
                 pdf = pdf[pdf[col].notna()]
                 if pdf.empty:
                     return pd.DataFrame(columns=cols)
+                # per-shard memory guard (VectorConfig
+                # .hnsw_shard_budget_mb): one task must hold the
+                # shard's float32 vector block + int adjacency.
+                # Estimate = n·dim·4 (vectors) + n·(2m+2)·8 (level-0
+                # lists; upper layers are a geometric tail). Failing
+                # HERE names the fix — more shards — instead of
+                # OOM-killing the executor mid-build.
+                n = len(pdf)
+                dim = len(pdf[col].iloc[0])
+                est_mb = (n * dim * 4 + n * (2 * m + 2) * 8) / (1024 * 1024)
+                if est_mb > budget_mb:
+                    raise ValueError(
+                        f"HNSW shard {int(key[0])} of field {name!r}: "
+                        f"{n} vectors x {dim} dims ~ {est_mb:.0f} MiB "
+                        f"exceeds hnsw_shard_budget_mb={budget_mb}. "
+                        f"Raise number_of_shards so each shard's vector "
+                        f"block fits one task's memory, or raise the "
+                        f"budget if the executors have headroom."
+                    )
                 vecs = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[col]])
                 rows = graph_rows(
                     pdf["doc_id"].to_numpy(np.int64),

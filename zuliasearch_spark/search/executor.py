@@ -74,7 +74,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from zuliasearch_spark.analysis.analyzers import analyze_query_text
-from zuliasearch_spark.config import IndexConfig
+from zuliasearch_spark.config import QUANT_LEVELS, IndexConfig
 from zuliasearch_spark.indexing.builder import IndexTables
 from zuliasearch_spark.indexing.tombstones import load_tombstone_uids, save_tombstone_uids
 from zuliasearch_spark.search.intervals import doc_candidates as interval_doc_candidates
@@ -4469,7 +4469,71 @@ class SearchEngine:
             )
         n_cand = max(k, int(_math.ceil(k * vc.oversample)))
         v = np.asarray(list(vector), dtype=np.float64)
-        if vc.encoding == "BBQ":
+        if vc.encoding == "BBQ_2BIT":
+            # asymmetric popcount scoring (Lucene DIBIT_QUERY_NIBBLE):
+            # doc codes C∈{0..3} live in two bit-planes, the query is
+            # 4-bit-quantized to Q∈{0..15} as four bit-planes, and
+            #   Σ C·Q = Σ_{i<2, j<4} 2^{i+j}·popcount(d_i & q_j)
+            # dequantized dot ≈ s_doc·s_q·Σ(C−1.5)(Q−7.5), expanded
+            # into the popcount sum plus ΣC/ΣQ correction terms —
+            # every term a codegen bit_count aggregate, ranked before
+            # the full-precision rescore
+            dim = v.size
+            s_q = float(np.abs(v).max()) / 7.5 if v.size else 0.0
+            qcodes = (
+                np.clip(np.round(v / s_q + 7.5), 0, 15).astype(np.int64)
+                if s_q > 0
+                else np.zeros(dim, dtype=np.int64)
+            )
+            sum_q = float(qcodes.sum())
+
+            def pack_plane(bits: np.ndarray) -> list[int]:
+                words = []
+                for c0 in range(0, bits.size, 64):
+                    acc = 0
+                    for b in bits[c0 : c0 + 64]:
+                        acc = (acc << 1) | int(b)
+                    if acc >= 1 << 63:
+                        acc -= 1 << 64
+                    words.append(acc)
+                return words
+
+            def popcount_dot(dcol, words: list[int]):
+                qlit = F.array(*[F.lit(w).cast("long") for w in words])
+                return F.aggregate(
+                    F.zip_with(dcol, qlit, lambda a, b: F.bit_count(a.bitwiseAND(b))),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long"),
+                )
+
+            planes_q = [pack_plane((qcodes >> j) & 1) for j in range(4)]
+            d_planes = [qcol, F.col(f"_zvqh_{name}")]
+            sum_cq = None
+            for i, dcol in enumerate(d_planes):
+                for j, words in enumerate(planes_q):
+                    t = popcount_dot(dcol, words).cast("double") * F.lit(
+                        float(1 << (i + j))
+                    )
+                    sum_cq = t if sum_cq is None else sum_cq + t
+            pc = lambda c: F.aggregate(  # noqa: E731 — popcount of a plane
+                c, F.lit(0).cast("long"), lambda a, w: a + F.bit_count(w).cast("long")
+            )
+            sum_c = (
+                F.lit(2.0) * pc(d_planes[1]).cast("double")
+                + pc(d_planes[0]).cast("double")
+            )
+            dot_codes = (
+                sum_cq
+                - F.lit(7.5) * sum_c
+                - F.lit(1.5 * sum_q)
+                + F.lit(1.5 * 7.5 * dim)
+            )
+            dn = F.col(f"_zvn_{name}")
+            s_doc = F.col(f"_zvs_{name}")
+            approx = F.when(
+                (dn > 0) & F.lit(s_q > 0), s_doc * dot_codes / dn
+            ).otherwise(F.lit(-2.0))
+        elif vc.encoding == "BBQ":
             words = []
             for c0 in range(0, v.size, 64):
                 acc = 0
@@ -4495,7 +4559,7 @@ class SearchEngine:
             # query codes are a per-row transform of a literal array;
             # within a shard the scale is constant so whole-stage
             # codegen folds it.
-            levels = 127.0 if vc.encoding == "INT8" else 7.0
+            levels = QUANT_LEVELS[vc.encoding]
             s = F.col(f"_zvs_{name}")
             vlit = F.array(*[F.lit(float(x)) for x in v])
             qq = F.transform(
@@ -4520,7 +4584,7 @@ class SearchEngine:
                 F.lit(-2.0)
             )
         else:
-            levels = 127.0 if vc.encoding == "INT8" else 7.0
+            levels = QUANT_LEVELS[vc.encoding]
             maxabs = float(np.abs(v).max()) if v.size else 0.0
             qv = (
                 np.round(v / (maxabs / levels)).astype(np.int64)

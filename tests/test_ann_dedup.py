@@ -168,3 +168,42 @@ def test_neardup_auto_planes_bounded_occupancy(spark):
     got = P.neardup_cosine_pairs(emb, threshold=0.9).collect()
     assert all(r["cosine"] >= 0.9 for r in got)
     assert (0, 64) in {(r["a"], r["b"]) for r in got}
+
+
+def test_simhash_block_combos_complete_and_wide():
+    """Manku blocking invariants: (1) COMPLETENESS — for every way of
+    flipping ≤ h bits, some table's combination avoids all flipped
+    blocks; (2) WIDTH — the default h=6 layout keys on 16-bit block
+    pairs (65,536 bucket values/table), replacing r4's ≤10-bit single
+    bands whose ≤1024 values/band made buckets quadratic at corpus
+    scale."""
+    import itertools
+
+    for h, blocks in ((6, None), (3, None), (6, 10), (1, 4), (0, 2)):
+        layout, combos = P.simhash_block_combos(h, blocks)
+        nb = len(layout)
+        assert sum(w for _, w in layout) == 64
+        k = nb - h
+        assert all(len(c) == k for c in combos)
+        # flipping bits in any ≤h blocks leaves ≥1 combo untouched
+        for flipped in itertools.combinations(range(nb), min(h, nb - k)):
+            assert any(set(c).isdisjoint(flipped) for c in combos), (h, flipped)
+    # default h=6: 28 tables, 16-bit keys
+    layout, combos = P.simhash_block_combos(6)
+    assert len(combos) == 28
+    key_bits = min(
+        sum(layout[b][1] for b in combo) for combo in combos
+    )
+    assert key_bits == 16
+
+
+def test_simhash_pairs_results_scheme_independent(docs):
+    """The exact hamming filter makes the RESULT invariant to the
+    blocking scheme: default blocks vs a wider table set must return
+    identical pair sets."""
+    a = {(r["a"], r["b"], r["hamming"]) for r in P.simhash_pairs(docs, max_hamming=3).collect()}
+    b = {
+        (r["a"], r["b"], r["hamming"])
+        for r in P.simhash_pairs(docs, max_hamming=3, blocks=6).collect()
+    }
+    assert a == b

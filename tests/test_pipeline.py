@@ -223,3 +223,57 @@ def test_stratified_sample_deterministic(spark):
     assert 0.3 <= rep["en"]["kept_frac"] <= 0.7
     assert rep["xx"]["kept_frac"] <= 0.25
     assert rep["en"]["n_total"] == 100 and rep["xx"]["n_total"] == 100
+
+
+def test_lsh_tuning_bounds_false_negatives():
+    """VERDICT r4 #10: banding must be config-driven with the S-curve
+    P(candidate|s) = 1 − (1 − s^r)^b documented and the chosen (r, b)
+    bounding the false-negative rate at the dedup threshold."""
+    # at 16 perms the bound forces SHALLOW bands (r=2): recall holds
+    # but the S-curve is mushy — sub-threshold pairs flood the
+    # verify stage. 128 perms affords r=8 at the same bound: the
+    # candidate rate at s=0.5 drops by orders of magnitude.
+    r16, b16 = P.lsh_tuning(0.8, 16)
+    r128, b128 = P.lsh_tuning(0.8, 128)
+    assert r16 * b16 == 16 and r128 * b128 == 128
+    assert P.lsh_false_negative_rate(0.8, 16, r16) <= 0.05
+    assert P.lsh_false_negative_rate(0.8, 128, r128) <= 0.05
+    assert r128 > r16  # sharper curve with more perms
+
+    def candidate_rate(s, n, r):
+        return 1.0 - P.lsh_false_negative_rate(s, n, r)
+
+    # the sharpness payoff: at a 10%-miss budget, 128 perms afford
+    # 8-row bands whose sub-threshold candidate rate collapses, while
+    # 16 perms cap at r=2 and flood the verify stage
+    r128_10, _ = P.lsh_tuning(0.8, 128, max_fn_rate=0.1)
+    r16_10, _ = P.lsh_tuning(0.8, 16, max_fn_rate=0.1)
+    assert candidate_rate(0.5, 128, r128_10) < 0.1 < candidate_rate(0.5, 16, r16_10)
+    # an unmeetable contract fails loud instead of silently missing
+    with pytest.raises(ValueError, match="raise n_perms"):
+        P.lsh_tuning(0.5, 4, max_fn_rate=1e-9)
+
+
+def test_minhash_perm_constants_deterministic_and_extended():
+    a = P.minhash_perm_constants(16)
+    assert a == P.MINHASH_AB  # frozen oracle constants unchanged
+    c = P.minhash_perm_constants(64)
+    assert c[:16] == P.MINHASH_AB
+    assert len(set(c)) == 64
+    assert all(x % 2 == 1 and 0 < x < (1 << 30) for x, _ in c[16:])
+    assert c == P.minhash_perm_constants(64)  # reproducible
+
+
+def test_configurable_signature_width_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different text about spark engines here")],
+        "doc_id long, text string",
+    )
+    sigs = P.minhash_signatures(docs, n_perms=32)
+    assert sum(1 for cname in sigs.columns if cname.startswith("mh")) == 32
+    pairs = {(r["a"], r["b"]) for r in P.lsh_candidate_pairs(sigs, band_rows=2).collect()}
+    assert (1, 2) in pairs
+    got = P.lsh_candidate_pairs(sigs, band_rows=2).filter("a = 1 and b = 2").head()
+    assert got["n_match"] > 16  # near-dup pair matches most of 32 perms

@@ -1329,7 +1329,18 @@ def quantized_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             FieldConfig("tag", index_as=(IndexAs("tag", "lcKeyword"),)),
             FieldConfig(
                 "embedding",
-                vector_as=(VectorConfig("embedding", encoding="INT8", oversample=4.0),),
+                # one stored column indexed under three encodings
+                # (IndexAs-level encoding choice, zulia_index.proto
+                # VectorIndexingConfig): INT8 (the reference's new-index
+                # default), INT7 (SEVEN_BIT), and BBQ_2BIT's two-plane
+                # popcount path. BBQ_2BIT is coarse, so its gate uses a
+                # deep oversample — the rescore pool still reproduces
+                # the exact-cosine oracle ranking.
+                vector_as=(
+                    VectorConfig("embedding", encoding="INT8", oversample=4.0),
+                    VectorConfig("emb7", encoding="INT7", oversample=4.0),
+                    VectorConfig("embb2", encoding="BBQ_2BIT", oversample=16.0),
+                ),
             ),
         ),
         per_shard_stats=False,
@@ -1468,6 +1479,64 @@ def q_vector_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
+def q_vector_int7_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT7 (SEVEN_BIT, zulia_index.proto:257) quantized KNN: ±63
+    levels keep the top bit free like Lucene 104's seven-bit scalar
+    format. Same oversample+rescore contract and exact brute-force
+    cosine oracle as the INT8 gate."""
+    eng = quantized_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    res = eng.more_like_this(
+        vector_field="emb7", like_vectors=(qv,), vector_top_n=10, amount=10
+    )
+    rows = [(int(t["uniqueId"]), float(round(t["score"], 4))) for t in res["topk"]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def q_vector_bbq2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBQ_2BIT (DIBIT_QUERY_NIBBLE, zulia_index.proto:258): 2-bit
+    doc codes in two sign-packed bit-planes, scored by popcount dot
+    products against a 4-bit-quantized query — Lucene's asymmetric
+    binary-quantization shape. The deep oversample (16×) makes the
+    rescore pool reproduce the exact-cosine oracle ranking."""
+    eng = quantized_engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    res = eng.more_like_this(
+        vector_field="embb2", like_vectors=(qv,), vector_top_n=10, amount=10
+    )
+    rows = [(int(t["uniqueId"]), float(round(t["score"], 4))) for t in res["topk"]]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def q_clause_grammar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause-model ``q`` through the FULL query grammar (r5:
+    executor._clauses_to_tree; the reference parses every clause's q
+    with ZuliaFlexibleQueryParser, ZuliaIndex.java:946-964). Two
+    shapes: a nested-boolean scored clause composed with a FILTER
+    clause whose q is a fielded range (conjunct-split path), and a
+    clause whose q puts a doc-values point leaf in SHOULD position
+    (set-algebra path)."""
+    eng = documents_engine(spark, sf_dir)
+    range_req = SearchRequest(
+        (
+            QueryClause("SCORE_MUST", q="merge OR (scan AND window)", qf=("text",)),
+            QueryClause("FILTER", q="year:[2016 TO 2019]"),
+        ),
+        amount=1,
+    )
+    mixed_req = SearchRequest(
+        (QueryClause("SCORE_SHOULD", q="merge OR year:2016", qf=("text",)),),
+        amount=1,
+    )
+    hits_range = eng.search(range_req, fetch="none")["totalHits"]
+    hits_mixed = eng.search(mixed_req, fetch="none")["totalHits"]
+    return spark.createDataFrame(
+        [(hits_range, hits_mixed)], "hits_range bigint, hits_mixed bigint"
+    )
+
+
 _VECTOR_INT8_SQL = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 5),
 c AS (
@@ -1481,6 +1550,27 @@ SELECT doc_id, round(c, 4) AS score FROM c
 ORDER BY c DESC, doc_id ASC LIMIT 10
 """
 
+
+# same exact-cosine oracle, different query vectors — the quantized
+# encodings' recall contract is vs BRUTE-FORCE cosine, not self-check
+_VECTOR_INT7_SQL = _VECTOR_INT8_SQL.replace("vec_id = 5", "vec_id = 7")
+_VECTOR_BBQ2_SQL = _VECTOR_INT8_SQL.replace("vec_id = 5", "vec_id = 3")
+
+_CLAUSE_GRAMMAR_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+s AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan'),
+w AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+SELECT
+  (SELECT count(*) FROM documents d
+    WHERE (d.doc_id IN (SELECT doc_id FROM m)
+           OR (d.doc_id IN (SELECT doc_id FROM s)
+               AND d.doc_id IN (SELECT doc_id FROM w)))
+      AND (2015 + d.doc_id % 7) BETWEEN 2016 AND 2019)::BIGINT AS hits_range,
+  (SELECT count(*) FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM m)
+       OR (2015 + d.doc_id % 7) = 2016)::BIGINT AS hits_mixed
+"""
 
 _MATCH_MERGE = "(SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
 
@@ -2695,7 +2785,7 @@ QUERIES = {
     "text_embed": q_text_embed,
     "sparse_encode": q_sparse_encode,
     "classifier_stats": q_classifier_stats,
-    "multimodal_meta": q_multimodal_meta,
+    "dedup_keep_best": q_dedup_keep_best,
     "drill_down_multi": q_drill_down_multi,
     "numeric_set_count": q_numeric_set_count,
     "sort_topk": q_sort_topk,
@@ -2710,8 +2800,8 @@ QUERIES = {
     # driver-verified, so they take the slots of three r02-green
     # unchanged gates (lsh_jaccard, simhash, ngram_jaccard → below)
     "contamination": q_contamination,
-    "seq_pack": q_seq_pack,
-    "stratified_sample": q_stratified_sample,
+    "vector_int7_topk": q_vector_int7_topk,
+    "vector_bbq2_topk": q_vector_bbq2_topk,
     "facet_multivalued": q_facet_multivalued,
     "quality": q_quality,
     "winnow": q_winnow,
@@ -2720,7 +2810,7 @@ QUERIES = {
     # slots of three r03-green unchanged gates (minhash_lsh,
     # phrase_topk, multi_index_topk → below the window)
     "pii_scrub": q_pii_scrub,
-    "url_stats": q_url_stats,
+    "clause_grammar_counts": q_clause_grammar_counts,
     "repetition": q_repetition,
     # new in r4 late: dedup clustering (CC over verified LSH pairs) —
     # takes the window slot of r02-green unchanged doc_terms (below)
@@ -2751,10 +2841,13 @@ QUERIES = {
     "kstem_counts": q_kstem_counts,
     # --- below the 50-slot window (driver-green in r02/r03; replica-tested) ---
     "qs_topk": q_qs_topk,
+    "multimodal_meta": q_multimodal_meta,
+    "seq_pack": q_seq_pack,
+    "stratified_sample": q_stratified_sample,
+    "url_stats": q_url_stats,
     # rotated out of the 50-slot window for r4's facet_multivalued
     # (lang_id is r02-driver-green and unchanged since)
     "lang_id": q_lang_id,
-    "dedup_keep_best": q_dedup_keep_best,
     "doc_terms": q_doc_terms,
     "summary_terms": q_summary_terms,
     "mlt_topk": q_mlt_topk,
@@ -3304,6 +3397,9 @@ ORDER BY value DESC, event_id ASC LIMIT 10""",
     "mlt_vector_topk": _MLT_VECTOR_SQL,
     "mlt_hybrid_topk": _MLT_HYBRID_SQL,
     "vector_int8_topk": _VECTOR_INT8_SQL,
+    "vector_int7_topk": _VECTOR_INT7_SQL,
+    "vector_bbq2_topk": _VECTOR_BBQ2_SQL,
+    "clause_grammar_counts": _CLAUSE_GRAMMAR_SQL,
     "vector_hnsw_topk": _VECTOR_HNSW_SQL,
     "vector_hnsw_filtered_topk": _VECTOR_HNSW_FILTERED_SQL,
     "minhash_lsh": _MINHASH_SQL,

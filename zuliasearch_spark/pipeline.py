@@ -46,6 +46,60 @@ MINHASH_AB = [
 ]
 MINHASH_PERMS = len(MINHASH_AB)
 MINHASH_BAND_ROWS = 4
+
+
+def minhash_perm_constants(n_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation constants for any signature
+    size. The first 16 are the frozen MINHASH_AB list (the SQL
+    oracles mirror them); beyond 16, constants derive from a
+    counter-mode md5 so a 128- or 256-perm config is reproducible
+    across runs with no RNG state — the same determinism rule as
+    the sign-LSH hyperplanes."""
+    import hashlib
+
+    out = list(MINHASH_AB[:n_perms])
+    i = len(out)
+    while len(out) < n_perms:
+        d = hashlib.md5(f"minhash-perm-{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) | 1) % (1 << 30)  # odd, < 2^30
+        b = int(d[8:16], 16) % (1 << 30)
+        out.append((a or 1, b))
+        i += 1
+    return out
+
+
+def lsh_false_negative_rate(s: float, n_perms: int, band_rows: int) -> float:
+    """P(an s-similar pair shares NO band) = (1 − s^r)^b — the LSH
+    S-curve's miss side (Leskovec/Rajaraman/Ullman, MMDS §3.4). The
+    dedup contract at a Jaccard threshold t is this number at s=t."""
+    n_bands = n_perms // band_rows
+    return (1.0 - s**band_rows) ** n_bands
+
+
+def lsh_tuning(
+    threshold: float, n_perms: int, max_fn_rate: float = 0.05
+) -> tuple[int, int]:
+    """(band_rows, n_bands) for a Jaccard ``threshold``: the largest
+    row count r dividing n_perms whose false-negative rate at the
+    threshold stays ≤ max_fn_rate — larger r suppresses sub-threshold
+    candidates (fewer false positives to verify) while the bound
+    keeps in-contract recall. Raises when even r=1 misses too often —
+    the signal that n_perms itself is too small for the contract
+    (e.g. 16 perms cannot hold a 0.8-threshold dedup to 5% misses:
+    callers at corpus scale pass n_perms=128/256)."""
+    best = None
+    for r in range(1, n_perms + 1):
+        if n_perms % r:
+            continue
+        if lsh_false_negative_rate(threshold, n_perms, r) <= max_fn_rate:
+            best = r
+    if best is None:
+        raise ValueError(
+            f"{n_perms} permutations cannot bound the false-negative rate at "
+            f"threshold {threshold} to {max_fn_rate} even with 1-row bands; "
+            f"raise n_perms (128/256 are typical at a 0.8 threshold)"
+        )
+    return best, n_perms // best
 SIMHASH_BITS = 64  # 32 bits collides heavily at 1e9+ docs
 
 
@@ -89,8 +143,15 @@ def _toks(df: DataFrame) -> DataFrame:
 # ---- dedup: MinHash + LSH ----------------------------------------------
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh15): min-hash over word 3-shingles."""
+def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, mh0..mh{n_perms-1}): min-hash over word 3-shingles.
+
+    ``n_perms`` sizes the signature (default 16, the SQL-oracle
+    shape): the estimator's std-error is ~sqrt(s(1-s)/n), and the LSH
+    S-curve sharpness at a dedup threshold is bounded by the
+    available (band_rows, n_bands) factorizations — a 0.8-threshold
+    contract at corpus scale wants 128/256 perms (lsh_tuning raises
+    when the count can't hold the false-negative bound)."""
     sh = (
         _toks(docs)
         .select(
@@ -108,15 +169,27 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
-        for j, (a, b) in enumerate(MINHASH_AB)
+        for j, (a, b) in enumerate(minhash_perm_constants(n_perms))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, band_rows: int = MINHASH_BAND_ROWS
+) -> DataFrame:
     """LSH banding: docs sharing any band → candidate pair + #matching
-    minhashes (est. Jaccard = n_match / 16)."""
-    n_bands = MINHASH_PERMS // MINHASH_BAND_ROWS
+    minhashes (est. Jaccard = n_match / n_perms).
+
+    ``band_rows`` (r) and the signature width (n, from the mh columns)
+    set the S-curve P(candidate | s) = 1 − (1 − s^r)^(n/r): more rows
+    per band suppress low-similarity candidates, more bands raise
+    recall at the threshold. Pick (r, b) with lsh_tuning(threshold,
+    n_perms) — the default 16/4 mirrors the SQL oracle; a 0.8
+    dedup contract at 100 TB runs 128 perms with r from lsh_tuning."""
+    n_perms = sum(1 for c in sigs.columns if c.startswith("mh"))
+    if n_perms % band_rows:
+        raise ValueError(f"band_rows {band_rows} must divide n_perms {n_perms}")
+    n_bands = n_perms // band_rows
     # single-pass banding via explode (a per-band unionByName would
     # recompute the signature aggregation once per band)
     band_structs = F.array(
@@ -127,7 +200,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
                     "-",
                     *[
                         F.col(f"mh{j}").cast("string")
-                        for j in range(b * MINHASH_BAND_ROWS, (b + 1) * MINHASH_BAND_ROWS)
+                        for j in range(b * band_rows, (b + 1) * band_rows)
                     ],
                 ).alias("sig"),
             )
@@ -145,10 +218,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(MINHASH_PERMS)])
-    sb = sigs.select(F.col("doc_id").alias("b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(MINHASH_PERMS)])
+    sa = sigs.select(F.col("doc_id").alias("a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_perms)])
+    sb = sigs.select(F.col("doc_id").alias("b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_perms)])
     matches = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(MINHASH_PERMS)
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(n_perms)
     )
     return (
         pairs.join(sa, "a").join(sb, "b")
@@ -194,33 +267,79 @@ def simhash(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_block_combos(
+    max_hamming: int, blocks: int | None = None, bits: int = SIMHASH_BITS
+) -> tuple[list[tuple[int, int]], list[tuple[int, ...]]]:
+    """Manku-style multi-table blocking (Manku, Jain & Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling", WWW 2007 §3): split
+    the fingerprint into ``blocks`` near-equal bit blocks and key
+    each table on a COMBINATION of ``blocks − max_hamming`` blocks.
+    ≤ max_hamming differing bits touch at most max_hamming blocks, so
+    two in-budget fingerprints agree on ≥ blocks − max_hamming blocks
+    — hence on EVERY block of at least one combination. Completeness
+    holds like single-band pigeonhole, but the keys are
+    ``blocks − max_hamming`` blocks WIDE: at the default h=6,
+    blocks=8 gives C(8,2)=28 tables keyed on 16-bit block pairs
+    (65,536 bucket values/table) where r4's 7 single bands had ≤1024
+    values — bucket occupancy at a given corpus size drops by the
+    extra key width's 2^k factor, and ``blocks`` is the dial: more
+    blocks ⇒ wider keys (combinatorially more tables), sized so
+    2^key_bits ≳ corpus size keeps the per-bucket self-join O(1).
+
+    Returns (block layout [(offset, width)], key combinations).
+    """
+    import itertools
+
+    if blocks is None:
+        blocks = min(bits, max_hamming + 2)
+    if not (max_hamming < blocks <= bits):
+        raise ValueError(
+            f"need max_hamming < blocks <= {bits} (got h={max_hamming}, blocks={blocks})"
+        )
+    base, rem = divmod(bits, blocks)
+    layout, off = [], 0
+    for i in range(blocks):
+        w = base + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    k = blocks - max_hamming
+    return layout, list(itertools.combinations(range(blocks), k))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 6, blocks: int | None = None
+) -> DataFrame:
     """Near-duplicate candidate pairs by SimHash Hamming distance.
 
-    Banding makes this scale-safe AND complete: the 64-bit
-    fingerprint splits into ``max_hamming + 1`` bands
-    (simhash_band_layout), so by pigeonhole two fingerprints within
-    the distance budget share ≥1 exact band and the self-join runs
-    per (band index, band value) bucket — never all-pairs, and no
-    silently missed in-contract pair. Survivors are filtered by
-    exact popcount(xor) ≤ max_hamming.
+    Multi-table blocking (simhash_block_combos) makes this scale-safe
+    AND complete: each fingerprint emits one key per block
+    COMBINATION; two fingerprints within the distance budget share
+    every block of at least one combination, so the self-join runs
+    per (table, key) bucket — never all-pairs, no silently missed
+    in-contract pair — with keys wide enough (16 bits at the default
+    h=6/blocks=8; raise ``blocks`` for wider) that bucket occupancy
+    stays small at corpus scale. Survivors are filtered by exact
+    popcount(xor) ≤ max_hamming, so the RESULT is independent of the
+    blocking scheme.
     """
     fp = simhash(docs)
-    # ONE pass: banding via explode of per-row (band, value) structs —
-    # a unionByName of per-band selects would recompute the whole
-    # fingerprint aggregation once per band (7x the shuffle at the
-    # default budget). Arithmetic shift is fine: sign-extension bits
-    # land above the mask for every band, including the one holding
-    # bit 63.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"(shiftright(simhash, {off}) & {(1 << width) - 1})").alias("bv"),
-            )
-            for b, (off, width) in enumerate(simhash_band_layout(max_hamming))
-        ]
-    )
+    # ONE pass: blocking via explode of per-row (table, key) structs —
+    # a unionByName of per-table selects would recompute the whole
+    # fingerprint aggregation once per table. Arithmetic shift is
+    # fine: sign-extension bits land above the mask for every block,
+    # including the one holding bit 63.
+    layout, combos = simhash_block_combos(max_hamming, blocks)
+    structs = []
+    for t, combo in enumerate(combos):
+        parts, shift = [], 0
+        for b in combo:
+            off, width = layout[b]
+            parts.append(f"((shiftright(simhash, {off}) & {(1 << width) - 1}) << {shift})")
+            shift += width
+        structs.append(
+            F.struct(F.lit(t).alias("band"), F.expr(" | ".join(parts)).alias("bv"))
+        )
+    band_structs = F.array(*structs)
     bands = fp.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
         "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
@@ -976,6 +1095,17 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        # the loop never observed a stable fingerprint: the edge set
+        # is NOT a star graph, so labels derived from it would be
+        # silently wrong — fail loud (Kiveris-style rounds converge in
+        # O(log² n); 25 rounds covers any realistic graph, so hitting
+        # this means pathological input or a bug upstream)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"large-star/small-star rounds (last fingerprint {prev_fp}); "
+            f"raise max_iters or inspect the edge list"
+        )
     # converged: e is a star set (child → component-min root)
     roots = e.select(F.col("v").alias("id"), F.col("v").alias("component"))
     return (

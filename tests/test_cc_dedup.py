@@ -138,3 +138,27 @@ def test_dedup_keep_best_prefers_quality(spark):
     kept = [d for d, (_, k) in out.items() if k]
     assert 9 in kept and len(kept) == 2
     assert (1 in kept) != (2 in kept)           # exactly one of the pair
+
+
+def test_dedup_clusters_tuned_signature(spark):
+    """n_perms routes through lsh_tuning: a wider signature with the
+    FN-bounded band shape finds the same near-dup clusters on a
+    clean-cut corpus (default path stays the frozen 16/4 oracle
+    shape)."""
+    from zuliasearch_spark import pipeline as P
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu xi"),
+            (3, "totally different content about query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {(r["doc_id"], r["cluster"]) for r in P.dedup_clusters(docs).collect()}
+    wide = {
+        (r["doc_id"], r["cluster"])
+        for r in P.dedup_clusters(docs, n_perms=64).collect()
+    }
+    assert base == wide
+    assert (2, 1) in base and (3, 3) in base

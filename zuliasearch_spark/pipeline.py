@@ -1115,7 +1115,9 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     )
 
 
-def dedup_clusters(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.8, n_perms: int | None = None
+) -> DataFrame:
     """End-to-end fuzzy-dedup clustering: MinHash signatures → LSH
     candidate pairs → exact word-shingle Jaccard verification at
     ``threshold`` → connected components → one canonical keeper per
@@ -1125,12 +1127,26 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     no verified near-duplicate are their own singleton cluster with
     ``keep = true``. ``docs.where(keep)`` is the deduplicated corpus.
 
+    ``n_perms`` sizes the MinHash signature: when passed, band rows
+    come from ``lsh_tuning(threshold, n_perms)``, which bounds the
+    false-negative rate at the threshold; left at None the frozen
+    16-perm/4-row oracle shape is used. Corpus-scale 0.8-threshold
+    dedup should pass 128 — wider signatures sharpen the S-curve so
+    the verify stage isn't flooded with sub-threshold candidates.
+
     Scale shape: the expensive stages are the LSH band self-join and
     the per-pair Jaccard verify, both bounded by candidate-pair count
     (never all-pairs); CC runs over the verified pairs only — a graph
     ~orders of magnitude smaller than the corpus.
     """
-    cands = lsh_candidate_pairs(minhash_signatures(docs)).select("a", "b")
+    if n_perms is None:
+        # frozen default: the 16/4 oracle shape (SQL gates mirror it)
+        n_perms, band_rows = MINHASH_PERMS, MINHASH_BAND_ROWS
+    else:
+        band_rows, _ = lsh_tuning(threshold, n_perms)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, n_perms=n_perms), band_rows=band_rows
+    ).select("a", "b")
     verified = jaccard_pairs(docs, cands).where(F.col("jaccard") >= threshold)
     cc = connected_components(verified.select("a", "b"))
     comp = cc.withColumnRenamed("id", "doc_id")

@@ -418,9 +418,13 @@ def test_read_spreadsheet_dispatches_xlsx(spark, tmpdir):
     write_xlsx(spark.createDataFrame([(5, "q")], "a long, b string"), path)
     df = read_spreadsheet(spark, path)
     assert df.columns == ["a", "b"] and df.count() == 1
-    # legacy .xls stays an honest NotImplementedError (binary BIFF)
-    with pytest.raises(NotImplementedError):
-        read_spreadsheet(spark, os.path.join(tmpdir, "old.xls"))
+    # legacy .xls dispatches to the BIFF8 codec (r5: sources/xls.py)
+    from zuliasearch_spark.sources import write_xls
+
+    old = os.path.join(tmpdir, "old.xls")
+    write_xls(spark.createDataFrame([(7, "w")], "a long, b string"), old)
+    df2 = read_spreadsheet(spark, old)
+    assert df2.columns == ["a", "b"] and df2.count() == 1
 
 
 def test_xlsx_blank_rows_bools_and_huge_numbers(spark, tmpdir):

@@ -677,6 +677,32 @@ def q_source_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy binary .xls connector parity (the reference serves XLS
+    through POI's WorkbookFactory, SpreadsheetSourceFactory.java:95;
+    here a pure-stdlib BIFF8/CFB codec, sources/xls.py): documents →
+    .xls target → .xls source → aggregate, oracle on the ORIGINAL
+    parquet — matching hashes prove the binary write+read round-trip
+    is lossless including RK-free NUMBER cells and the SST."""
+    import os
+    import tempfile
+
+    from zuliasearch_spark.sources import read_xls, write_xls
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(), f"zulia_gate_xls_{os.path.basename(sf_dir.rstrip('/'))}.xls"
+    )
+    write_xls(docs, out)
+    back = read_xls(spark, out)
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .select(F.col("lang").alias("value"), "cnt", "sum_chars")
+        .orderBy("value")
+    )
+
+
 _KSTEM_ENGINE_CACHE: dict = {}
 
 
@@ -2837,10 +2863,11 @@ QUERIES = {
     # new in r4 late: CSV export lines (REST /query/csv) — takes the
     # window slot of r03-green unchanged qs_topk
     "query_csv_export": q_query_csv_export,
-    "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
+    "source_xls_roundtrip": q_source_xls_roundtrip,
     "kstem_counts": q_kstem_counts,
     # --- below the 50-slot window (driver-green in r02/r03; replica-tested) ---
     "qs_topk": q_qs_topk,
+    "source_xlsx_roundtrip": q_source_xlsx_roundtrip,
     "multimodal_meta": q_multimodal_meta,
     "seq_pack": q_seq_pack,
     "stratified_sample": q_stratified_sample,
@@ -3289,6 +3316,9 @@ FROM documents GROUP BY lang ORDER BY value""",
 SELECT lang AS value, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY lang ORDER BY value""",
     "source_xlsx_roundtrip": """
+SELECT lang AS value, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang ORDER BY value""",
+    "source_xls_roundtrip": """
 SELECT lang AS value, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY lang ORDER BY value""",
     "kstem_counts": """

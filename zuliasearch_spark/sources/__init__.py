@@ -12,6 +12,12 @@ from zuliasearch_spark.sources.data import (
     write_delimited,
     write_json_lines,
 )
+from zuliasearch_spark.sources.xls import (
+    read_xls,
+    write_xls,
+    write_xls_sheets,
+    xls_sheet_names,
+)
 from zuliasearch_spark.sources.xlsx import (
     read_xlsx,
     write_xlsx,
@@ -26,10 +32,14 @@ __all__ = [
     "read_spreadsheet",
     "split_list_column",
     "spreadsheet_type",
+    "read_xls",
     "read_xlsx",
     "write_delimited",
     "write_json_lines",
+    "write_xls",
+    "write_xls_sheets",
     "write_xlsx",
     "write_xlsx_sheets",
+    "xls_sheet_names",
     "xlsx_sheet_names",
 ]

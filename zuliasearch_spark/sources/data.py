@@ -160,10 +160,10 @@ def read_spreadsheet(
 ) -> DataFrame:
     """Extension-dispatched spreadsheet source
     (SpreadsheetSourceFactory.fromStreamWithHeaders): csv/tsv go to
-    the delimited reader; xlsx goes to the stdlib SpreadsheetML
-    reader (sources/xlsx.py). Legacy .xls is the binary BIFF format,
-    which genuinely needs a codec this environment does not ship
-    (no POI/xlrd) — it raises NotImplementedError."""
+    the delimited reader; xlsx to the stdlib SpreadsheetML reader
+    (sources/xlsx.py); legacy binary .xls to the pure-stdlib
+    BIFF8/CFB codec (sources/xls.py) — the reference serves both
+    Excel flavors through POI's WorkbookFactory."""
     kind = spreadsheet_type(path, content_type)
     if kind is None:
         raise ValueError(f"cannot detect spreadsheet type for {path!r}")
@@ -175,10 +175,9 @@ def read_spreadsheet(
         from zuliasearch_spark.sources.xlsx import read_xlsx
 
         return read_xlsx(spark, path, headers=headers)
-    raise NotImplementedError(
-        "legacy binary .xls needs a BIFF codec this environment does not "
-        "provide; save as .xlsx or csv/tsv"
-    )
+    from zuliasearch_spark.sources.xls import read_xls
+
+    return read_xls(spark, path, headers=headers)
 
 
 def split_list_column(col, item_type: str = "string", list_delimiter: str = ";"):

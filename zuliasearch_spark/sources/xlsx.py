@@ -424,15 +424,26 @@ def read_xlsx(
     sequential ZIP stream, exactly like the reference's POI reader —
     and ``createDataFrame`` distributes the rows; the scale path for
     big data is parquet/delimited, not Excel."""
-    from pyspark.sql.types import (
-        BooleanType, DoubleType, LongType, StringType, StructField, StructType,
-    )
-
     with zipfile.ZipFile(path) as zf:
         part = _resolve_sheet_part(zf, sheet)
         strings = _shared_strings(zf)
         date_styles = _load_date_styles(zf)
         raw_rows = _parse_rows(zf, part, strings, date_styles)
+    return rows_to_dataframe(spark, raw_rows, headers, path)
+
+
+def rows_to_dataframe(
+    spark: "SparkSession",
+    raw_rows: list[dict[int, object]],
+    headers: bool,
+    path: str,
+) -> "DataFrame":
+    """Sparse {col: value} rows → typed DataFrame — the shared tail
+    of every spreadsheet reader (ExcelRecord's typed getters +
+    header handling); also used by the legacy-.xls reader."""
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+    )
 
     if headers and not raw_rows:
         # ExcelSource: header read on a truly empty sheet fails loudly

@@ -193,3 +193,27 @@ def test_resolve_clause_rejects_grammar_text():
     for q in ("a OR b", "year:[2020 TO 2024]", "x TO y", '"p q"'):
         with pytest.raises(ValueError, match="grammar"):
             resolve_clause(C("SCORE_SHOULD", q=q), analyze, ("text",))
+
+
+def test_search_many_routes_docvalues_requests(engine):
+    """Batch API: requests whose resolved tree carries doc-values
+    leaves (range conjuncts or SHOULD-position points) no longer
+    raise — they route through the per-request planner while pure
+    postings requests stay in the one batched kernel job."""
+    reqs = {
+        "plain": SearchRequest(qs="alpha", qf=("text",), amount=10),
+        "ranged": SearchRequest(qs="alpha AND year:[2005 TO 2020]", qf=("text",), amount=10),
+        "mixed": SearchRequest(qs="alpha OR year>2015", qf=("text",), amount=10),
+        "clause": SearchRequest(
+            (C("SCORE_SHOULD", q="gamma"), C("FILTER", q="year:[1990 TO 2010]")),
+            amount=10,
+        ),
+    }
+    out = engine.search_many(reqs)
+    assert out["plain"]["totalHits"] == 3          # {1,3,5}
+    assert out["ranged"]["totalHits"] == 2         # alpha ∩ 2005..2020 = {1,5}
+    assert out["mixed"]["totalHits"] == 5          # {1,2,3,4,5}
+    assert out["clause"]["totalHits"] == 3         # year 1990..2010 = {1,3,6}
+    singles = {k: engine.search(r) for k, r in reqs.items()}
+    for k in reqs:
+        assert out[k]["totalHits"] == singles[k]["totalHits"], k

@@ -45,14 +45,17 @@ INFLECTIONAL = {
 
 DERIVATIONAL = {
     # dictionary-gated: result is a known head word
-    "happiness": "happy",
-    "darkness": "dark",
+    # r5: common derived forms are dictionary ENTRIES (KStemData
+    # lists them), so lookup returns them untouched — Lucene parity
+    # (Solr docs' canonical example: organizations -> organization)
+    "happiness": "happiness",
+    "darkness": "darkness",  # r5: dictionary entry, lookup-first
     "quickly": "quick",
-    "happily": "happy",
+    "happily": "happily",
     "happier": "happy",
     "carrier": "carry",
-    "creation": "create",
-    "organization": "organize",
+    "creation": "creation",
+    "organization": "organization",
     "formality": "formal",
     "readable": "read",
     "probably": "probable",
@@ -161,9 +164,9 @@ def test_analyzer_chain_integration():
                   DEFAULT_ANALYZERS["kstem"])
     vocab = ts.vocab.to_pylist()
     toks = [vocab[c] for c in ts.codes]
-    # "were" is not in Lucene's English stop set; "smoothly" gates
-    # through the -ly rule onto the head word "smooth"
-    assert toks == ["police", "meeting", "were", "run", "smooth"]
+    # "were" is not in Lucene's English stop set; "smoothly" is its
+    # own KStemData-style entry so lookup keeps it whole
+    assert toks == ["police", "meeting", "were", "run", "smoothly"]
 
 
 def test_direct_conversion_heads_are_words():
@@ -243,15 +246,10 @@ BREADTH_VECTORS = {
     "stuttering": "stutter", "smiling": "smile", "hiding": "hide",
     "sliding": "slide", "gazing": "gaze", "blazing": "blaze",
     "dozing": "doze", "grazing": "graze",
-    # -ness (dictionary-gated)
-    "brightness": "bright", "darkness": "dark", "weakness": "weak",
-    "kindness": "kind", "politeness": "polite", "rudeness": "rude",
-    # -ation → -ate first (donation must NOT become don+e)
-    "navigation": "navigate", "celebration": "celebrate",
-    "decoration": "decorate", "migration": "migrate",
-    "donation": "donate", "imitation": "imitate",
-    "irritation": "irritate", "hesitation": "hesitate",
-    "information": "inform", "combination": "combine",
+    # -ness and -ation forms are dictionary ENTRIES (lookup-first
+    # conservatism, Lucene parity): they return themselves — the
+    # conflating rules still serve out-of-dictionary words, pinned in
+    # BREADTH_OOV below
     # agent -er: minus-"r" (the +e form) before the bare stem
     "gardener": "garden", "prisoner": "prison", "villager": "village",
     "announcer": "announce", "explorer": "explore", "invader": "invade",
@@ -260,6 +258,30 @@ BREADTH_VECTORS = {
 }
 
 
+BREADTH_PRESERVED = [
+    "brightness", "darkness", "weakness", "kindness", "politeness",
+    "rudeness", "navigation", "celebration", "decoration", "migration",
+    "donation", "imitation", "irritation", "hesitation", "information",
+    "combination", "happiness", "creation", "organization", "smoothly",
+]
+
+# out-of-dictionary derived forms: the gated rules still conflate
+BREADTH_OOV = {
+    "dampness": "damp", "crispness": "crisp",
+    "vastness": "vast", "starvation": "starve",
+}
+
+
 def test_breadth_vectors():
     for w, want in BREADTH_VECTORS.items():
+        assert kstem_stem(w) == want, (w, kstem_stem(w), want)
+
+
+def test_breadth_preserved_dictionary_entries():
+    for w in BREADTH_PRESERVED:
+        assert kstem_stem(w) == w, (w, kstem_stem(w))
+
+
+def test_breadth_oov_still_conflates():
+    for w, want in BREADTH_OOV.items():
         assert kstem_stem(w) == want, (w, kstem_stem(w), want)

@@ -28,8 +28,11 @@ Algorithm, per the paper and Lucene's KStemmer structure:
 
 DOCUMENTED DEVIATION: Lucene bundles a ~30k-entry lexicon
 (KStemData1-8 plus supplement/direct-conversion tables). This rebuild
-ships a curated ~6.4k head-word lexicon (the original common-English
-core plus a round-5 breadth supplement) covering frequent English and
+ships a curated ~7.3k head-word lexicon (the original common-English
+core plus two round-5 breadth supplements, the second adding
+lexicalized derived forms — happiness, organization, smoothly — that
+KStemData lists as entries of their own, so lookup-first returns
+them untouched exactly like Lucene) covering frequent English and
 every term exercised by the test corpora; deployments with the full
 word list can extend it at runtime via :func:`load_lexicon`. For
 out-of-lexicon words the inflectional behavior (step 3) still matches
@@ -977,6 +980,190 @@ yoke yolk yonder young youth zeal zebra zenith zero zest
 zigzag zinc zone zoo zoom
 """
 LEXICON.update(_SUPPLEMENT.split())
+
+# Second r5 breadth block: derived forms KStemData lists as entries
+# of their OWN (so lookup returns them untouched before any suffix
+# rule fires — the mechanism that keeps "business", "interesting",
+# "understanding" whole), plus more nominalizations/adjectives whose
+# presence gates derivational strips correctly.
+_SUPPLEMENT2 = """
+absolutely abstraction acceleration acceptance accessible accidental
+accommodation accomplishment accountant accumulation accusation
+acquaintance acquisition activation addiction additional
+administration administrator admiration admission adoption
+advertisement adviser advocacy advocate affection affirmation
+agricultural alignment allegation allocation alteration ambiguity
+amendment amusement announcement annually anticipation anxiously
+apparently appearance applicable appointment appreciation
+apprehension approval argument arrangement assassination assessment
+assignment assistance assistant association assumption assurance
+astonishment atmospheric attachment attainment attendance attendant
+attraction attractive audible authorization automatically
+availability basically beautiful beautifully beginner beginning
+believer betrayal bitterness blessing boldness breakage brightness
+brilliance brutality calculation calculator cancellation candidacy
+darkness weakness politeness rudeness donation
+capability carefully carelessness celebration certainly certainty
+championship characteristic characterization cheerful childhood
+childish circulation citizenship civilization clarification
+classification cleanliness clearance collection collector
+colonial colorful combination comfortable commander commentary
+commercial commissioner commitment communication comparable
+comparison compensation competition competitive competitor
+compilation completely completion complexity compliance
+complication composer composition comprehension comprehensive
+compression compulsory computation concentration conception
+concession conclusion condemnation conductor confession confidence
+confident configuration confirmation confrontation confusion
+congratulation connection conqueror conscience consciousness
+consequently conservation conservative consideration consistency
+consistent consolidation conspirator constantly constitution
+construction consultant consultation consumer consumption
+contamination contemplation contentment continuation continuity
+continuous contraction contradiction contribution controller
+convenience conversation conversion conviction cooperation
+coordination correction correlation correspondence correspondent
+corruption counselor countless courageous creation creativity
+creator credibility criticism cruelty cultivation curiosity
+curiously currently customary dangerous dearly decision
+declaration decoration dedication defendant defender deficiency
+definitely definition deliberately delicacy delightful delivery
+democratic demonstration denial density departure dependence
+dependent depression deprivation description designer desirable
+desperately destruction destructive detection detective
+determination devastation development deviation devotion
+dictation dictator difference different difficulty digestion
+dignified direction directly director disability disagreement
+disappearance disappointment disapproval discovery discretion
+discrimination discussion dishonest dismissal disposal
+disposition disruption dissatisfaction dissolution distillation
+distinction distinctive distortion distraction distribution
+distributor disturbance diversion division doubtful dramatically
+dullness duplication eagerly eagerness earnings easily economical
+economist edition editorial education educational effectively
+effectiveness efficiently elaboration election electrical
+electricity elevation elimination eloquence embarrassment
+emergence emotional emphasis employer employment enactment
+enclosure encouragement endurance enforcement engagement engineer
+engineering enjoyment enlargement enlightenment enrollment
+enthusiastic entirely entrance environmental equality equipment
+equivalence erosion eruption especially essentially establishment
+estimation evaluation evaporation eventually evidently evolution
+exactly exaggeration examination exceedingly excellence exception
+exceptional excessive excitement exclusion excursion execution
+executive exhaustion exhibition existence expansion expectation
+expedition expenditure expensive experimental explanation
+exploration explosion explosive exposure expression extension
+extensive exterior extinction extraction extraordinary extremely
+facilitation faithful faithfully falsehood familiarity fascination
+fashionable fatigue fearful fearless feelings fellowship
+fermentation fertility fiercely finally financial financially
+firmness fitness flexibility foolish forgetful forgiveness
+formally formation formerly fortunately foundation founder
+fragmentation freedom frequency frequently freshness friendly
+friendship fruitful frustration fulfillment fundamental
+furthermore generally generosity gentleness genuinely gladness
+gloriously government governor gracefully gradually graduation
+greatly guidance happily happiness hardness harmful harmless
+hastily hatred healthy hearing heavily helpful helpless
+hesitation highly historical honestly hopeful hopeless hopelessly
+hospitality hostility humanity humorous hungrily identification
+illustration imagination imitation immediately immensely
+immigration implementation implication importance importantly
+imposition impression imprisonment improvement inclusion
+increasingly incredibly independence independent indication
+indicator indifference indignation individual individually
+industrial infection inflation information ingredient inhabitant
+inheritance initially initiative injection innocence innovation
+insertion insistence inspection inspector inspiration
+installation instantly instruction instructor instrumental
+insulation integration intensely intensity intention interaction
+interested interesting interference interior intermission
+interpretation interpreter interruption intersection intervention
+interviewer intimacy introduction invasion invention inventor
+investigation investigator investment investor invitation
+involvement irrigation irritation isolation jealousy jointly
+journalism journalist joyful judgment justification justly
+keenly kindly kindness knowingly laboratory largely lately
+lately laughter laziness leadership legally legislation
+legislature liberation lightly likelihood likeness limitation
+literally livelihood liveliness loneliness loudly loveliness
+loyalty luckily madness magical magnificence maintenance
+majority management marriage marvelous massively mechanical
+mechanically medication meditation membership mercifully
+migration mildly miserable modification momentary monthly
+morality mortality motionless motivation movement multiplication
+mysterious mysteriously namely naturally navigation nearness
+neatly necessarily negotiation neighborhood nervously newly
+nobility nomination normally notably notation noticeable
+notification notion nursery obedience objection obligation
+observation observer obsession occupation occurrence offering
+official officially openly operation operator opposition
+oppression optimistic orderly ordinarily organization
+organizer orientation originality originally ornamental
+outstanding ownership painful painless partially participant
+participation particularly partnership passionately patiently
+payment peacefully peculiarity perfection perfectly performance
+performer permanently permission persistence personality
+personally persuasion physically physician plainly
+planner playful pleasantly pleasure plentiful politely political
+politician pollution popularity population portrayal possession
+possibility possibly powerful powerless practically precaution
+precisely prediction preference pregnancy preparation presence
+presentation preservation presidency president presidential
+pressure presumably prevention previously primarily probability
+procession producer production productive productivity
+profession professional professionally profitable progression
+prohibition projection prominence promotion promptly
+pronunciation properly proportion proposal prosecution
+prosperity protection protective provision publication publicly
+punishment purely purification pursuit qualification quietly
+quotation radiation rapidly rarely rationally readily readiness
+reality realization reasonable reasonably rebellion recognition
+recollection recommendation reconciliation recovery recreation
+reduction reflection refusal regardless registration regularly
+regulation rejection relation relationship relatively relaxation
+reliability reliance religious reluctance remarkable remarkably
+remembrance removal renewal repeatedly repetition replacement
+reportedly representation representative reproduction reputation
+requirement resemblance reservation residence resident
+resignation resistance resolution respectable respectful
+respectively restoration restriction retirement revelation
+reversal revision richly rigidly roughly routinely royalty
+rudely ruthless sadly sadness safely safety satisfaction
+satisfactory scarcely scarcity scholarship scientific
+scientifically scientist secondary secrecy secretly section
+security seemingly selection selective sensation sensibly
+sentimental separately separation seriously settlement severely
+severity sharpness shortage shortly shyness significance
+significantly silently similarity similarly simplicity simply
+simulation sincerely sincerity singular situation skillful
+sleepless slightly smoothly softly softness solution
+specialist specialization specifically specification spectacular
+speculation steadily stiffness stillness strangely strangeness
+strength strengthen strictly structural stubbornness
+subscription subsequently substantially substitution
+successfully succession successor sufficiently suggestion
+suitable summary superiority supervision supervisor supplier
+supporter supposedly suppression surely surprisingly survival
+survivor suspension sweetness swiftly sympathetic tactical
+technically technology temporarily temptation tenderness tension
+terribly thankful theoretical thickness thirsty thoroughly
+thoughtful tightly tiredness tolerance totally tradition
+traditional traditionally tragically transaction transformation
+translation translator transmission transportation treatment
+tremendously truly truthful typically unable uncertainty
+uncomfortable unconscious undoubtedly uneasiness unemployment
+unexpectedly unfortunately unhappiness unity universally
+unlikely unnecessary unpleasant unusual unusually unwilling
+urgently usefully usefulness uselessly usually utterly vaguely
+validity valuation variation vastly vegetation verification
+vertically vibration violation violently visibility visitor
+vitality vividly voluntarily warmly warmth weakly wealthy
+weekly wholly wickedness widely wilderness willingness wisdom
+wisely wonderful wonderfully worthless worthy youthful
+""".split()
+LEXICON.update(_SUPPLEMENT2)
 # Common irregular verb forms: present in KStemData as entries of
 # their own, so KStem leaves them alone (it does not do irregular
 # verb conflation).

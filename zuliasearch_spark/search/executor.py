@@ -1792,20 +1792,38 @@ class SearchEngine:
         resolved_by_qid: dict[str, list[ResolvedClause]] = {}
         tree_by_qid: dict[str, "RBool | None"] = {}
         keys_by_qid: dict[str, set] = {}
+        dv_results: dict[str, dict] = {}
         for qid, r in reqs.items():
             resolved, tree = self._resolve_request(r)
-            if tree is not None and tree_ranges(tree):
-                raise ValueError("range clauses in a query string: use search_string()")
+            if tree is not None:
+                # doc-values leaves (range conjuncts or nested/SHOULD
+                # positions) compose with doc_map scans rather than the
+                # batch postings kernel: run those requests through the
+                # per-request router and batch the rest. One extra job
+                # per dv-bearing request — the common serving stream is
+                # pure postings queries, which all stay in ONE job.
+                try:
+                    has_dv = bool(tree_ranges(tree))
+                except ParseError:
+                    has_dv = True
+                if has_dv:
+                    dv_results[qid] = self._search_one(r, fetch)
+                    continue
             resolved_by_qid[qid] = resolved
             tree_by_qid[qid] = tree
             keys_by_qid[qid] = tree_stat_keys(tree) if tree is not None else iter_stat_keys(resolved)
+        if dv_results and not resolved_by_qid and not tree_by_qid:
+            return dv_results
+        reqs = {q: r for q, r in reqs.items() if q not in dv_results}
         all_specs: set[tuple[str, str]] = set()
         for ks in keys_by_qid.values():
             all_specs |= ks
         plan = self._plan(all_specs)
         results: dict[str, dict] = {}
         if plan is None:
-            return {qid: {"totalHits": 0, "topk": [], "hitsExact": True} for qid in reqs}
+            out = {qid: {"totalHits": 0, "topk": [], "hitsExact": True} for qid in reqs}
+            out.update(dv_results)
+            return out
         idf_by_key, avgdl_by_key, cond = plan
 
         # purely-negative queries take the MatchAll fix-up in the
@@ -1986,6 +2004,7 @@ class SearchEngine:
         for res in results.values():
             for t in res["topk"]:
                 t.pop("qid", None)
+        results.update(dv_results)
         return results
 
     def search_string(

@@ -217,3 +217,39 @@ def test_search_many_routes_docvalues_requests(engine):
     singles = {k: engine.search(r) for k, r in reqs.items()}
     for k in reqs:
         assert out[k]["totalHits"] == singles[k]["totalHits"], k
+
+
+def test_facets_over_clause_grammar_request(spark):
+    """Aggregations ride match_ids, which accepts clause-grammar
+    requests too: facet counts over a clause whose q mixes booleans
+    with a fielded range."""
+    cfg = IndexConfig(
+        index_name="clausef",
+        unique_id_col="uniqueId",
+        number_of_shards=2,
+        default_search_fields=("text",),
+        field_configs=(
+            FieldConfig("text", index_as=(IndexAs("text", "whitespace_lc"),)),
+            FieldConfig("tag", index_as=(IndexAs("tag", "lcKeyword"),), facet_as=("tag",)),
+        ),
+    )
+    rows = [
+        ("1", "alpha beta", "red", 2010),
+        ("2", "gamma delta", "red", 2020),
+        ("3", "alpha gamma", "blue", 2000),
+        ("4", "beta delta", "blue", 2021),
+        ("5", "alpha beta", "red", 2018),
+    ]
+    df = spark.createDataFrame(rows, "uniqueId string, text string, tag string, year int")
+    tables = build_index(df, cfg, stored_cols=("tag", "year")).persist()
+    try:
+        eng = SearchEngine(tables)
+        req = SearchRequest(
+            (C("SCORE_SHOULD", q="alpha OR delta"), C("FILTER", q="year:[2005 TO 2020]")),
+            amount=10,
+        )
+        # match set: (alpha {1,3,5} ∪ delta {2,4}) ∩ 2005..2020 {1,2,5}
+        got = {r["value"]: r["cnt"] for r in eng.facet_counts(req, "tag").collect()}
+        assert got == {"red": 3}
+    finally:
+        tables.unpersist()

@@ -311,3 +311,117 @@ class Mapper:
         if "uniqueId" in d and self.unique_id_attr not in d:
             d[self.unique_id_attr] = d.pop("uniqueId")
         return self.from_document(d)
+
+
+# ---------------------------------------------------------------------------
+# DocumentHelper dot-path access (zulia-util document/DocumentHelper.java)
+
+
+def document_path_col(df, path: str, retain_null_and_empty: bool = False):
+    """Dot-path value extraction over nested struct/array columns —
+    ``DocumentHelper.getValueFromMongoDocument`` (DocumentHelper.java
+    :17-40, getChild :106-149) as ONE Catalyst expression:
+
+    - each path step descends a struct field;
+    - a step through an ARRAY of structs maps the field over the
+      items (the reference returns the List of child values), nested
+      list levels flattening into one list;
+    - by default (``retain_null_and_empty=False``, the reference's
+      common call shape) null items and empty strings are dropped
+      from list results, and an all-dropped list collapses to NULL;
+    - a missing field anywhere on the path raises (Spark is typed —
+      the schemaless-BSON "absent field" is a NULL-typed column, not
+      an unknown name).
+
+    Pure codegen: the extraction runs inside whole-stage codegen on
+    executors; nothing touches Python at row time.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType, StructType
+
+    def _getter(s):
+        return lambda x: x[s]
+
+    parts = path.split(".")
+    dt = df.schema
+    col = None
+    in_list = False  # col currently holds ONE list of values
+    for step in parts:
+        # array wrappers on dt are already folded into in_list
+        while isinstance(dt, ArrayType):
+            dt = dt.elementType
+        if not isinstance(dt, StructType) or step not in dt.fieldNames():
+            raise ValueError(
+                f"path {path!r}: no field {step!r} at this level "
+                f"(have {dt.fieldNames() if isinstance(dt, StructType) else dt.simpleString()})"
+            )
+        field_type = dt[step].dataType
+        if col is None:
+            col = F.col(f"`{step}`")
+            in_list = isinstance(field_type, ArrayType)
+        elif in_list:
+            col = F.transform(col, _getter(step))
+            # the per-item child may itself be a list: flatten every
+            # such level back into the ONE list (a Spark array is
+            # homogeneous, so the reference's occasional
+            # list-containing-a-list value becomes the flat value
+            # list — documented shape deviation). Null sublists are
+            # dropped FIRST: Spark's flatten nulls out the whole
+            # result on a null element, where getChild just skips it.
+            t = field_type
+            while isinstance(t, ArrayType):
+                col = F.flatten(F.filter(col, lambda x: x.isNotNull()))
+                t = t.elementType
+        else:
+            col = col[step]
+            in_list = isinstance(field_type, ArrayType)
+        dt = field_type
+    while isinstance(dt, ArrayType):
+        dt = dt.elementType
+    if in_list and not retain_null_and_empty:
+        if isinstance(dt, StringType):
+            col = F.filter(col, lambda x: x.isNotNull() & (x != ""))
+        else:
+            col = F.filter(col, lambda x: x.isNotNull())
+        col = F.when(F.size(col) > 0, col)  # empty list -> NULL
+    return col
+
+
+def flatten_document_columns(
+    df, paths=None, separator: str = "__", retain_null_and_empty: bool = False
+):
+    """Materialize nested dot-paths as top-level columns so the index
+    builder (which wants flat, Spark-safe column names) can store and
+    index them while QUERIES keep the reference's dotted field names:
+
+        df2 = flatten_document_columns(df, ["address.city"])
+        FieldConfig("address__city",
+                    index_as=(IndexAs("address.city", "lcKeyword"),))
+        engine.search_string("address.city:paris")
+
+    ``paths=None`` discovers every leaf path under struct columns.
+    Returns the augmented DataFrame; the added column for path ``p``
+    is ``p.replace(".", separator)``.
+    """
+    from pyspark.sql.types import ArrayType, StructType
+
+    if paths is None:
+        paths = []
+
+        def walk(dt, prefix):
+            while isinstance(dt, ArrayType):
+                dt = dt.elementType
+            if isinstance(dt, StructType):
+                for f in dt.fields:
+                    walk(f.dataType, f"{prefix}.{f.name}" if prefix else f.name)
+            elif prefix and "." in prefix:
+                paths.append(prefix)
+
+        for f in df.schema.fields:
+            walk(f.dataType, f.name)
+    for p in paths:
+        df = df.withColumn(
+            p.replace(".", separator),
+            document_path_col(df, p, retain_null_and_empty=retain_null_and_empty),
+        )
+    return df

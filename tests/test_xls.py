@@ -250,3 +250,19 @@ def test_xls_rejects_non_cfb(tmpdir):
         fh.write(b"not a compound file at all")
     with pytest.raises(ValueError, match="CFB signature"):
         X._workbook_stream(p)
+
+
+def test_xls_large_stream_multi_sector_fat(spark, tmpdir):
+    """A workbook stream past 64 KB needs MULTIPLE FAT sectors in the
+    compound container (the r5 gate at sf0.1 tripped a single-sector
+    assumption): 3k rows round-trip losslessly."""
+    rows = [(i, f"row_{i}_" + "abcdefghij" * 4, float(i) / 8) for i in range(3000)]
+    df = spark.createDataFrame(rows, "i long, s string, x double")
+    path = os.path.join(tmpdir, "large.xls")
+    write_xls(df, path)
+    assert os.path.getsize(path) > 64 * 1024
+    back = read_xls(spark, path)
+    assert back.count() == 3000
+    got = {r["i"]: (r["s"], r["x"]) for r in back.collect()}
+    assert got[2999] == ("row_2999_" + "abcdefghij" * 4, 2999 / 8)
+    assert got[0] == ("row_0_" + "abcdefghij" * 4, 0.0)

@@ -4153,11 +4153,26 @@ class SearchEngine:
         )
         return tuple(r["term"] for r in rows)
 
-    def expand_terms(self, field: str, regex: str, max_terms: int = 50) -> tuple[str, ...]:
+    def expand_terms(self, field: str, regex: str, max_terms: int = 1024) -> tuple[str, ...]:
         """Wildcard/regex term expansion against the dictionary
         (ZuliaSyntaxParser wild*card / /regex/ terms → TermInSet):
-        rewrite to an explicit TERMS set via get_terms."""
-        rows = self.get_terms(field, term_filter_regex=regex, amount=max_terms).collect()
+        rewrite to an explicit TERMS set via get_terms.
+
+        The cap mirrors Lucene's 1024 boolean-clause limit (its
+        constant-score wildcard rewrite is uncapped, but every
+        expanded term here becomes a scoring kernel leaf). Exceeding
+        it RAISES like Lucene's TooManyClauses — the r4 default of 50
+        silently dropped matches once a dictionary grew past it
+        (caught by the sf0.1 gate replica)."""
+        rows = self.get_terms(
+            field, term_filter_regex=regex, amount=max_terms + 1
+        ).collect()
+        if len(rows) > max_terms:
+            raise ValueError(
+                f"wildcard/regex expansion on {field!r} matches more than "
+                f"{max_terms} dictionary terms (Lucene TooManyClauses); "
+                f"narrow the pattern or raise max_terms"
+            )
         return tuple(r["term"] for r in rows)
 
     def _stored_column_for(self, indexed_field: str) -> str:

@@ -608,15 +608,30 @@ def _cfb_wrap(stream: bytes) -> bytes:
         n_container = len(container) // ssz
         minifat, mini = [], b""
 
-    # sector layout: [0]=FAT, [1]=directory, [2]=miniFAT (if mini),
-    # [3..]=container (mini stream holder or the big stream itself)
-    first_data = 3 if use_mini else 2
-    fat = [0xFFFFFFFD, _ENDOFCHAIN]  # FAT sector marker, directory
+    # sector layout: [0..nf-1]=FAT, then directory, then the miniFAT
+    # sector (mini files only), then the container (mini-stream
+    # holder or the big stream itself). The FAT sector count is the
+    # fixed point of "each 512-byte FAT sector maps 128 sectors
+    # including the FAT itself" — a 100k-row sheet needs several;
+    # the header's 109 DIFAT slots cover ~7 GB, far past the
+    # 65,536-row format cap.
+    n_dir = 1  # two 128-byte entries always fit one sector
+    extra = n_dir + (1 if use_mini else 0) + n_container
+    nf = 1
+    while nf * (ssz // 4) < nf + extra:
+        nf += 1
+    if nf > 109:
+        raise ValueError("workbook stream too large for a header-DIFAT compound file")
+    dir_start = nf
+    minifat_start = nf + n_dir
+    first_data = nf + n_dir + (1 if use_mini else 0)
+    fat = [0xFFFFFFFD] * nf  # FAT sectors mark themselves
+    fat.append(_ENDOFCHAIN)  # single-sector directory chain
     if use_mini:
         fat.append(_ENDOFCHAIN)  # miniFAT sector
     for i in range(n_container):
         fat.append(first_data + i + 1 if i < n_container - 1 else _ENDOFCHAIN)
-    fat += [_FREESECT] * (ssz // 4 - len(fat))
+    fat += [_FREESECT] * (nf * (ssz // 4) - len(fat))
 
     def dirent(name: str, etype: int, start: int, size: int, child: int = _FREESECT) -> bytes:
         raw = name.encode("utf-16-le") + b"\x00\x00"
@@ -640,17 +655,16 @@ def _cfb_wrap(stream: bytes) -> bytes:
     struct.pack_into("<H", header, 28, 0xFFFE)  # little endian
     struct.pack_into("<H", header, 30, 9)  # 512-byte sectors
     struct.pack_into("<H", header, 32, 6)  # 64-byte mini sectors
-    struct.pack_into("<I", header, 44, 1)  # one FAT sector
-    struct.pack_into("<I", header, 48, 1)  # directory at sector 1
+    struct.pack_into("<I", header, 44, nf)  # FAT sector count
+    struct.pack_into("<I", header, 48, dir_start)
     struct.pack_into("<I", header, 56, cutoff)
-    struct.pack_into("<I", header, 60, 2 if use_mini else _ENDOFCHAIN)
+    struct.pack_into("<I", header, 60, minifat_start if use_mini else _ENDOFCHAIN)
     struct.pack_into("<I", header, 64, 1 if use_mini else 0)
     struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # no DIFAT chain
-    struct.pack_into("<I", header, 76, 0)  # DIFAT[0] = FAT sector 0
-    for i in range(1, 109):
-        struct.pack_into("<I", header, 76 + 4 * i, _FREESECT)
+    for i in range(109):
+        struct.pack_into("<I", header, 76 + 4 * i, i if i < nf else _FREESECT)
 
-    body = struct.pack(f"<{ssz // 4}I", *fat) + directory
+    body = struct.pack(f"<{nf * (ssz // 4)}I", *fat) + directory
     if use_mini:
         body += struct.pack(f"<{ssz // 4}I", *minifat)
     body += container
